@@ -1,13 +1,139 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{SeriesSpec, TimeIndex}
+import graft.operators.{Gaps, Seasonal}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query here has a DuckDB oracle in `oracleSql` computing the
+  * exact same values on the same parquet tables. Cross-engine float
+  * determinism rules used throughout:
+  *  - money/decimal sums go through DecimalType (exact, order-free)
+  *    and cast to double at the end;
+  *  - medians/order statistics are exact in both engines;
+  *  - derived percentages are round(x, 6) on identically-shaped
+  *    expressions so both engines round the same IEEE double.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_seasonal_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private val evSpec: SeriesSpec = Tables.eventsSpec
+
+  /** events → deduped long series with delta_us (shared prefix of the
+    * time-series queries).
+    */
+  private def seriesWithDelta(s: SparkSession, dir: String): DataFrame =
+    TimeIndex.withDeltaUs(Tables.eventsSeries(s, dir), evSpec)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 aggregation plumbing on lineitem (TPC-H Q1 shape).
+    "q1_pricing" -> ((s, dir) => {
+      val ep = col("l_extendedprice").cast(DecimalType(12, 2))
+      val disc = col("l_discount").cast(DecimalType(4, 2))
+      val tax = col("l_tax").cast(DecimalType(4, 2))
+      val one = lit(1).cast(DecimalType(3, 2))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(ep).cast("double").as("sum_base_price"),
+          sum(ep * (one - disc)).cast("double").as("sum_disc_price"),
+          sum(ep * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.4 step inference: per-series median positive timestamp delta.
+    "q_step_infer" -> ((s, dir) => {
+      TimeIndex.inferStep(seriesWithDelta(s, dir), evSpec)
+    }),
+
+    // §2.4/§2.5 flagship slice: dedup → delta → gap mask → seasonal
+    // coverage stats (EP1's seasonal_stats leg).
+    "q_seasonal_summary" -> ((s, dir) => {
+      val d = seriesWithDelta(s, dir)
+      val step = TimeIndex.inferStep(d, evSpec)
+      val clean = Gaps(d, evSpec, gapHours = 2.0)
+      Seasonal.stats(clean, evSpec, step)
+        .select("user_id", "season", "n_obs", "n_missing", "expected_pts",
+          "coverage_pct", "nan_pct")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared oracle CTE prefix: events deduped keep-first by event_id,
+    * with per-row delta_us (µs; DuckDB reads the ns parquet truncated
+    * to µs exactly like our `ts div 1000`).
+    */
+  private val seriesCte: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, value,
+      |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+      |  FROM events
+      |), dd AS (
+      |  SELECT user_id, ts, value,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS delta_us
+      |  FROM d WHERE rn = 1
+      |)""".stripMargin
+
+  private val stepCte: String =
+    """, st AS (
+      |  SELECT user_id,
+      |         CASE WHEN count(*) < 3
+      |                OR median(CASE WHEN delta_us > 0 THEN delta_us END) IS NULL
+      |              THEN 900000000.0
+      |              ELSE median(CASE WHEN delta_us > 0 THEN delta_us END) END AS step_us
+      |  FROM dd GROUP BY user_id
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_step_infer" ->
+      (seriesCte + stepCte + "\nSELECT user_id, step_us FROM st"),
+
+    "q_seasonal_summary" ->
+      (seriesCte + stepCte +
+        """, g AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN delta_us > 7200000000 THEN NULL ELSE value END AS value_clean,
+          |         CASE WHEN month(ts) IN (12,1,2) THEN 'DJF'
+          |              WHEN month(ts) IN (3,4,5) THEN 'MAM'
+          |              WHEN month(ts) IN (6,7,8) THEN 'JJA'
+          |              ELSE 'SON' END AS season
+          |  FROM dd
+          |), a AS (
+          |  SELECT user_id, season, count(*) AS n_obs,
+          |         count(*) - count(value_clean) AS n_missing,
+          |         min(epoch_us(ts)) AS mn_us, max(epoch_us(ts)) AS mx_us
+          |  FROM g GROUP BY user_id, season
+          |)
+          |SELECT a.user_id, a.season, a.n_obs, a.n_missing,
+          |       greatest(1, CAST(floor((a.mx_us - a.mn_us + s.step_us) / s.step_us + 0.5) AS BIGINT)) AS expected_pts,
+          |       round(100.0 * (a.n_obs - a.n_missing) / greatest(1, CAST(floor((a.mx_us - a.mn_us + s.step_us) / s.step_us + 0.5) AS BIGINT)), 6) AS coverage_pct,
+          |       round(100.0 * a.n_missing / a.n_obs, 6) AS nan_pct
+          |FROM a JOIN st s ON a.user_id = s.user_id""".stripMargin)
+  )
 }

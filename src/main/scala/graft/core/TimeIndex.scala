@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-index invariants of the reference engine, re-expressed
+  * relationally (reference: `ensure_time_index`,
+  * scripts/ufz_water_qc_pipeline.py:68-75; `infer_step` :77-82;
+  * `_to_points` :144-147).
+  *
+  * The reference's "drop duplicate timestamps keep-first" depends on
+  * file order, which is meaningless for a distributed table; here
+  * keep-first is defined by an explicit deterministic tiebreaker
+  * column (e.g. an ingest sequence number / event id). The sorted-by-
+  * time invariant becomes "every window orders by ts" — no global sort
+  * is ever materialized.
+  */
+object TimeIndex {
+
+  val DefaultStepUs: Double = 15 * 60 * 1000000.0 // reference default: 15 min
+
+  /** Drop duplicate (keys, ts) rows, keeping the first by `tiebreak`
+    * (reference keep-first dedup, ufz_water_qc_pipeline.py:74).
+    */
+  def dedupKeepFirst(df: DataFrame, spec: SeriesSpec, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy((spec.keyCols :+ spec.tsCol): _*).orderBy(tiebreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Resolve duplicate timestamps by per-(keys, ts) median of value
+    * (reference `resolve_duplicates` how='median',
+    * ufz_water_qc_pipeline.py:170-176).
+    */
+  def resolveDuplicatesMedian(df: DataFrame, spec: SeriesSpec): DataFrame =
+    df.groupBy((spec.keyCols :+ spec.tsCol): _*)
+      .agg(median(spec.valueCol).as(spec.value))
+
+  /** Per-row delta to the previous observation, in microseconds.
+    * Adds column `delta_us` (NULL on each series' first row).
+    */
+  def withDeltaUs(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    val w = SeriesWindows.ordered(spec)
+    df.withColumn("delta_us",
+      unix_micros(spec.tsCol) - unix_micros(lag(spec.tsCol, 1).over(w)))
+  }
+
+  /** Per-series sampling step: median of positive consecutive deltas,
+    * defaulting to 15 min when the series has <3 rows or no positive
+    * delta (reference `infer_step`, ufz_water_qc_pipeline.py:77-82).
+    * Returns one row per series: (keys*, step_us: double).
+    */
+  def inferStep(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    val d = if (df.columns.contains("delta_us")) df else withDeltaUs(df, spec)
+    d.groupBy(spec.keyCols: _*)
+      .agg(
+        count(lit(1)).as("__n_rows"),
+        median(when(col("delta_us") > 0, col("delta_us"))).as("__med_d"))
+      .withColumn("step_us",
+        when(col("__n_rows") < 3 || col("__med_d").isNull, lit(DefaultStepUs))
+          .otherwise(col("__med_d")))
+      .drop("__n_rows", "__med_d")
+  }
+
+  /** Duration-string window → count-based window length given a step
+    * (reference `_to_points`: max(1, round(window/step))).
+    */
+  def toPoints(windowUs: Double, stepUs: Double): Int =
+    math.max(1, math.round(windowUs / stepUs).toInt)
+
+  def hoursToUs(h: Double): Long = (h * 3600d * 1e6).toLong
+}
