@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
-import graft.operators.{Gaps, Seasonal}
+import graft.operators.{Gaps, Runs, Seasonal}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,6 +69,39 @@ object SparkEntry {
       Seasonal.stats(clean, evSpec, step)
         .select("user_id", "season", "n_obs", "n_missing", "expected_pts",
           "coverage_pct", "nan_pct")
+    }),
+
+    // §2.0/§2.5 RLE: flat-value runs on a quantized signal (raw random
+    // doubles never repeat; bucketing models sensor quantization).
+    "q_flat_runs" -> ((s, dir) => {
+      val q = Tables.eventsSeries(s, dir)
+        .withColumn("value", round(col("value") / 20))
+      Runs.flatValues(q, evSpec, minHours = 2.0, absTol = 0.0)
+        .select(col("user_id"), unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"),
+          round(col("hours"), 6).as("hours"), col("value"))
+    }),
+
+    // §2.5 binary-switch events (zero-runs with finite non-zero
+    // neighbors); tol=1.0 = "near-zero reading" on this data.
+    "q_binary_switches" -> ((s, dir) => {
+      Runs.binarySwitches(Tables.eventsSeries(s, dir), evSpec, zeroTol = 1.0)
+        .select(col("user_id"), unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"),
+          unix_micros(col("pre")).as("pre_us"),
+          unix_micros(col("post")).as("post_us"),
+          col("pre_val"), col("post_val"))
+    }),
+
+    // §2.5 isolated-group mask: short finite runs fenced by >3h gaps;
+    // missing values modeled by masking low readings.
+    "q_isolated" -> ((s, dir) => {
+      val d = seriesWithDelta(s, dir)
+      val step = TimeIndex.inferStep(d, evSpec)
+      val masked = d.withColumn("value",
+        when(col("value") < 10, lit(null)).otherwise(col("value")))
+      Runs.isolatedMask(masked, evSpec, step, gapHours = 3.0)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("isolated"))
     })
   )
 
@@ -113,6 +146,104 @@ object SparkEntry {
 
     "q_step_infer" ->
       (seriesCte + stepCte + "\nSELECT user_id, step_us FROM st"),
+
+    "q_flat_runs" ->
+      (seriesCte +
+        """, q AS (
+          |  SELECT user_id, ts, round(value/20) AS v FROM dd
+          |), f AS (
+          |  SELECT user_id, ts, v,
+          |         coalesce(abs(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts)) <= 0.0, false) AS eq,
+          |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+          |  FROM q
+          |), c AS (
+          |  SELECT *, CASE WHEN eq IS DISTINCT FROM lag(eq) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg
+          |  FROM f
+          |), r AS (
+          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+          |  FROM c
+          |), g AS (
+          |  SELECT user_id, ts, v, run_id,
+          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+          |         last_value(ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts,
+          |         last_value(next_ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS after_ts
+          |  FROM r WHERE eq
+          |)
+          |SELECT user_id, epoch_us(ts) AS start_us,
+          |       epoch_us(coalesce(after_ts, last_ts)) AS end_us,
+          |       round((epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0, 6) AS hours,
+          |       v AS value
+          |FROM g
+          |WHERE rn2 = 1
+          |  AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0""".stripMargin),
+
+    "q_binary_switches" ->
+      (seriesCte +
+        """, f AS (
+          |  SELECT user_id, ts, value,
+          |         coalesce(abs(value) <= 1.0, false) AS z,
+          |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+          |         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_val,
+          |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts,
+          |         lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS next_val
+          |  FROM dd
+          |), c AS (
+          |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg
+          |  FROM f
+          |), r AS (
+          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+          |  FROM c
+          |), g AS (
+          |  SELECT user_id, ts, value, prev_ts, prev_val, run_id,
+          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+          |         last_value(ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts,
+          |         last_value(value) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+          |         last_value(next_ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ln_ts,
+          |         last_value(next_val) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ln_val
+          |  FROM r WHERE z
+          |), e AS (
+          |  SELECT user_id, epoch_us(ts) AS start_us, epoch_us(last_ts) AS end_us,
+          |         epoch_us(coalesce(prev_ts, ts)) AS pre_us,
+          |         epoch_us(coalesce(ln_ts, last_ts)) AS post_us,
+          |         CASE WHEN prev_ts IS NOT NULL THEN prev_val ELSE value END AS pre_val,
+          |         CASE WHEN ln_ts IS NOT NULL THEN ln_val ELSE last_val END AS post_val
+          |  FROM g WHERE rn2 = 1
+          |)
+          |SELECT * FROM e
+          |WHERE pre_val IS NOT NULL AND post_val IS NOT NULL
+          |  AND (pre_val <> 0.0 OR post_val <> 0.0)""".stripMargin),
+
+    "q_isolated" ->
+      (seriesCte + stepCte +
+        """, m AS (
+          |  SELECT user_id, ts, delta_us,
+          |         CASE WHEN value < 10 THEN NULL ELSE value END AS vm,
+          |         lead(delta_us) OVER (PARTITION BY user_id ORDER BY ts) AS next_delta
+          |  FROM dd
+          |), f AS (
+          |  SELECT *, (vm IS NOT NULL) AS z FROM m
+          |), c AS (
+          |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg
+          |  FROM f
+          |), r AS (
+          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+          |  FROM c
+          |), g AS (
+          |  SELECT user_id, ts, delta_us, run_id,
+          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+          |         count(*) OVER (PARTITION BY user_id, run_id) AS len,
+          |         last_value(next_delta) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS right_d
+          |  FROM r WHERE z
+          |), qual AS (
+          |  SELECT g.user_id, g.run_id
+          |  FROM g JOIN st s ON g.user_id = s.user_id
+          |  WHERE rn2 = 1
+          |    AND len <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
+          |    AND delta_us > 10800000000 AND right_d > 10800000000
+          |)
+          |SELECT r.user_id, epoch_us(r.ts) AS ts_us,
+          |       (r.z AND q.run_id IS NOT NULL) AS isolated
+          |FROM r LEFT JOIN qual q ON r.user_id = q.user_id AND r.run_id = q.run_id""".stripMargin),
 
     "q_seasonal_summary" ->
       (seriesCte + stepCte +
