@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
-import graft.operators.{Gaps, Runs, Seasonal}
+import graft.operators.{Gaps, QcConfig, QcSuite, Runs, Seasonal, Sentinels}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -102,6 +102,28 @@ object SparkEntry {
         when(col("value") < 10, lit(null)).otherwise(col("value")))
       Runs.isolatedMask(masked, evSpec, step, gapHours = 3.0)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("isolated"))
+    }),
+
+    // §2.2 sentinel detection + mask (count/fraction activation);
+    // low readings re-encoded as the -9 sentinel to model sensor codes.
+    "q_sentinels" -> ((s, dir) => {
+      val d = Tables.eventsSeries(s, dir)
+        .withColumn("value", when(col("value") < 1, lit(-9.0)).otherwise(col("value")))
+      Sentinels.mask(d, evSpec)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("v_masked"), col("sentinel_flag"))
+    }),
+
+    // §2.5/§3 the 9-check QC fallback suite on the gap-cleaned series.
+    "q_qc_suite" -> ((s, dir) => {
+      val d = seriesWithDelta(s, dir)
+      val step = TimeIndex.inferStep(d, evSpec)
+      val clean = Gaps(d, evSpec, gapHours = 24.0)
+      val cfg = QcConfig(rangeMin = Some(0.0), rangeMax = Some(100.0),
+        flatHours = 2.0, kVariance = 6, kZscore = 8, jumpThresh = 5.0)
+      QcSuite(clean, evSpec, step, cfg)
+        .select((Seq(col("user_id"), unix_micros(col("ts")).as("ts_us")) ++
+          QcSuite.FlagCols.map(col) :+ col("qc_flag")): _*)
     })
   )
 
@@ -244,6 +266,115 @@ object SparkEntry {
           |SELECT r.user_id, epoch_us(r.ts) AS ts_us,
           |       (r.z AND q.run_id IS NOT NULL) AS isolated
           |FROM r LEFT JOIN qual q ON r.user_id = q.user_id AND r.run_id = q.run_id""".stripMargin),
+
+    "q_sentinels" ->
+      (seriesCte +
+        """, s1 AS (
+          |  SELECT user_id, ts, CASE WHEN value < 1 THEN -9.0 ELSE value END AS v FROM dd
+          |), cnt AS (
+          |  SELECT user_id, count(*) AS n,
+          |         sum(CASE WHEN v = -9.0 THEN 1 ELSE 0 END) AS c0,
+          |         sum(CASE WHEN v = -99.0 THEN 1 ELSE 0 END) AS c1,
+          |         sum(CASE WHEN v = -999.0 THEN 1 ELSE 0 END) AS c2,
+          |         sum(CASE WHEN v = -9999.0 THEN 1 ELSE 0 END) AS c3
+          |  FROM s1 GROUP BY user_id
+          |), act AS (
+          |  SELECT user_id,
+          |         (c0 >= 5 OR (n > 0 AND CAST(c0 AS DOUBLE)/n >= 0.001)) AS a0,
+          |         (c1 >= 5 OR (n > 0 AND CAST(c1 AS DOUBLE)/n >= 0.001)) AS a1,
+          |         (c2 >= 5 OR (n > 0 AND CAST(c2 AS DOUBLE)/n >= 0.001)) AS a2,
+          |         (c3 >= 5 OR (n > 0 AND CAST(c3 AS DOUBLE)/n >= 0.001)) AS a3
+          |  FROM cnt
+          |)
+          |SELECT s1.user_id, epoch_us(s1.ts) AS ts_us,
+          |       CASE WHEN (s1.v = -9.0 AND a.a0) OR (s1.v = -99.0 AND a.a1)
+          |                 OR (s1.v = -999.0 AND a.a2) OR (s1.v = -9999.0 AND a.a3)
+          |            THEN NULL ELSE s1.v END AS v_masked,
+          |       coalesce((s1.v = -9.0 AND a.a0) OR (s1.v = -99.0 AND a.a1)
+          |                 OR (s1.v = -999.0 AND a.a2) OR (s1.v = -9999.0 AND a.a3), false) AS sentinel_flag
+          |FROM s1 JOIN act a ON s1.user_id = a.user_id""".stripMargin),
+
+    "q_qc_suite" ->
+      (seriesCte + stepCte +
+        """, x AS (
+          |  SELECT user_id, ts, delta_us,
+          |         CASE WHEN delta_us > 86400000000 THEN NULL ELSE value END AS v
+          |  FROM dd
+          |), zm AS (
+          |  SELECT *, CASE WHEN count(v) OVER wz >= 5 THEN median(v) OVER wz END AS med
+          |  FROM x WINDOW wz AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING)
+          |), zd AS (
+          |  SELECT *, CASE WHEN count(abs(v - med)) OVER wz >= 5 THEN median(abs(v - med)) OVER wz END AS mad
+          |  FROM zm WINDOW wz AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING)
+          |), base AS (
+          |  SELECT user_id, ts, delta_us, v,
+          |         coalesce(v < 0.0 OR v > 100.0, false) AS flag_range,
+          |         (v IS NULL) AS flag_missing,
+          |         coalesce(abs(v - lag(v) OVER wo) >= 5.0, false) AS flag_jumps,
+          |         coalesce((CASE WHEN count(v) OVER wv >= 3 THEN var_samp(v) OVER wv END) <= 1e-12, false) AS flag_variance,
+          |         coalesce(abs(0.6745 * (v - med) / (CASE WHEN mad = 0.0 THEN NULL ELSE mad END)) >= 4.0, false) AS flag_zscore
+          |  FROM zd
+          |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts),
+          |         wv AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
+          |), pe AS (
+          |  SELECT user_id, ts, v,
+          |         coalesce(abs(v - lag(v) OVER wo) <= 0.0, false) AS eq,
+          |         lead(ts) OVER wo AS next_ts
+          |  FROM x WINDOW wo AS (PARTITION BY user_id ORDER BY ts)
+          |), pc AS (
+          |  SELECT *, CASE WHEN eq IS DISTINCT FROM lag(eq) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg FROM pe
+          |), pr AS (
+          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM pc
+          |), pg AS (
+          |  SELECT user_id, ts, run_id,
+          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+          |         last_value(ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts,
+          |         last_value(next_ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS after_ts
+          |  FROM pr WHERE eq
+          |), pq AS (
+          |  SELECT user_id, run_id FROM pg
+          |  WHERE rn2 = 1 AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0
+          |), pm AS (
+          |  SELECT pr.user_id, pr.ts, (pr.eq AND pq.run_id IS NOT NULL) AS in_run
+          |  FROM pr LEFT JOIN pq ON pr.user_id = pq.user_id AND pr.run_id = pq.run_id
+          |), pm2 AS (
+          |  SELECT user_id, ts,
+          |         (in_run OR coalesce(lag(in_run) OVER (PARTITION BY user_id ORDER BY ts), false)) AS flag_plateau
+          |  FROM pm
+          |), ie AS (
+          |  SELECT user_id, ts, delta_us, (v IS NOT NULL) AS z,
+          |         lead(delta_us) OVER (PARTITION BY user_id ORDER BY ts) AS next_delta
+          |  FROM x
+          |), ic AS (
+          |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg FROM ie
+          |), ir AS (
+          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM ic
+          |), ig AS (
+          |  SELECT user_id, ts, delta_us, run_id,
+          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+          |         count(*) OVER (PARTITION BY user_id, run_id) AS len,
+          |         last_value(next_delta) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS right_d
+          |  FROM ir WHERE z
+          |), iq AS (
+          |  SELECT ig.user_id, ig.run_id
+          |  FROM ig JOIN st s ON ig.user_id = s.user_id
+          |  WHERE rn2 = 1
+          |    AND len <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
+          |    AND delta_us > 10800000000 AND right_d > 10800000000
+          |), im AS (
+          |  SELECT ir.user_id, ir.ts, (ir.z AND iq.run_id IS NOT NULL) AS flag_isolated
+          |  FROM ir LEFT JOIN iq ON ir.user_id = iq.user_id AND ir.run_id = iq.run_id
+          |)
+          |SELECT b.user_id, epoch_us(b.ts) AS ts_us,
+          |       b.flag_range, b.flag_missing,
+          |       p.flag_plateau AS flag_constants, p.flag_plateau,
+          |       b.flag_variance, b.flag_zscore, b.flag_jumps,
+          |       i.flag_isolated, b.flag_zscore AS flag_unilof,
+          |       CASE WHEN b.flag_range OR b.flag_missing OR p.flag_plateau OR b.flag_variance
+          |              OR b.flag_zscore OR b.flag_jumps OR i.flag_isolated THEN 255 ELSE 0 END AS qc_flag
+          |FROM base b
+          |JOIN pm2 p ON b.user_id = p.user_id AND b.ts = p.ts
+          |JOIN im i ON b.user_id = i.user_id AND b.ts = i.ts""".stripMargin),
 
     "q_seasonal_summary" ->
       (seriesCte + stepCte +

@@ -83,8 +83,8 @@ object SeriesWindows {
     val arr = array_sort(collect_list(value).over(w))
     val n = size(arr)
     when(n >= minp && n >= 1,
-      (element_at(arr, (n + lit(1)) / lit(2)) +
-        element_at(arr, n / lit(2) + lit(1))) / lit(2.0))
+      (element_at(arr, ((n + lit(1)) / lit(2)).cast("int")) +
+        element_at(arr, (n / lit(2)).cast("int") + lit(1))) / lit(2.0))
   }
 
   /** Count of non-null values in the frame (support / min_periods input). */

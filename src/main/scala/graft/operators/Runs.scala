@@ -99,6 +99,39 @@ object Runs {
         :+ col("post") :+ col("pre_val") :+ col("post_val")): _*)
   }
 
+  /** Plateau/constants point mask (reference `_fallback_flag_plateau`
+    * / `_fallback_flag_constants` + `_mask_from_runs`,
+    * ufz_water_qc_pipeline.py:392-407): mark every sample inside the
+    * [start, end] interval of a qualifying flat run. Because end is
+    * the one-past-run sample, the interval covers the eq-run rows plus
+    * exactly the next row — marked with a lag() instead of a range
+    * join (the stretch's FIRST sample, at start−1, is NOT covered:
+    * interval is [ts[a], ts[a+l]]). Adds boolean `out`.
+    */
+  def flatMask(df: DataFrame, spec: SeriesSpec, minHours: Double = 2.0,
+      absTol: Double = 0.0, out: String = "flag_plateau"): DataFrame = {
+    val w = SeriesWindows.ordered(spec)
+    val d = df
+      .withColumn("__eq",
+        coalesce(abs(spec.valueCol - lag(spec.valueCol, 1).over(w)) <= absTol, lit(false)))
+      .withColumn("__next_ts", lead(spec.tsCol, 1).over(w))
+    val r = Rle.withRunId(d, spec, col("__eq"))
+    val wf = runWindowFull(spec)
+    val qual = r.filter(col("__eq"))
+      .withColumn("__rn", row_number().over(runWindowOrdered(spec)))
+      .withColumn("__last_ts", last(spec.tsCol).over(wf))
+      .withColumn("__after_ts", last(col("__next_ts")).over(wf))
+      .filter(col("__rn") === 1)
+      .filter((unix_micros(coalesce(col("__after_ts"), col("__last_ts"))) -
+        unix_micros(spec.tsCol)) / lit(3600000000.0) >= minHours)
+      .select((spec.keyCols :+ col("run_id") :+ lit(true).as("__qual")): _*)
+    r.join(qual, spec.keys :+ "run_id", "left")
+      .withColumn("__in_run", col("__eq") && coalesce(col("__qual"), lit(false)))
+      .withColumn(out,
+        col("__in_run") || coalesce(lag(col("__in_run"), 1).over(w), lit(false)))
+      .drop("__eq", "__next_ts", "__qual", "__in_run", "run_id")
+  }
+
   /** Isolated-group mask (reference `_fallback_flag_isolated`,
     * ufz_water_qc_pipeline.py:430-453): finite runs of length ≤
     * toPoints(groupWindow, step) whose first row's delta and the delta
