@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
-import graft.operators.{Gaps, QcConfig, QcSuite, Runs, Seasonal, Sentinels}
+import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Runs, Seasonal, Sentinels, Slope}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -124,6 +124,43 @@ object SparkEntry {
       QcSuite(clean, evSpec, step, cfg)
         .select((Seq(col("user_id"), unix_micros(col("ts")).as("ts_us")) ++
           QcSuite.FlagCols.map(col) :+ col("qc_flag")): _*)
+    }),
+
+    // §2.5 closed-form rolling OLS slope (±12-row frame, finite-pair
+    // restricted, time in seconds from series start).
+    "q_rolling_slope" -> ((s, dir) => {
+      Slope.rollingLinSlope(Tables.eventsSeries(s, dir), evSpec, win = 25, minp = 8)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("slope"), 9).as("slope"))
+    }),
+
+    // §2.5 flat-slope runs (|slope| <= 0.05 sessionized, >=2h).
+    "q_flat_slopes" -> ((s, dir) => {
+      Slope.flatSlopes(Tables.eventsSeries(s, dir), evSpec,
+        minHours = 2.0, win = 25, absSlope = 0.05)
+        .select(col("user_id"), unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"), round(col("hours"), 6).as("hours"))
+    }),
+
+    // §2.4 decimal-fraction uniformity chi-square (p excluded: DuckDB
+    // has no chi2 CDF; the engine's chi2_sf UDF is unit-tested).
+    "q_decimal_uniformity" -> ((s, dir) => {
+      Diagnostics.decimalUniformity(Tables.eventsSeries(s, dir), evSpec, withP = false)
+        .select("user_id", "n_finite", "chisq")
+    }),
+
+    // §2.4 dominant two-digit decimal (mode with smallest-code ties).
+    "q_dominant_decimal" -> ((s, dir) => {
+      Diagnostics.dominantDecimal(Tables.eventsSeries(s, dir), evSpec)
+        .select("user_id", "dom", "dom_frac")
+    }),
+
+    // §2.4 quantization-step estimate on a 5-unit-quantized signal.
+    "q_quant_step" -> ((s, dir) => {
+      val q = Tables.eventsSeries(s, dir)
+        .withColumn("value", round(col("value") / 5) * 5)
+      Diagnostics.quantStep(q, evSpec)
+        .select("user_id", "quant_step", "is_quantized")
     })
   )
 
@@ -152,6 +189,24 @@ object SparkEntry {
       |              THEN 900000000.0
       |              ELSE median(CASE WHEN delta_us > 0 THEN delta_us END) END AS step_us
       |  FROM dd GROUP BY user_id
+      |)""".stripMargin
+
+  /** Shared slope CTE: seconds-from-series-start time axis, finite-
+    * pair cov/var closed-form slope over a ±12-row frame, minp 8.
+    */
+  private val slopeCte: String =
+    """, t0 AS (
+      |  SELECT user_id, ts, value,
+      |         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 1000000.0 AS t
+      |  FROM dd
+      |), t1 AS (
+      |  SELECT *, CASE WHEN value IS NOT NULL THEN t END AS tm FROM t0
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN count(value) OVER wf >= 8 AND var_pop(tm) OVER wf > 0
+      |              THEN covar_pop(tm, value) OVER wf / var_pop(tm) OVER wf END AS slope
+      |  FROM t1
+      |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -375,6 +430,105 @@ object SparkEntry {
           |FROM base b
           |JOIN pm2 p ON b.user_id = p.user_id AND b.ts = p.ts
           |JOIN im i ON b.user_id = i.user_id AND b.ts = i.ts""".stripMargin),
+
+    "q_rolling_slope" ->
+      (seriesCte + slopeCte +
+        "\nSELECT user_id, epoch_us(ts) AS ts_us, round(slope, 9) AS slope FROM s"),
+
+    "q_flat_slopes" ->
+      (seriesCte + slopeCte +
+        """, fl AS (
+          |  SELECT user_id, ts, coalesce(abs(slope) <= 0.05, false) AS flag,
+          |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+          |  FROM s
+          |), c AS (
+          |  SELECT *, CASE WHEN flag IS DISTINCT FROM lag(flag) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg FROM fl
+          |), r AS (
+          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM c
+          |), g AS (
+          |  SELECT user_id, ts, run_id,
+          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+          |         last_value(ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts,
+          |         last_value(next_ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS after_ts
+          |  FROM r WHERE flag
+          |)
+          |SELECT user_id, epoch_us(ts) AS start_us,
+          |       epoch_us(coalesce(after_ts, last_ts)) AS end_us,
+          |       round((epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0, 6) AS hours
+          |FROM g
+          |WHERE rn2 = 1
+          |  AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0""".stripMargin),
+
+    "q_decimal_uniformity" ->
+      (seriesCte +
+        """, fin AS (
+          |  SELECT user_id, value FROM dd WHERE value IS NOT NULL
+          |), pb AS (
+          |  SELECT user_id, CAST(floor((value % 1.0) * 10) AS INT) AS bin, count(*) AS h
+          |  FROM fin GROUP BY user_id, CAST(floor((value % 1.0) * 10) AS INT)
+          |), tot AS (
+          |  SELECT user_id, CAST(sum(h) AS BIGINT) AS n_finite, count(*) AS present,
+          |         CAST(sum(h) AS DOUBLE) / 10 AS e
+          |  FROM pb GROUP BY user_id
+          |)
+          |SELECT pb.user_id,
+          |       any_value(t.n_finite) AS n_finite,
+          |       round(sum(pow(pb.h - t.e, 2) / t.e) + (10 - any_value(t.present)) * any_value(t.e), 6) AS chisq
+          |FROM pb JOIN tot t ON pb.user_id = t.user_id
+          |GROUP BY pb.user_id""".stripMargin),
+
+    "q_dominant_decimal" ->
+      (seriesCte +
+        """, fin AS (
+          |  SELECT user_id, CAST(round((value % 1.0) * 100) AS INT) AS code
+          |  FROM dd WHERE value IS NOT NULL
+          |), cnt AS (
+          |  SELECT user_id, code, count(*) AS c FROM fin GROUP BY user_id, code
+          |), tot AS (
+          |  SELECT user_id, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY user_id
+          |), rk AS (
+          |  SELECT cnt.user_id, cnt.code, cnt.c, t.total,
+          |         row_number() OVER (PARTITION BY cnt.user_id ORDER BY cnt.c DESC, cnt.code ASC) AS rk
+          |  FROM cnt JOIN tot t ON cnt.user_id = t.user_id
+          |)
+          |SELECT user_id, code AS dom, CAST(c AS DOUBLE) / total AS dom_frac
+          |FROM rk WHERE rk = 1""".stripMargin),
+
+    "q_quant_step" ->
+      (seriesCte +
+        """, q0 AS (
+          |  SELECT user_id, ts, round(value/5)*5 AS v FROM dd
+          |), dq AS (
+          |  SELECT user_id, abs(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts)) AS d FROM q0
+          |), dpos AS (
+          |  SELECT user_id, d FROM dq WHERE d > 0
+          |), qs AS (
+          |  SELECT user_id, quantile_cont(d, 0.1) AS q10, quantile_cont(d, 0.25) AS q25,
+          |         quantile_cont(d, 0.5) AS q50
+          |  FROM dpos GROUP BY user_id
+          |), cand AS (
+          |  SELECT user_id, 0 AS pos, q10 AS cand FROM qs
+          |  UNION ALL SELECT user_id, 1, q25 FROM qs
+          |  UNION ALL SELECT user_id, 2, q50 FROM qs
+          |  UNION ALL SELECT user_id, 3, q50/2 FROM qs
+          |  UNION ALL SELECT user_id, 4, q50/3 FROM qs
+          |  UNION ALL SELECT user_id, 5, q50/4 FROM qs
+          |  UNION ALL SELECT user_id, 6, q50/5 FROM qs
+          |  UNION ALL SELECT user_id, 7, q50/6 FROM qs
+          |  UNION ALL SELECT user_id, 8, q50/7 FROM qs
+          |  UNION ALL SELECT user_id, 9, q50/8 FROM qs
+          |  UNION ALL SELECT user_id, 10, q50/9 FROM qs
+          |), hit AS (
+          |  SELECT c.user_id, c.pos, c.cand,
+          |         avg(CASE WHEN abs(d.d / c.cand - round(d.d / c.cand)) <= 1e-3 THEN 1.0 ELSE 0.0 END) AS hit
+          |  FROM cand c JOIN dpos d ON c.user_id = d.user_id
+          |  GROUP BY c.user_id, c.pos, c.cand
+          |), rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY hit DESC, pos ASC) AS rk FROM hit
+          |)
+          |SELECT user_id, CASE WHEN hit > 0.7 THEN round(cand, 6) END AS quant_step,
+          |       (hit > 0.7) AS is_quantized
+          |FROM rk WHERE rk = 1""".stripMargin),
 
     "q_seasonal_summary" ->
       (seriesCte + stepCte +

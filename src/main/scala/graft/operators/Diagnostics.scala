@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{SeriesSpec, SeriesWindows}
+import graft.functions.SpecialMath
+
+/** Value-distribution diagnostics (reference `decimal_uniformity`
+  * scripts/ufz_water_qc_pipeline.py:239-248,
+  * `find_long_unique_double_decimals` :250-258,
+  * `quant_step_estimate` :129-142 / `infer_quantization` :260-262).
+  */
+object Diagnostics {
+
+  /** 10-bin histogram of fractional parts + χ² uniformity statistic
+    * against the uniform expectation e = n/nbins. Empty bins
+    * contribute (0−e)²/e = e, accounted without densifying the
+    * histogram. Output: keys*, n_finite, chisq (+ p, the χ² survival
+    * with df = nbins−1, where the reference uses scipy).
+    */
+  def decimalUniformity(df: DataFrame, spec: SeriesSpec,
+      nbins: Int = 10, withP: Boolean = true): DataFrame = {
+    val bin = floor(pmod(spec.valueCol, lit(1.0)) * nbins).cast("int")
+    val finite = df.filter(spec.valueCol.isNotNull)
+    val perBin = finite.withColumn("__bin", bin)
+      .groupBy((spec.keyCols :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__h"))
+    val totals = perBin.groupBy(spec.keyCols: _*)
+      .agg(sum("__h").as("n_finite"), count(lit(1)).as("__present"))
+      .withColumn("__e", col("n_finite").cast("double") / nbins)
+    val chisq = perBin.join(totals, spec.keys)
+      .groupBy(spec.keyCols: _*)
+      .agg(first(col("n_finite")).as("n_finite"),
+        (sum(pow(col("__h") - col("__e"), 2) / col("__e")) +
+          (lit(nbins) - first(col("__present"))) * first(col("__e"))).as("chisq"))
+      .withColumn("chisq", round(col("chisq"), 6))
+    if (withP)
+      chisq.withColumn("p",
+        round(SpecialMath.chi2_sf(col("chisq"), lit((nbins - 1).toDouble)), 6))
+    else chisq
+  }
+
+  /** Mode of round(frac·100): most frequent two-digit decimal pattern
+    * and its share; numpy argmax tie-breaks to the smallest code.
+    * Output: keys*, dom, dom_frac.
+    */
+  def dominantDecimal(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    val code = round(pmod(spec.valueCol, lit(1.0)) * 100).cast("int")
+    val finite = df.filter(spec.valueCol.isNotNull).withColumn("__code", code)
+    val counts = finite.groupBy((spec.keyCols :+ col("__code")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(spec.keyCols: _*)
+      .orderBy(col("__c").desc, col("__code").asc)
+    counts
+      .withColumn("__total", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(spec.keyCols: _*)))
+      .withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") === 1)
+      .select((spec.keyCols :+ col("__code").as("dom")
+        :+ (col("__c").cast("double") / col("__total")).as("dom_frac")): _*)
+  }
+
+  /** Quantization-step estimate: candidate steps from the quantile
+    * ladder of positive |Δ| ({q10, q25, q50, q50/2 … q50/9}); pick the
+    * first candidate (list order) maximizing the fraction of deltas
+    * within 1e−3 of an integer multiple; require > 0.7.
+    * Output: keys*, quant_step (NULL if not quantized), is_quantized.
+    */
+  def quantStep(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    val w = SeriesWindows.ordered(spec)
+    val deltas = df
+      .withColumn("__d", abs(spec.valueCol - lag(spec.valueCol, 1).over(w)))
+      .filter(col("__d") > 0 && col("__d").isNotNull)
+      .select((spec.keyCols :+ col("__d")): _*)
+    val qs = deltas.groupBy(spec.keyCols: _*)
+      .agg(percentile(col("__d"), lit(0.1)).as("q10"),
+        percentile(col("__d"), lit(0.25)).as("q25"),
+        percentile(col("__d"), lit(0.5)).as("q50"))
+    val candCols = Seq(col("q10"), col("q25"), col("q50")) ++
+      (2 to 9).map(i => col("q50") / i)
+    val cands = qs.select((spec.keyCols :+
+      posexplode(array(candCols: _*)).as(Seq("pos", "cand"))): _*)
+    val hits = deltas.join(cands, spec.keys)
+      .groupBy((spec.keyCols :+ col("pos") :+ col("cand")): _*)
+      .agg(avg(when(abs(col("__d") / col("cand") -
+        round(col("__d") / col("cand"))) <= 1e-3, 1.0).otherwise(0.0)).as("hit"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(spec.keyCols: _*)
+      .orderBy(col("hit").desc, col("pos").asc)
+    hits.withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select((spec.keyCols :+
+        when(col("hit") > 0.7, round(col("cand"), 6)).as("quant_step") :+
+        (col("hit") > 0.7).as("is_quantized")): _*)
+  }
+}

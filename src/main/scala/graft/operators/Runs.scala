@@ -35,14 +35,19 @@ object Runs {
     *
     * Output: keys*, start, end, hours, value (one row per event).
     */
-  def flatValues(df: DataFrame, spec: SeriesSpec, minHours: Double = 2.0,
-      absTol: Double = 0.0): DataFrame = {
+  /** Generic flag-run extractor: consecutive flag-true rows form a
+    * run; the emitted event starts at the run's FIRST row, ends at the
+    * one-past-run sample (clamped to the run's last row at series
+    * end), and must span ≥ minHours. The surviving row is the run's
+    * first row, so all of its original columns pass through.
+    * Output: input columns + start, end, hours.
+    */
+  def flagRuns(df: DataFrame, spec: SeriesSpec, flag: Column,
+      minHours: Double): DataFrame = {
     val w = SeriesWindows.ordered(spec)
-    val d = df
-      .withColumn("__eq",
-        coalesce(abs(spec.valueCol - lag(spec.valueCol, 1).over(w)) <= absTol, lit(false)))
+    val d = df.withColumn("__flag", flag)
       .withColumn("__next_ts", lead(spec.tsCol, 1).over(w))
-    val r = Rle.withRunId(d, spec, col("__eq")).filter(col("__eq"))
+    val r = Rle.withRunId(d, spec, col("__flag")).filter(col("__flag"))
     val wf = runWindowFull(spec)
     val hours =
       (unix_micros(col("end")) - unix_micros(col("start"))) / lit(3600000000.0)
@@ -54,6 +59,15 @@ object Runs {
       .withColumn("end", coalesce(col("__after_ts"), col("__last_ts")))
       .filter(hours >= minHours)
       .withColumn("hours", hours)
+      .drop("__flag", "__next_ts", "__rn", "__last_ts", "__after_ts", "run_id")
+  }
+
+  def flatValues(df: DataFrame, spec: SeriesSpec, minHours: Double = 2.0,
+      absTol: Double = 0.0): DataFrame = {
+    val w = SeriesWindows.ordered(spec)
+    val eq =
+      coalesce(abs(spec.valueCol - lag(spec.valueCol, 1).over(w)) <= absTol, lit(false))
+    flagRuns(df, spec, eq, minHours)
       .select((spec.keyCols :+ col("start") :+ col("end") :+ col("hours")
         :+ spec.valueCol.as("value")): _*)
   }
