@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
 import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Runs, Seasonal, Sentinels, Slope}
+import graft.sentem.{SentemConfig, SentemQc}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -161,8 +162,25 @@ object SparkEntry {
         .withColumn("value", round(col("value") / 5) * 5)
       Diagnostics.quantStep(q, evSpec)
         .select("user_id", "quant_step", "is_quantized")
-    })
+    }),
+
+    // §2.5 SentemQC engines: O2 (pct-uncertainty), pH (constant
+    // uncertainty + median run-3), NO3 (nitrate unit round-trip).
+    "q_sentem_o2" -> sentemQuery(400, isNitrate = false),
+    "q_sentem_ph" -> sentemQuery(410, isNitrate = false),
+    "q_sentem_no3" -> sentemQuery(2477034, isNitrate = true)
   )
+
+  private def sentemQuery(code: Int, isNitrate: Boolean)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    SentemQc(Tables.eventsSeries(s, dir), evSpec, code,
+      SentemConfig.byCode(code), isNitrate)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("flag_global"), col("is_flagged"), col("flag_reason"),
+        round(col("qcband_top"), 6).as("qcband_top"),
+        round(col("qcband_bottom"), 6).as("qcband_bottom"),
+        col("value_masked"))
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -209,7 +227,109 @@ object SparkEntry {
       |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
       |)""".stripMargin
 
+  /** Config-driven oracle for the SentemQC engine — generated from the
+    * same SentemConfig the operator runs, with expression shapes
+    * matching the Spark plan term-for-term so both engines perform the
+    * identical IEEE arithmetic.
+    */
+  private def sentemOracleSql(code: Int, isNitrate: Boolean): String = {
+    val cfg = SentemConfig.byCode(code)
+    val conv = if (isNitrate) " * (14.0/62.0)" else ""
+    val sensorRule = code match {
+      case 157787 | 2477034 | 2477787 =>
+        "CASE WHEN obs < 0 THEN 200 ELSE 100 END"
+      case 400 =>
+        "CASE WHEN obs = 30 OR obs = 25 OR obs = 0 OR obs >= 40 THEN 200 WHEN obs IS NULL THEN 200 ELSE 100 END"
+      case 410 =>
+        "CASE WHEN obs = 0 OR obs >= 13 OR obs < 0 THEN 200 WHEN obs IS NULL THEN 200 ELSE 100 END"
+      case _ => "100"
+    }
+    def frame(w: Int) =
+      s"ROWS BETWEEN ${w / 2} PRECEDING AND ${(w - 1) / 2} FOLLOWING"
+    // basic-stat CTEs for runs 1-4
+    val statCtes = (1 to 4).map { r =>
+      val p = cfg.runs(r - 1)
+      val minp = SentemConfig.minPeriods(p.w)
+      val aggFn = if (r == 3) "median" else "avg"
+      val src = if (r == 1) "fs" else s"r${r - 1}s"
+      s""", r${r}s AS (
+         |  SELECT *, CASE WHEN count(obs) OVER w$r >= $minp THEN $aggFn(obs) OVER w$r END AS ma_$r,
+         |         CASE WHEN count(obs) OVER w$r >= $minp THEN stddev_pop(obs) OVER w$r END AS sd_$r
+         |  FROM $src WINDOW w$r AS (PARTITION BY user_id ORDER BY ts ${frame(p.w)})
+         |)""".stripMargin
+    }.mkString
+    def top(r: Int) = {
+      val p = cfg.runs(r - 1)
+      s"(ma_$r + ${p.ta} + ${p.sf}*sd_$r)"
+    }
+    def bot(r: Int) = {
+      val p = cfg.runs(r - 1)
+      s"(ma_$r - ${p.bs} - ${p.sf}*sd_$r)"
+    }
+    def flagSql(r: Int) = (cfg.uncertaintyPct, cfg.uncertaintyCon) match {
+      case (Some(u), _) =>
+        val c1 = (1.0 + u).toString; val c2 = (1.0 - u).toString
+        s"CASE WHEN (($c1*obs) > ${top(r)} AND ($c2*obs) > ${top(r)}) OR (($c2*obs) < ${bot(r)} AND ($c1*obs) < ${bot(r)}) THEN 200 ELSE 100 END"
+      case (None, Some(c)) =>
+        s"CASE WHEN ((obs + $c) > ${top(r)} AND (obs - $c) > ${top(r)}) OR ((obs - $c) < ${bot(r)} AND (obs + $c) < ${bot(r)}) THEN 200 ELSE 100 END"
+      case _ =>
+        s"CASE WHEN obs > ${top(r)} OR obs < ${bot(r)} THEN 200 ELSE 100 END"
+    }
+    val minp5 = SentemConfig.minPeriods(cfg.runs(4).w)
+    val flagList = (Seq("flag_sensor") ++ (1 to 5).map(r => s"flag_run$r"))
+    val anyFlag = flagList.map(f => s"$f = 200").mkString(" OR ")
+    val reasons = flagList.map(f =>
+      s"CASE WHEN $f = 200 THEN '$f' END").mkString(", ")
+    val back = if (isNitrate) " * (62.0/14.0)" else ""
+    seriesCte +
+      s""", p0 AS (
+         |  SELECT user_id, ts, value AS obs_in,
+         |         CASE WHEN value IS NULL OR value <= 0 THEN NULL ELSE value END AS obs_raw
+         |  FROM dd
+         |), p1 AS (
+         |  SELECT *, obs_raw$conv AS obs FROM p0
+         |), fs AS (
+         |  SELECT *, $sensorRule AS flag_sensor FROM p1
+         |)$statCtes, t5a AS (
+         |  SELECT *, lag(obs, 2) OVER wo AS xm2, lag(obs, 1) OVER wo AS xm1,
+         |         lead(obs, 1) OVER wo AS xp1, lead(obs, 2) OVER wo AS xp2
+         |  FROM r4s WINDOW wo AS (PARTITION BY user_id ORDER BY ts)
+         |), t5b AS (
+         |  SELECT *,
+         |    (CASE WHEN xm2 IS NOT NULL THEN 1.0 ELSE 0.0 END + CASE WHEN xm1 IS NOT NULL THEN 2.0 ELSE 0.0 END + CASE WHEN obs IS NOT NULL THEN 3.0 ELSE 0.0 END + CASE WHEN xp1 IS NOT NULL THEN 2.0 ELSE 0.0 END + CASE WHEN xp2 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS wsum,
+         |    (CASE WHEN xm2 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN xm1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN xp1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN xp2 IS NOT NULL THEN 1 ELSE 0 END) AS nfin,
+         |    (coalesce(xm2, 0.0)*1.0 + coalesce(xm1, 0.0)*2.0 + coalesce(obs, 0.0)*3.0 + coalesce(xp1, 0.0)*2.0 + coalesce(xp2, 0.0)*1.0) AS wx
+         |  FROM t5a
+         |), t5c AS (
+         |  SELECT *, CASE WHEN nfin >= 3 THEN wx / wsum END AS ma_5 FROM t5b
+         |), t5d AS (
+         |  SELECT *, CASE WHEN nfin >= 3 THEN sqrt((coalesce(pow(xm2 - ma_5, 2)*1.0, 0.0) + coalesce(pow(xm1 - ma_5, 2)*2.0, 0.0) + coalesce(pow(obs - ma_5, 2)*3.0, 0.0) + coalesce(pow(xp1 - ma_5, 2)*2.0, 0.0) + coalesce(pow(xp2 - ma_5, 2)*1.0, 0.0)) / wsum) END AS sd_5
+         |  FROM t5c
+         |), sup AS (
+         |  SELECT *, sum(CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END) OVER w5s AS support
+         |  FROM t5d WINDOW w5s AS (PARTITION BY user_id ORDER BY ts ${frame(cfg.runs(4).w)})
+         |), fl AS (
+         |  SELECT *, ${flagSql(1)} AS flag_run1, ${flagSql(2)} AS flag_run2,
+         |         ${flagSql(3)} AS flag_run3, ${flagSql(4)} AS flag_run4,
+         |         ${flagSql(5)} AS flag_run5,
+         |         CASE WHEN support >= $minp5 THEN ${top(5)} END AS qcband_top0,
+         |         CASE WHEN support >= $minp5 THEN ${bot(5)} END AS qcband_bottom0
+         |  FROM sup
+         |)
+         |SELECT user_id, epoch_us(ts) AS ts_us,
+         |       CASE WHEN $anyFlag THEN 200 ELSE 100 END AS flag_global,
+         |       ($anyFlag) AS is_flagged,
+         |       concat_ws(' ', $reasons) AS flag_reason,
+         |       round(qcband_top0$back, 6) AS qcband_top,
+         |       round(qcband_bottom0$back, 6) AS qcband_bottom,
+         |       CASE WHEN $anyFlag THEN NULL ELSE obs_raw END AS value_masked
+         |FROM fl""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_sentem_o2" -> sentemOracleSql(400, isNitrate = false),
+    "q_sentem_ph" -> sentemOracleSql(410, isNitrate = false),
+    "q_sentem_no3" -> sentemOracleSql(2477034, isNitrate = true),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
