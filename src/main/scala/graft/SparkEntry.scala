@@ -6,8 +6,10 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
 import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Runs, Seasonal, Sentinels, Slope}
+import graft.pipeline.{Pipeline, PipelineConfig, VariableConfig}
 import graft.sentem.{SentemConfig, SentemQc}
 import graft.sources.Tables
+import graft.wrtds.Wrtds
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +24,28 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q_seasonal_summary")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001: the full EP1 pipeline (QC
+    * suite + SentemQC side-band) over (user, event_type) series.
+    * Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val spec2 = SeriesSpec(Seq("user_id", "event_type"))
+    val base = TimeIndex.dedupKeepFirst(
+      Tables.events(spark, dir).select("user_id", "event_type", "ts", "value", "event_id"),
+      spec2, col("event_id")).drop("event_id")
+    val sensorByType = Map(
+      "click" -> (400, false), "error" -> (410, false),
+      "purchase" -> (2477034, true), "signup" -> (157787, false),
+      "view" -> (2477787, true))
+    val vcfg = sensorByType.map { case (v, (code, nitrate)) =>
+      v -> VariableConfig(rangeMin = Some(0.0), rangeMax = Some(100.0),
+        sentemCode = Some(code), isNitrate = nitrate)
+    }
+    val cfg = PipelineConfig(gapHours = 72.0, kVariance = 6, kZscore = 8,
+      variables = vcfg)
+    Pipeline.run(base, spec2, cfg, variableCol = Some("event_type")).timeseries
+  }
 
   // ---------------------------------------------------------------- helpers
 
@@ -168,8 +189,79 @@ object SparkEntry {
     // uncertainty + median run-3), NO3 (nitrate unit round-trip).
     "q_sentem_o2" -> sentemQuery(400, isNitrate = false),
     "q_sentem_ph" -> sentemQuery(410, isNitrate = false),
-    "q_sentem_no3" -> sentemQuery(2477034, isNitrate = true)
+    "q_sentem_no3" -> sentemQuery(2477034, isNitrate = true),
+
+    // §3 EP1 composition: dedup -> gap mask -> 9-check suite ->
+    // accepted projection, over (user, event_type) series.
+    "q_pipeline" -> ((s, dir) => {
+      val spec2 = SeriesSpec(Seq("user_id", "event_type"))
+      val base = TimeIndex.dedupKeepFirst(
+        Tables.events(s, dir).select("user_id", "event_type", "ts", "value", "event_id"),
+        spec2, col("event_id")).drop("event_id")
+      val vcfg = Seq("click", "error", "purchase", "signup", "view")
+        .map(v => v -> VariableConfig(rangeMin = Some(0.0), rangeMax = Some(100.0))).toMap
+      val cfg = PipelineConfig(gapHours = 72.0, kVariance = 6, kZscore = 8,
+        applySentem = false, variables = vcfg)
+      Pipeline.run(base, spec2, cfg, variableCol = Some("event_type")).timeseries
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("raw"), col("clean"), col("accepted"), col("saqc_flag"))
+    }),
+
+    // §2.3/§2.7 event-table union across the three detectors on the
+    // quantized, gap-cleaned signal.
+    "q_events_all" -> ((s, dir) => {
+      val (clean, _) = quantCleanSeries(s, dir)
+      val evBin = Runs.binarySwitches(clean, evSpec)
+        .withColumn("type", lit("binary_switch"))
+      val evFlat = Runs.flatValues(clean, evSpec, minHours = 2.0).drop("value")
+        .withColumn("type", lit("flat_values"))
+      val evSlope = Slope.flatSlopes(clean, evSpec, minHours = 2.0,
+        win = 25, absSlope = 0.05).withColumn("type", lit("flat_slopes"))
+      evBin.unionByName(evFlat, allowMissingColumns = true)
+        .unionByName(evSlope, allowMissingColumns = true)
+        .select(col("user_id"), col("type"),
+          unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"),
+          round(col("hours"), 6).as("hours"),
+          unix_micros(col("pre")).as("pre_us"),
+          unix_micros(col("post")).as("post_us"),
+          col("pre_val"), col("post_val"))
+    }),
+
+    // §2.4 seasonal summary with flat/slope event counts (full
+    // reference seasonal_stats shape).
+    "q_seasonal_events" -> ((s, dir) => {
+      val (clean, step) = quantCleanSeries(s, dir)
+      val evFlat = Runs.flatValues(clean, evSpec, minHours = 2.0)
+      val evSlope = Slope.flatSlopes(clean, evSpec, minHours = 2.0,
+        win = 25, absSlope = 0.05)
+      Seasonal.statsWithEvents(clean, evSpec, step, evFlat, evSlope)
+        .select("user_id", "season", "n_obs", "n_missing", "expected_pts",
+          "coverage_pct", "nan_pct", "flat_values_events", "flat_slopes_events")
+    }),
+
+    // §2.5 WRTDS-proxy local regression + robust-z buster. No SQL
+    // oracle (O(n^2) kernel regression) -> driver rows-only check.
+    "q_wrtds" -> ((s, dir) => {
+      val d = Tables.eventsSeries(s, dir)
+      val withFit = Wrtds.proxy(d, evSpec, minp = 30)
+      Wrtds.buster(withFit, evSpec)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("wrtds_yhat"), 6).as("yhat"),
+          round(col("wrtds_resid"), 6).as("resid"), col("wrtds_spike"))
+    })
   )
+
+  /** Shared prefix for q_events_all / q_seasonal_events: quantized
+    * signal (round(value/20)*20), 24h gap mask, inferred step.
+    */
+  private def quantCleanSeries(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d0 = Tables.eventsSeries(s, dir)
+      .withColumn("value", round(col("value") / 20) * 20)
+    val d1 = TimeIndex.withDeltaUs(d0, evSpec)
+    val step = TimeIndex.inferStep(d1, evSpec)
+    (Gaps(d1, evSpec, gapHours = 24.0), step)
+  }
 
   private def sentemQuery(code: Int, isNitrate: Boolean)
       : (SparkSession, String) => DataFrame = (s, dir) => {
@@ -326,10 +418,259 @@ object SparkEntry {
          |FROM fl""".stripMargin
   }
 
+  /** Shared chains for q_events_all / q_seasonal_events: quantized
+    * 24h-gap-masked signal + the three event detectors as CTEs
+    * bin_ev / flat_ev / slope_ev.
+    */
+  private val eventsChainsCte: String = {
+    val wo = "OVER (PARTITION BY user_id ORDER BY ts)"
+    val full = "OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    seriesCte + stepCte +
+      s""", xq AS (
+         |  SELECT user_id, ts, delta_us,
+         |         CASE WHEN delta_us > 86400000000 THEN NULL ELSE round(value/20)*20 END AS v
+         |  FROM dd
+         |), bf AS (
+         |  SELECT user_id, ts, v, coalesce(abs(v) <= 1e-12, false) AS z,
+         |         lag(ts) $wo AS prev_ts, lag(v) $wo AS prev_val,
+         |         lead(ts) $wo AS next_ts, lead(v) $wo AS next_val
+         |  FROM xq
+         |), bc AS (
+         |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) $wo THEN 1 ELSE 0 END AS chg FROM bf
+         |), br AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM bc
+         |), bg AS (
+         |  SELECT user_id, ts, v, prev_ts, prev_val, run_id,
+         |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+         |         last_value(ts) $full AS last_ts, last_value(v) $full AS last_val,
+         |         last_value(next_ts) $full AS ln_ts, last_value(next_val) $full AS ln_val
+         |  FROM br WHERE z
+         |), bin_ev AS (
+         |  SELECT user_id, ts AS start_ts, last_ts AS end_ts,
+         |         coalesce(prev_ts, ts) AS pre_t, coalesce(ln_ts, last_ts) AS post_t,
+         |         CASE WHEN prev_ts IS NOT NULL THEN prev_val ELSE v END AS pre_val,
+         |         CASE WHEN ln_ts IS NOT NULL THEN ln_val ELSE last_val END AS post_val
+         |  FROM bg WHERE rn2 = 1
+         |    AND (CASE WHEN prev_ts IS NOT NULL THEN prev_val ELSE v END) IS NOT NULL
+         |    AND (CASE WHEN ln_ts IS NOT NULL THEN ln_val ELSE last_val END) IS NOT NULL
+         |    AND ((CASE WHEN prev_ts IS NOT NULL THEN prev_val ELSE v END) <> 0.0
+         |      OR (CASE WHEN ln_ts IS NOT NULL THEN ln_val ELSE last_val END) <> 0.0)
+         |), ff AS (
+         |  SELECT user_id, ts, v,
+         |         coalesce(abs(v - lag(v) $wo) <= 0.0, false) AS eq,
+         |         lead(ts) $wo AS next_ts
+         |  FROM xq
+         |), fc AS (
+         |  SELECT *, CASE WHEN eq IS DISTINCT FROM lag(eq) $wo THEN 1 ELSE 0 END AS chg FROM ff
+         |), fr AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM fc
+         |), fg AS (
+         |  SELECT user_id, ts, run_id,
+         |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+         |         last_value(ts) $full AS last_ts, last_value(next_ts) $full AS after_ts
+         |  FROM fr WHERE eq
+         |), flat_ev AS (
+         |  SELECT user_id, ts AS start_ts, coalesce(after_ts, last_ts) AS end_ts,
+         |         (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 AS hours_raw
+         |  FROM fg WHERE rn2 = 1
+         |    AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0
+         |), st0 AS (
+         |  SELECT user_id, ts, v,
+         |         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 1000000.0 AS t
+         |  FROM xq
+         |), st1 AS (
+         |  SELECT *, CASE WHEN v IS NOT NULL THEN t END AS tm FROM st0
+         |), ssl AS (
+         |  SELECT user_id, ts,
+         |         CASE WHEN count(v) OVER wf >= 8 AND var_pop(tm) OVER wf > 0
+         |              THEN covar_pop(tm, v) OVER wf / var_pop(tm) OVER wf END AS slope
+         |  FROM st1 WINDOW wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+         |), sf0 AS (
+         |  SELECT user_id, ts, coalesce(abs(slope) <= 0.05, false) AS flag,
+         |         lead(ts) $wo AS next_ts
+         |  FROM ssl
+         |), sc AS (
+         |  SELECT *, CASE WHEN flag IS DISTINCT FROM lag(flag) $wo THEN 1 ELSE 0 END AS chg FROM sf0
+         |), sr AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM sc
+         |), sg AS (
+         |  SELECT user_id, ts, run_id,
+         |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
+         |         last_value(ts) $full AS last_ts, last_value(next_ts) $full AS after_ts
+         |  FROM sr WHERE flag
+         |), slope_ev AS (
+         |  SELECT user_id, ts AS start_ts, coalesce(after_ts, last_ts) AS end_ts,
+         |         (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 AS hours_raw
+         |  FROM sg WHERE rn2 = 1
+         |    AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0
+         |)""".stripMargin
+  }
+
+  /** EP1-composition oracle over (user_id, event_type) series:
+    * keep-first dedup, 72h gap mask, the 9-check suite at kVar=6 /
+    * kZ=8 with range [0,100], accepted projection.
+    */
+  private val pipelineOracle: String = {
+    val pk = "user_id, event_type"
+    val wo = s"OVER (PARTITION BY $pk ORDER BY ts)"
+    val run = s"OVER (PARTITION BY $pk, run_id ORDER BY ts)"
+    val full = s"OVER (PARTITION BY $pk, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    s"""WITH d AS (
+       |  SELECT $pk, ts, value,
+       |         row_number() OVER (PARTITION BY $pk, ts ORDER BY event_id) AS rn
+       |  FROM events
+       |), dd AS (
+       |  SELECT $pk, ts, value,
+       |         epoch_us(ts) - lag(epoch_us(ts)) $wo AS delta_us
+       |  FROM d WHERE rn = 1
+       |), st AS (
+       |  SELECT $pk,
+       |         CASE WHEN count(*) < 3
+       |                OR median(CASE WHEN delta_us > 0 THEN delta_us END) IS NULL
+       |              THEN 900000000.0
+       |              ELSE median(CASE WHEN delta_us > 0 THEN delta_us END) END AS step_us
+       |  FROM dd GROUP BY $pk
+       |), x AS (
+       |  SELECT $pk, ts, delta_us, value AS raw,
+       |         CASE WHEN delta_us > 259200000000 THEN NULL ELSE value END AS v
+       |  FROM dd
+       |), zm AS (
+       |  SELECT *, CASE WHEN count(v) OVER wz >= 5 THEN median(v) OVER wz END AS med
+       |  FROM x WINDOW wz AS (PARTITION BY $pk ORDER BY ts ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING)
+       |), zd AS (
+       |  SELECT *, CASE WHEN count(abs(v - med)) OVER wz >= 5 THEN median(abs(v - med)) OVER wz END AS mad
+       |  FROM zm WINDOW wz AS (PARTITION BY $pk ORDER BY ts ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING)
+       |), base AS (
+       |  SELECT $pk, ts, delta_us, raw, v,
+       |         coalesce(v < 0.0 OR v > 100.0, false) AS flag_range,
+       |         (v IS NULL) AS flag_missing,
+       |         coalesce(abs(v - lag(v) OVER wo) >= 5.0, false) AS flag_jumps,
+       |         coalesce((CASE WHEN count(v) OVER wv >= 3 THEN var_samp(v) OVER wv END) <= 1e-12, false) AS flag_variance,
+       |         coalesce(abs(0.6745 * (v - med) / (CASE WHEN mad = 0.0 THEN NULL ELSE mad END)) >= 4.0, false) AS flag_zscore
+       |  FROM zd
+       |  WINDOW wo AS (PARTITION BY $pk ORDER BY ts),
+       |         wv AS (PARTITION BY $pk ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
+       |), pe AS (
+       |  SELECT $pk, ts, v,
+       |         coalesce(abs(v - lag(v) OVER wo2) <= 0.0, false) AS eq,
+       |         lead(ts) OVER wo2 AS next_ts
+       |  FROM x WINDOW wo2 AS (PARTITION BY $pk ORDER BY ts)
+       |), pc AS (
+       |  SELECT *, CASE WHEN eq IS DISTINCT FROM lag(eq) $wo THEN 1 ELSE 0 END AS chg FROM pe
+       |), pr AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY $pk ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM pc
+       |), pg AS (
+       |  SELECT $pk, ts, run_id,
+       |         row_number() $run AS rn2,
+       |         last_value(ts) $full AS last_ts,
+       |         last_value(next_ts) $full AS after_ts
+       |  FROM pr WHERE eq
+       |), pq AS (
+       |  SELECT $pk, run_id FROM pg
+       |  WHERE rn2 = 1 AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0
+       |), pm AS (
+       |  SELECT pr.user_id, pr.event_type, pr.ts, (pr.eq AND pq.run_id IS NOT NULL) AS in_run
+       |  FROM pr LEFT JOIN pq ON pr.user_id = pq.user_id AND pr.event_type = pq.event_type AND pr.run_id = pq.run_id
+       |), pm2 AS (
+       |  SELECT $pk, ts,
+       |         (in_run OR coalesce(lag(in_run) $wo, false)) AS flag_plateau
+       |  FROM pm
+       |), ie AS (
+       |  SELECT $pk, ts, delta_us, (v IS NOT NULL) AS z,
+       |         lead(delta_us) $wo AS next_delta
+       |  FROM x
+       |), ic AS (
+       |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) $wo THEN 1 ELSE 0 END AS chg FROM ie
+       |), ir AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY $pk ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM ic
+       |), ig AS (
+       |  SELECT $pk, ts, delta_us, run_id,
+       |         row_number() $run AS rn2,
+       |         count(*) OVER (PARTITION BY $pk, run_id) AS len,
+       |         last_value(next_delta) $full AS right_d
+       |  FROM ir WHERE z
+       |), iq AS (
+       |  SELECT ig.user_id, ig.event_type, ig.run_id
+       |  FROM ig JOIN st s ON ig.user_id = s.user_id AND ig.event_type = s.event_type
+       |  WHERE rn2 = 1
+       |    AND len <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
+       |    AND delta_us > 10800000000 AND right_d > 10800000000
+       |), im AS (
+       |  SELECT ir.user_id, ir.event_type, ir.ts, (ir.z AND iq.run_id IS NOT NULL) AS flag_isolated
+       |  FROM ir LEFT JOIN iq ON ir.user_id = iq.user_id AND ir.event_type = iq.event_type AND ir.run_id = iq.run_id
+       |)
+       |SELECT b.user_id, b.event_type, epoch_us(b.ts) AS ts_us, b.raw, b.v AS clean,
+       |       CASE WHEN b.v IS NULL OR (b.flag_range OR b.flag_missing OR p.flag_plateau OR b.flag_variance
+       |              OR b.flag_zscore OR b.flag_jumps OR i.flag_isolated) THEN NULL ELSE b.v END AS accepted,
+       |       (b.flag_range OR b.flag_missing OR p.flag_plateau OR b.flag_variance
+       |              OR b.flag_zscore OR b.flag_jumps OR i.flag_isolated) AS saqc_flag
+       |FROM base b
+       |JOIN pm2 p ON b.user_id = p.user_id AND b.event_type = p.event_type AND b.ts = p.ts
+       |JOIN im i ON b.user_id = i.user_id AND b.event_type = i.event_type AND b.ts = i.ts""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_sentem_o2" -> sentemOracleSql(400, isNitrate = false),
     "q_sentem_ph" -> sentemOracleSql(410, isNitrate = false),
     "q_sentem_no3" -> sentemOracleSql(2477034, isNitrate = true),
+
+    "q_pipeline" -> pipelineOracle,
+
+    "q_events_all" ->
+      (eventsChainsCte +
+        """
+          |SELECT user_id, 'binary_switch' AS type, epoch_us(start_ts) AS start_us,
+          |       epoch_us(end_ts) AS end_us, CAST(NULL AS DOUBLE) AS hours,
+          |       epoch_us(pre_t) AS pre_us, epoch_us(post_t) AS post_us, pre_val, post_val
+          |FROM bin_ev
+          |UNION ALL
+          |SELECT user_id, 'flat_values', epoch_us(start_ts), epoch_us(end_ts),
+          |       round(hours_raw, 6), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          |FROM flat_ev
+          |UNION ALL
+          |SELECT user_id, 'flat_slopes', epoch_us(start_ts), epoch_us(end_ts),
+          |       round(hours_raw, 6), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          |FROM slope_ev""".stripMargin),
+
+    "q_seasonal_events" ->
+      (eventsChainsCte +
+        """, g2 AS (
+          |  SELECT user_id, ts, v,
+          |         CASE WHEN month(ts) IN (12,1,2) THEN 'DJF'
+          |              WHEN month(ts) IN (3,4,5) THEN 'MAM'
+          |              WHEN month(ts) IN (6,7,8) THEN 'JJA'
+          |              ELSE 'SON' END AS season
+          |  FROM xq
+          |), a2 AS (
+          |  SELECT user_id, season, count(*) AS n_obs, count(*) - count(v) AS n_missing,
+          |         min(epoch_us(ts)) AS mn_us, max(epoch_us(ts)) AS mx_us
+          |  FROM g2 GROUP BY user_id, season
+          |), fcnt AS (
+          |  SELECT user_id,
+          |         CASE WHEN month(start_ts) IN (12,1,2) THEN 'DJF'
+          |              WHEN month(start_ts) IN (3,4,5) THEN 'MAM'
+          |              WHEN month(start_ts) IN (6,7,8) THEN 'JJA'
+          |              ELSE 'SON' END AS season, count(*) AS c
+          |  FROM flat_ev WHERE hours_raw >= 2.0 GROUP BY user_id, season
+          |), scnt AS (
+          |  SELECT user_id,
+          |         CASE WHEN month(start_ts) IN (12,1,2) THEN 'DJF'
+          |              WHEN month(start_ts) IN (3,4,5) THEN 'MAM'
+          |              WHEN month(start_ts) IN (6,8,7) THEN 'JJA'
+          |              ELSE 'SON' END AS season, count(*) AS c
+          |  FROM slope_ev WHERE hours_raw >= 2.0 GROUP BY user_id, season
+          |)
+          |SELECT a2.user_id, a2.season, a2.n_obs, a2.n_missing,
+          |       greatest(1, CAST(floor((a2.mx_us - a2.mn_us + s.step_us) / s.step_us + 0.5) AS BIGINT)) AS expected_pts,
+          |       round(100.0 * (a2.n_obs - a2.n_missing) / greatest(1, CAST(floor((a2.mx_us - a2.mn_us + s.step_us) / s.step_us + 0.5) AS BIGINT)), 6) AS coverage_pct,
+          |       round(100.0 * a2.n_missing / a2.n_obs, 6) AS nan_pct,
+          |       coalesce(f.c, 0) AS flat_values_events,
+          |       coalesce(sc2.c, 0) AS flat_slopes_events
+          |FROM a2 JOIN st s ON a2.user_id = s.user_id
+          |LEFT JOIN fcnt f ON a2.user_id = f.user_id AND a2.season = f.season
+          |LEFT JOIN scnt sc2 ON a2.user_id = sc2.user_id AND a2.season = sc2.season""".stripMargin),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -57,4 +57,25 @@ object Seasonal {
       .withColumn("nan_pct", round(lit(100.0) * col("n_missing") / col("n_obs"), 6))
       .drop("__mn_us", "__mx_us", "step_us")
   }
+
+  /** Full reference seasonal summary: stats + per-season counts of
+    * flat-value / flat-slope events whose START falls in the season
+    * and whose duration is ≥ 2h (the reference re-checks `hours>=2.0`
+    * even though its event lists are already duration-filtered,
+    * ufz_water_qc_pipeline.py:287-288).
+    */
+  def statsWithEvents(df: DataFrame, spec: SeriesSpec, stepDf: DataFrame,
+      flatRuns: DataFrame, flatSlopeRuns: DataFrame): DataFrame = {
+    def counts(ev: DataFrame, name: String): DataFrame =
+      ev.filter(col("hours") >= 2.0)
+        .withColumn("season", seasonOf(col("start")))
+        .groupBy((spec.keyCols :+ col("season")): _*)
+        .agg(count(lit(1)).as(name))
+    val base = stats(df, spec, stepDf)
+    base
+      .join(counts(flatRuns, "flat_values_events"), spec.keys :+ "season", "left")
+      .join(counts(flatSlopeRuns, "flat_slopes_events"), spec.keys :+ "season", "left")
+      .withColumn("flat_values_events", coalesce(col("flat_values_events"), lit(0L)))
+      .withColumn("flat_slopes_events", coalesce(col("flat_slopes_events"), lit(0L)))
+  }
 }

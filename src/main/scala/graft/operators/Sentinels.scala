@@ -18,6 +18,26 @@ object Sentinels {
 
   val DefaultCodes: Seq[Double] = Seq(-9.0, -99.0, -999.0, -9999.0)
 
+  /** Per-series sorted array of ACTIVE sentinel codes (the reference
+    * meta's `sentinel_used`, ufz_water_qc_pipeline.py:738).
+    */
+  def activeCodesList(df: DataFrame, spec: SeriesSpec,
+      codes: Seq[Double] = DefaultCodes, minCount: Int = 5,
+      minFrac: Double = 0.001): DataFrame = {
+    val cnts = df.groupBy(spec.keyCols: _*)
+      .agg(count(lit(1)).as("__n"),
+        codes.zipWithIndex.map { case (c, i) =>
+          sum(when(spec.valueCol === lit(c), 1).otherwise(0)).as(s"__c$i")
+        }: _*)
+    val actives = codes.zipWithIndex.map { case (c, i) =>
+      when(col(s"__c$i") >= minCount ||
+        (col("__n") > 0 && col(s"__c$i").cast("double") / col("__n") >= minFrac),
+        lit(c))
+    }
+    cnts.select((spec.keyCols :+
+      array_sort(array_compact(array(actives: _*))).as("sentinel_used")): _*)
+  }
+
   /** Adds `sentinel_flag: boolean`; masks flagged values in `value`. */
   def mask(df: DataFrame, spec: SeriesSpec, codes: Seq[Double] = DefaultCodes,
       minCount: Int = 5, minFrac: Double = 0.001): DataFrame = {

@@ -1,0 +1,175 @@
+package graft.wrtds
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.core.{SeriesSpec, SeriesWindows}
+
+/** WRTDS-proxy weighted local regression + residual spike buster
+  * (reference `wrtds_proxy` scripts/ufz_water_qc_pipeline.py:592-622,
+  * `wrtds_buster` :624-639).
+  *
+  * The one operator that is not a tidy built-in composition: per point
+  * i a Gaussian time-kernel weighted least squares on
+  * [1, t, sin(2π·doy/365.25), cos(2π·doy/365.25) (, q)] over ALL other
+  * points of the series — O(n²) per series, contained inside
+  * `flatMapGroups` so each series runs as one task on its executor
+  * (the reference runs the same loop single-threaded; our parallel
+  * axis is many series). Weights below 1e-3 of the max are dropped
+  * like the reference (:615-616).
+  */
+object Wrtds {
+
+  /** Adds `wrtds_yhat` and `wrtds_resid` (NULL where the reference
+    * yields NaN). Optional discharge column enables the q-kernel.
+    */
+  def proxy(df: DataFrame, spec: SeriesSpec, qCol: Option[String] = None,
+      htDays: Double = 90.0, minp: Int = 30): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val skey = concat_ws("", spec.keyCols.map(_.cast("string")): _*)
+    val hasQ = qCol.isDefined
+    val prepared = df.select(
+      skey.as("__skey"),
+      unix_micros(spec.tsCol).as("__us"),
+      dayofyear(spec.tsCol).cast("double").as("__doy"),
+      spec.valueCol.cast("double").as("__y"),
+      (qCol.map(col(_).cast("double")).getOrElse(lit(null).cast("double"))).as("__q"))
+      .as[(String, Long, Double, java.lang.Double, java.lang.Double)]
+    val fitted = prepared.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val n = rows.length
+      val us = rows.map(_._2)
+      val minUs = us.min
+      val tnum = us.map(u => (u - minUs) / 86400e6) // days
+      val sv = rows.map(r => math.sin(2 * math.Pi * r._3 / 365.25))
+      val cv = rows.map(r => math.cos(2 * math.Pi * r._3 / 365.25))
+      val y = rows.map(r => if (r._4 == null) Double.NaN else r._4.doubleValue())
+      val q = rows.map(r => if (r._5 == null) Double.NaN else r._5.doubleValue())
+      val dim = if (hasQ) 4 else 3
+      def xrow(i: Int): Array[Double] =
+        if (hasQ) Array(tnum(i), sv(i), cv(i), q(i)) else Array(tnum(i), sv(i), cv(i))
+      val finite = (0 until n).map(i =>
+        !y(i).isNaN && xrow(i).forall(v => !v.isNaN && !v.isInfinite)).toArray
+      val idxs = (0 until n).filter(finite).toArray
+      val out = Array.fill[(Double, Double)](n)((Double.NaN, Double.NaN))
+      if (idxs.length >= math.max(minp, 10)) {
+        // q-kernel bandwidth: 3 * MAD of the finite discharge values
+        val qMad = if (hasQ) {
+          val qv = idxs.map(q)
+          val med = medianOf(qv)
+          math.max(1e-9, medianOf(qv.map(v => math.abs(v - med))) * 3)
+        } else 0.0
+        var i = 0
+        while (i < n) {
+          if (finite(i)) {
+            val wAll = idxs.map { j =>
+              val dt = math.abs(tnum(j) - tnum(i))
+              val wt = math.exp(-math.pow(dt / htDays, 2))
+              if (hasQ) wt * math.exp(-math.pow(math.abs(q(j) - q(i)) / qMad, 2))
+              else wt
+            }
+            val wMax = wAll.max
+            val ws = if (wMax > 0) wAll.map(_ / wMax) else wAll
+            val keep = ws.zipWithIndex.filter(_._1 > 1e-3)
+            if (keep.length >= minp) {
+              // solve (A'W²A) beta = A'W²y with A = [1 | X]
+              val p = dim + 1
+              val ata = Array.ofDim[Double](p, p)
+              val aty = Array.ofDim[Double](p)
+              keep.foreach { case (w, kj) =>
+                val j = idxs(kj)
+                val a = Array(1.0) ++ xrow(j)
+                val w2 = w * w
+                var r = 0
+                while (r < p) {
+                  aty(r) += w2 * a(r) * y(j)
+                  var c = 0
+                  while (c < p) { ata(r)(c) += w2 * a(r) * a(c); c += 1 }
+                  r += 1
+                }
+              }
+              solveInPlace(ata, aty).foreach { beta =>
+                val ai = Array(1.0) ++ xrow(i)
+                val yhat = ai.zip(beta).map { case (a, b) => a * b }.sum
+                out(i) = (yhat, y(i) - yhat)
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      (0 until n).iterator.map { i =>
+        val (yh, res) = out(i)
+        (key, us(i),
+          if (yh.isNaN) null else java.lang.Double.valueOf(yh),
+          if (res.isNaN) null else java.lang.Double.valueOf(res))
+      }
+    }.toDF("__skey", "__us", "wrtds_yhat", "wrtds_resid")
+    df.withColumn("__skey", skey)
+      .withColumn("__us", unix_micros(spec.tsCol))
+      .join(fitted, Seq("__skey", "__us"), "left")
+      .drop("__skey", "__us")
+  }
+
+  private def medianOf(xs: Array[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) Double.NaN
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Gaussian elimination with partial pivoting; None if singular. */
+  private def solveInPlace(a: Array[Array[Double]], b: Array[Double])
+      : Option[Array[Double]] = {
+    val n = b.length
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (math.abs(a(piv)(col)) < 1e-300) return None
+      if (piv != col) {
+        val tmp = a(piv); a(piv) = a(col); a(col) = tmp
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / a(col)(col)
+        var c = col
+        while (c < n) { a(r)(c) -= f * a(col)(c); c += 1 }
+        b(r) -= f * b(col)
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < n) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    Some(x)
+  }
+
+  /** Global robust-z spike detection on residuals (`wrtds_buster`):
+    * z = (r − median(r)) / (1.4826·median(|r − median(r)|) + 1e−9);
+    * spike = |z| ≥ zThresh. Two-pass exact medians per series.
+    */
+  def buster(df: DataFrame, spec: SeriesSpec, residCol: String = "wrtds_resid",
+      zThresh: Double = 4.0): DataFrame = {
+    val med = df.groupBy(spec.keyCols: _*)
+      .agg(median(col(residCol)).as("__rmed"))
+    val withMed = df.join(med, spec.keys)
+    val mad = withMed.groupBy(spec.keyCols: _*)
+      .agg(median(abs(col(residCol) - col("__rmed"))).as("__rmad"))
+    val z = (col(residCol) - col("__rmed")) /
+      (lit(1.4826) * col("__rmad") + lit(1e-9))
+    withMed.join(mad, spec.keys)
+      .withColumn("wrtds_spike", coalesce(abs(z) >= zThresh, lit(false)))
+      .drop("__rmed", "__rmad")
+  }
+}
