@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Runs, Seasonal, Sentinels, Slope}
 import graft.pipeline.{Pipeline, PipelineConfig, VariableConfig}
 import graft.sentem.{SentemConfig, SentemQc}
@@ -249,7 +250,54 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           round(col("wrtds_yhat"), 6).as("yhat"),
           round(col("wrtds_resid"), 6).as("resid"), col("wrtds_spike"))
-    })
+    }),
+
+    // ---- training-data extension operators (documents/embeddings) ----
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        k = 2, threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        k = 2, numHashes = 12, bands = 6, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)),
+
+    "q_embed_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45)),
+
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, bitsUsed = 8)
+    }),
+
+    "q_text_tokens" -> ((s, dir) =>
+      TextStats.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextStats.langId(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(Tables.documents(s, dir), "doc_id", "text", k = 3, p = 4)),
+
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   /** Shared prefix for q_events_all / q_seasonal_events: quantized
@@ -609,7 +657,228 @@ object SparkEntry {
        |JOIN im i ON b.user_id = i.user_id AND b.event_type = i.event_type AND b.ts = i.ts""".stripMargin
   }
 
+  /** documents → distinct k-word shingles CTE (w, sh). */
+  private def shingleCte(k: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(words[CAST(i AS INT):CAST(i AS INT)+${k - 1}], ' ') AS shingle
+       |  FROM w, unnest(range(1, greatest(len(words) - ${k - 1}, 0) + 1)) AS t(i)
+       |)""".stripMargin
+
+  private val jaccardTail: String =
+    """, sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)""".stripMargin
+
+  /** embeddings with norms CTE (n); dot(a,b) helper inlined. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private val normCte: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)""".stripMargin
+
+  private val bucketSql: String =
+    (0 until 8).map(j =>
+      s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents)
+        |SELECT doc_id, text_hash,
+        |       min(doc_id) OVER (PARTITION BY text_hash) AS keeper_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_duplicate
+        |FROM h""".stripMargin,
+
+    "q_dedup_ngram" ->
+      (shingleCte(2) + jaccardTail +
+        """
+          |SELECT pr.id_a, pr.id_b, pr.inter,
+          |       round(pr.inter * 1.0 / (sa.n + sb.n - pr.inter), 6) AS jaccard
+          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id
+          |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.5""".stripMargin),
+
+    "q_dedup_minhash" -> {
+      val sigs = (0 until 12).map(i =>
+        s"min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n         ")
+      val bandRows = (0 until 6).map { b =>
+        val parts = (0 until 2).map(r => s"sig_${b * 2 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sg"
+      }.mkString("\n  UNION ALL ")
+      shingleCte(2) +
+        s""", sg AS (
+           |  SELECT doc_id,
+           |         $sigs
+           |  FROM sh GROUP BY doc_id
+           |), bk AS (
+           |  $bandRows
+           |), cd AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+           |)""".stripMargin + jaccardTail +
+        """
+          |SELECT cd.id_a, cd.id_b,
+          |       round(pr.inter * 1.0 / (sa.n + sb.n - pr.inter), 6) AS jaccard
+          |FROM cd JOIN pr ON cd.id_a = pr.id_a AND cd.id_b = pr.id_b
+          |JOIN sz sa ON cd.id_a = sa.doc_id JOIN sz sb ON cd.id_b = sb.doc_id
+          |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.5""".stripMargin
+    },
+
+    "q_dedup_simhash" -> {
+      val bitSums = (0 until 32).map(j =>
+        s"sum((((h >> $j) & 1)*2 - 1) * c) AS s$j").mkString(",\n         ")
+      val fpExpr = (0 until 32).map(j =>
+        s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+      val chunkRows = (0 until 4).map(cI =>
+        s"SELECT doc_id, simhash, $cI AS c, (simhash >> ${cI * 8}) & 255 AS v FROM fp")
+        .mkString("\n  UNION ALL ")
+      s"""WITH wd AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
+         |), wc AS (
+         |  SELECT doc_id, w, count(*) AS c FROM wd GROUP BY doc_id, w
+         |), wh AS (
+         |  SELECT doc_id, c, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM wc
+         |), bs AS (
+         |  SELECT doc_id,
+         |         $bitSums
+         |  FROM wh GROUP BY doc_id
+         |), fp AS (
+         |  SELECT doc_id, $fpExpr AS simhash FROM bs
+         |), ch AS (
+         |  $chunkRows
+         |), cd AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, x.simhash AS ha, y.doc_id AS id_b, y.simhash AS hb
+         |  FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cd WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+    },
+
+    "q_embed_pairs" ->
+      (normCte +
+        s""", p AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos0
+           |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |)
+           |SELECT id_a, id_b, round(cos0, 6) AS cosine FROM p WHERE cos0 >= 0.45""".stripMargin),
+
+    "q_ann_brute" ->
+      (normCte +
+        s""", p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
+           |)
+           |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
+           |FROM r WHERE rk <= 5""".stripMargin),
+
+    "q_ann_lsh" ->
+      (normCte +
+        s""", nb AS (
+           |  SELECT *, $bucketSql AS bucket FROM n
+           |), p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
+           |)
+           |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
+           |FROM r WHERE rk <= 5""".stripMargin),
+
+    "q_text_tokens" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tokens_ws,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS tokens_re
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH wd AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents
+        |), a AS (
+        |  SELECT doc_id, count(*) AS word_count, count(DISTINCT w) AS distinct_words,
+        |         avg(length(w)) AS avg_word_len,
+        |         sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS stop_count
+        |  FROM wd GROUP BY doc_id
+        |)
+        |SELECT doc_id, word_count, distinct_words,
+        |       round(avg_word_len, 6) AS avg_word_len,
+        |       round(CAST(stop_count AS DOUBLE) / word_count, 6) AS stop_ratio,
+        |       round(CAST(distinct_words AS DOUBLE) / word_count, 6) AS diversity,
+        |       round((least(CAST(word_count AS DOUBLE) / 100.0, 1.0)
+        |             + least(CAST(stop_count AS DOUBLE) / word_count * 5.0, 1.0)
+        |             + least(CAST(distinct_words AS DOUBLE) / word_count * 2.0, 1.0)) / 3.0, 6) AS quality_score
+        |FROM a""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH wd AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents
+        |), a AS (
+        |  SELECT doc_id, count(*) AS n,
+        |         sum(CASE WHEN w IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS h_de,
+        |         sum(CASE WHEN w IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS h_en,
+        |         sum(CASE WHEN w IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS h_es,
+        |         sum(CASE WHEN w IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS h_fr
+        |  FROM wd GROUP BY doc_id
+        |), s AS (
+        |  SELECT doc_id,
+        |         CAST(h_de AS DOUBLE)/n AS s_de, CAST(h_en AS DOUBLE)/n AS s_en,
+        |         CAST(h_es AS DOUBLE)/n AS s_es, CAST(h_fr AS DOUBLE)/n AS s_fr,
+        |         CAST(0 AS DOUBLE)/n AS s_zh
+        |  FROM a
+        |), s1 AS (
+        |  SELECT doc_id, s_es, s_fr, s_zh,
+        |         CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS bl,
+        |         CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS bs
+        |  FROM s
+        |), s2 AS (
+        |  SELECT doc_id, s_fr, s_zh,
+        |         CASE WHEN s_es > bs THEN 'es' ELSE bl END AS bl,
+        |         CASE WHEN s_es > bs THEN s_es ELSE bs END AS bs
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, s_zh,
+        |         CASE WHEN s_fr > bs THEN 'fr' ELSE bl END AS bl,
+        |         CASE WHEN s_fr > bs THEN s_fr ELSE bs END AS bs
+        |  FROM s2
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN s_zh > bs THEN 'zh' ELSE bl END AS lang_pred,
+        |       round(CASE WHEN s_zh > bs THEN s_zh ELSE bs END, 6) AS lang_score
+        |FROM s3""".stripMargin,
+
+    "q_fingerprint" ->
+      (shingleCte(3) +
+        """, hh AS (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+          |), sel AS (
+          |  SELECT doc_id, h FROM hh WHERE h % 4 = 0
+          |)
+          |SELECT doc_id, count(*) AS n_selected,
+          |       md5(array_to_string(list_sort(list(CAST(h AS VARCHAR))), ',')) AS fingerprint
+          |FROM sel GROUP BY doc_id""".stripMargin),
+
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |       CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+        |       CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS height,
+        |       CAST(octet_length(CAST(text AS BLOB)) % 24 AS INT) AS n_frames,
+        |       ascii(substr(text, 1, 1)) AS first_byte
+        |FROM documents""".stripMargin,
+
     "q_sentem_o2" -> sentemOracleSql(400, isNitrate = false),
     "q_sentem_ph" -> sentemOracleSql(410, isNitrate = false),
     "q_sentem_no3" -> sentemOracleSql(2477034, isNitrate = true),

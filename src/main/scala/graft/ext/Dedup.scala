@@ -1,0 +1,161 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators. All hash
+  * primitives are engine-portable (md5 hex / md5-derived 60-bit ints)
+  * so every variant is DuckDB-oracle-checkable; at cluster scale each
+  * is shuffle-bounded by its key (hash, shingle, band, bucket) with
+  * map-side combine — no cross join anywhere except the explicitly
+  * brute-force baseline in Similarity.
+  */
+object Dedup {
+
+  /** Portable 60-bit string hash: first 15 hex chars of md5 → BIGINT.
+    * (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT.)
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup on normalized text: groups share
+    * md5(lower(trimmed)); the smallest id is the keeper.
+    * Output: id, text_hash, keeper_id, is_duplicate.
+    */
+  def exact(df: DataFrame, id: String, text: String): DataFrame = {
+    val h = md5(lower(trim(col(text))))
+    val w = Window.partitionBy(col("text_hash"))
+    df.withColumn("text_hash", h)
+      .withColumn("keeper_id", min(col(id)).over(w))
+      .withColumn("is_duplicate", col(id) =!= col("keeper_id"))
+      .select(id, "text_hash", "keeper_id", "is_duplicate")
+  }
+
+  /** Distinct k-word shingles per document (lowercased, whitespace
+    * tokenized). Output: id, shingle.
+    */
+  def shingles(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val words = split(lower(trim(col(text))), "\\s+")
+    // sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
+    // guard short docs with an empty positions array instead
+    val positions = when(size(col("__words")) >= k,
+      sequence(lit(1), size(col("__words")) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("__words", words)
+      .withColumn("__i", explode(positions))
+      .withColumn("shingle", array_join(slice(col("__words"), col("__i"), lit(k)), " "))
+      .select(col(id), col("shingle")).distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard via inverted-index join (only
+    * pairs sharing ≥1 shingle are scored — no cross join).
+    * Output: id_a < id_b, inter, jaccard (≥ threshold).
+    */
+  def ngramJaccard(df: DataFrame, id: String, text: String, k: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, id, text, k).cache()
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup detection. numHashes salted-md5 min-
+    * signatures per doc; signatures grouped into `bands` bands whose
+    * md5 is the LSH bucket key; docs sharing any (band, key) bucket
+    * are candidates; candidates are verified with exact shingle
+    * Jaccard. Deterministic end to end.
+    * Output: id_a < id_b, jaccard (≥ threshold; LSH recall applies).
+    */
+  def minHashLsh(df: DataFrame, id: String, text: String, k: Int = 2,
+      numHashes: Int = 12, bands: Int = 6, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingles(df, id, text, k).cache()
+    // signature_i = min over shingles of md5(i || '|' || shingle)
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"sig_$i"))
+    val sigs = sh.groupBy(id).agg(sigAggs.head, sigAggs.tail: _*)
+    // band key = md5 of its row signatures
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
+    }
+    val buckets = sigs.select((col(id) +: bandCols): _*)
+      .withColumn("bk", explode(array((0 until bands).map(b => col(s"b$b")): _*)))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b")).distinct()
+    // exact verify on candidates only
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("id_a", "id_b"))
+      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over word occurrences: bit j of the fingerprint is
+    * the sign of Σ_words count·(±1 by bit j of hash60(word)).
+    * Output: id, simhash (long).
+    */
+  def simHash(df: DataFrame, id: String, text: String, bits: Int = 32): DataFrame = {
+    val words = df
+      .withColumn("__w", explode(split(lower(trim(col(text))), "\\s+")))
+      .groupBy(col(id), col("__w")).agg(count(lit(1)).as("__c"))
+      .withColumn("__h", hash60(col("__w")))
+    val bitSums = (0 until bits).map(j =>
+      sum(((shiftright(col("__h"), j).bitwiseAND(1)) * 2 - 1) * col("__c")).as(s"__s$j"))
+    val sums = words.groupBy(id).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits).map(j =>
+      when(col(s"__s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    sums.select(col(id), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, found by
+    * the pigeonhole band join: with 4 8-bit chunks, any pair within
+    * distance 3 shares at least one chunk — candidates join on chunk
+    * equality, then exact bit_count filter.
+    * Output: id_a < id_b, hamming.
+    */
+  def simHashPairs(df: DataFrame, id: String, text: String,
+      maxDist: Int = 3): DataFrame = {
+    val fp = simHash(df, id, text).cache()
+    val chunks = fp.withColumn("chunk",
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(255).as("v"))): _*)))
+    val cands = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk.c") === col("y.chunk.c") && col("x.chunk.v") === col("y.chunk.v") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("id_a"), col(s"x.simhash").as("ha"),
+        col(s"y.$id").as("id_b"), col(s"y.simhash").as("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns. The dot
+  * product is a codegen'd `aggregate(zip_with(...))` fold — no UDF.
+  * Brute-force is the exactness baseline; the sign-LSH bucketed
+  * variant is the scale path (bucket join instead of cross join).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision, sequential left fold (matches the
+    * oracle's list_sum(list_transform(...)) evaluation order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k for each query vector (exact baseline;
+    * O(|queries|·|corpus|) — broadcast the queries side).
+    * Output: query_id, vec_id, cosine, rank (ties → smaller vec_id).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"))
+    val scored = q.join(broadcast(c), col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** Sign-LSH bucket: bit j = (vec[j] > 0) for the first `bitsUsed`
+    * dimensions — axis-aligned random-hyperplane LSH, fully
+    * deterministic and engine-portable.
+    */
+  def signBucket(vec: Column, bitsUsed: Int = 8): Column =
+    (0 until bitsUsed).map(j =>
+      when(element_at(vec, j + 1) > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's sign-LSH
+    * bucket, then exact cosine rank within the bucket. At cluster
+    * scale this is a shuffle on the bucket key instead of a cross
+    * join; recall is traded via bitsUsed.
+    * Output: query_id, vec_id, cosine, rank.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, bitsUsed: Int = 8): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+      signBucket(col(vec), bitsUsed).as("__bucket"))
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
+      signBucket(col(vec), bitsUsed).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold. Brute pair join
+    * here (the oracle baseline); swap in sign-LSH buckets for scale.
+    * Output: id_a < id_b, cosine.
+    */
+  def cosinePairs(df: DataFrame, id: String, vec: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(id).as("id_a"), col(vec).as("__va"))
+    val b = df.select(col(id).as("id_b"), col(vec).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counts,
+  * quality scoring, n-gram-heuristic language ID, rolling-hash
+  * fingerprinting. Pure built-ins (regex + explode + agg), all
+  * DuckDB-mirrorable.
+  */
+object TextStats {
+
+  /** Whitespace tokens + a BPE-ish regex token count (letter runs,
+    * digit runs, single punctuation marks — the standard pre-tokenizer
+    * shape). Output: id + n_chars, tokens_ws, tokens_re.
+    */
+  def tokenCounts(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    df.select(col(id), length(t).as("n_chars"),
+      size(split(trim(t), "\\s+")).as("tokens_ws"),
+      regexp_count(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("tokens_re"))
+  }
+
+  /** Per-document quality signals: word/char counts, mean word length,
+    * vocabulary diversity, stopword ratio, and a composite score in
+    * [0,1] (each signal clamped into a plausible band). The score
+    * formula is this engine's own curation heuristic.
+    */
+  def qualityScore(df: DataFrame, id: String, text: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
+    val words = df
+      .withColumn("__w", explode(split(lower(trim(col(text))), "\\s+")))
+    val agg0 = words.groupBy(id).agg(
+      count(lit(1)).as("word_count"),
+      countDistinct(col("__w")).as("distinct_words"),
+      avg(length(col("__w"))).as("avg_word_len"),
+      sum(when(col("__w").isin(stopwords: _*), 1).otherwise(0)).as("stop_count"))
+    val stopRatio = col("stop_count").cast("double") / col("word_count")
+    val diversity = col("distinct_words").cast("double") / col("word_count")
+    val lenScore =
+      least(col("word_count").cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopRatio * 5.0, lit(1.0)) // some stopwords = natural text
+    val score = round((lenScore + stopScore + least(diversity * 2.0, lit(1.0))) / 3.0, 6)
+    agg0.select(col(id), col("word_count"), col("distinct_words"),
+      round(col("avg_word_len"), 6).as("avg_word_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(diversity, 6).as("diversity"),
+      score.as("quality_score"))
+  }
+
+  /** n-gram/stopword-heuristic language ID: per language a marker-word
+    * list is scored as hits/words; argmax wins (ties → lexicographic
+    * language code). Output: id, lang_pred, lang_score.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq())
+
+  def langId(df: DataFrame, id: String, text: String): DataFrame = {
+    val words = df.withColumn("__w", explode(split(lower(trim(col(text))), "\\s+")))
+    val langs = LangMarkers.keys.toSeq.sorted
+    val aggs = langs.map { l =>
+      val ms = LangMarkers(l)
+      (if (ms.isEmpty) sum(lit(0))
+       else sum(when(col("__w").isin(ms: _*), 1).otherwise(0))).as(s"__hits_$l")
+    }
+    val scored = words.groupBy(id)
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    val scores = langs.map(l => (l, col(s"__hits_$l").cast("double") / col("__n")))
+    // argmax with lexicographic tie-break: strict > improve scan
+    val (bestLang, bestScore) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) { case ((bl, bs), (l, s)) =>
+      (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    scored.select(col(id), bestLang.as("lang_pred"),
+      round(bestScore, 6).as("lang_score"))
+  }
+
+  /** Mod-p sampled shingle-hash fingerprint (winnowing-style document
+    * signature): 60-bit hashes of k-word shingles, keep those ≡ 0
+    * (mod p), fingerprint = md5 of the sorted kept hashes.
+    * Output: id, n_selected, fingerprint.
+    */
+  def fingerprint(df: DataFrame, id: String, text: String, k: Int = 3,
+      p: Int = 4): DataFrame = {
+    val sh = Dedup.shingles(df, id, text, k)
+      .withColumn("__h", Dedup.hash60(col("shingle")))
+      .filter(pmod(col("__h"), lit(p)) === 0)
+    sh.groupBy(id).agg(
+      count(lit(1)).as("n_selected"),
+      md5(array_join(array_sort(collect_list(col("__h").cast("string"))), ","))
+        .as("fingerprint"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+
+class ExtSpec extends SparkTestBase {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the smallest id per normalized text") {
+    val d = docs((1L, "Hello  World"), (2L, "hello  world"), (3L, "other text"))
+    val out = Dedup.exact(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("is_duplicate")).toSeq == Seq(false, true, false))
+    assert(out(1).getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhash LSH finds a planted near-duplicate, skips unrelated") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val out = Dedup.minHashLsh(docs((1L, base), (2L, nearDup), (3L, other)),
+      "doc_id", "text", k = 2, numHashes = 12, bands = 6, threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1L && out.head.getAs[Long]("id_b") == 2L)
+    assert(out.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash of identical docs is equal; near-dup within small hamming") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, base + " zz"))
+    val fp = Dedup.simHash(d, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getAs[Long]("simhash"))
+    assert(fp(0) == fp(1))
+    assert(java.lang.Long.bitCount(fp(0) ^ fp(2)) <= 6)
+  }
+
+  test("cosine helpers: orthogonal=0, identical=1; topK ranks correctly") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb.filter($"vec_id" === 0), emb,
+      "vec_id", "embedding", k = 2).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("vec_id") == 2L) // colinear
+    assert(top(0).getAs[Double]("cosine") == 1.0)
+    assert(top(1).getAs[Long]("vec_id") == 3L)
+  }
+
+  test("sign-LSH bucket groups same-orthant vectors") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(emb.filter($"vec_id" === 0), emb,
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L)) // 2 in other bucket
+  }
+
+  test("token counts and quality signals") {
+    val out = TextStats.tokenCounts(docs((1L, "the cat sat, 42 times!")), "doc_id", "text").head()
+    assert(out.getAs[Int]("tokens_ws") == 5)
+    // [a-z]+ runs: the,cat,sat,times; digits: 42; punct: , ! -> 7
+    assert(out.getAs[Int]("tokens_re") == 7)
+    val q = TextStats.qualityScore(docs((1L, "the cat the dog")), "doc_id", "text").head()
+    assert(q.getAs[Long]("word_count") == 4L)
+    assert(q.getAs[Double]("stop_ratio") == 0.5)
+    assert(q.getAs[Long]("distinct_words") == 3L)
+  }
+
+  test("multimodal decode stub: schema, batching, null handling") {
+    import spark.implicits._
+    val d = Seq((1L, "hello"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "payload")
+      .withColumn("media", col("payload").cast("binary"))
+    val out = Multimodal.decodeColumn(d, "media").orderBy("id").collect()
+    val meta = out(0).getStruct(out(0).fieldIndex("media_meta"))
+    assert(meta.getInt(0) == 5) // n_bytes
+    assert(meta.getDouble(4) == "hello".getBytes.map(_ & 0xff).sum.toDouble / 5)
+    assert(out(1).isNullAt(out(1).fieldIndex("media_meta")))
+  }
+}
