@@ -270,7 +270,7 @@ object SparkEntry {
 
     "q_embed_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45)),
+        threshold = 0.45, bucketBits = 8)),
 
     "q_ann_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -308,7 +308,9 @@ object SparkEntry {
       .withColumn("value", round(col("value") / 20) * 20)
     val d1 = TimeIndex.withDeltaUs(d0, evSpec)
     val step = TimeIndex.inferStep(d1, evSpec)
-    (Gaps(d1, evSpec, gapHours = 24.0), step)
+    // feeds three detector branches -> persist the shared prefix
+    (Gaps(d1, evSpec, gapHours = 24.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), step)
   }
 
   private def sentemQuery(code: Int, isNitrate: Boolean)
@@ -722,13 +724,18 @@ object SparkEntry {
            |), cd AS (
            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
            |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-           |)""".stripMargin + jaccardTail +
-        """
-          |SELECT cd.id_a, cd.id_b,
-          |       round(pr.inter * 1.0 / (sa.n + sb.n - pr.inter), 6) AS jaccard
-          |FROM cd JOIN pr ON cd.id_a = pr.id_a AND cd.id_b = pr.id_b
-          |JOIN sz sa ON cd.id_a = sa.doc_id JOIN sz sb ON cd.id_b = sb.doc_id
-          |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.5""".stripMargin
+           |), sz AS (
+           |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+           |), iv AS (
+           |  SELECT cd.id_a, cd.id_b, count(*) AS inter
+           |  FROM cd JOIN sh a ON cd.id_a = a.doc_id
+           |          JOIN sh b ON cd.id_b = b.doc_id AND a.shingle = b.shingle
+           |  GROUP BY cd.id_a, cd.id_b
+           |)
+           |SELECT iv.id_a, iv.id_b,
+           |       round(iv.inter * 1.0 / (sa.n + sb.n - iv.inter), 6) AS jaccard
+           |FROM iv JOIN sz sa ON iv.id_a = sa.doc_id JOIN sz sb ON iv.id_b = sb.doc_id
+           |WHERE iv.inter * 1.0 / (sa.n + sb.n - iv.inter) >= 0.5""".stripMargin
     },
 
     "q_dedup_simhash" -> {
@@ -763,10 +770,12 @@ object SparkEntry {
 
     "q_embed_pairs" ->
       (normCte +
-        s""", p AS (
+        s""", nb AS (
+           |  SELECT *, $bucketSql AS bucket FROM n
+           |), p AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos0
-           |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |)
            |SELECT id_a, id_b, round(cos0, 6) AS cosine FROM p WHERE cos0 >= 0.45""".stripMargin),
 

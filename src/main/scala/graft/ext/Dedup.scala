@@ -100,14 +100,15 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b")).distinct()
-    // exact verify on candidates only
+    // exact verify driven BY the candidates (broadcast the small
+    // candidate set into the shingle joins) — never materializes the
+    // full inverted-index pair blowup that hot shingles would cause
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("id_a", "id_b"))
+    val inter = broadcast(cands)
+      .join(sh.withColumnRenamed(id, "id_a"), "id_a")
+      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
       .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
       .withColumn("jaccard",

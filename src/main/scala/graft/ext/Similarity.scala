@@ -71,15 +71,24 @@ object Similarity {
         col("rank"))
   }
 
-  /** All near-duplicate pairs by cosine ≥ threshold. Brute pair join
-    * here (the oracle baseline); swap in sign-LSH buckets for scale.
+  /** Near-duplicate pairs by cosine ≥ threshold. With bucketBits > 0
+    * candidates are restricted to the same sign-LSH bucket — an
+    * equi-join on the bucket key instead of an O(n²) cross join, the
+    * only shape that survives at cluster scale (recall is traded via
+    * bucketBits; 0 = exact brute force).
     * Output: id_a < id_b, cosine.
     */
   def cosinePairs(df: DataFrame, id: String, vec: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(id).as("id_a"), col(vec).as("__va"))
-    val b = df.select(col(id).as("id_b"), col(vec).as("__vb"))
-    a.join(b, col("id_a") < col("id_b"))
+      threshold: Double, bucketBits: Int = 0): DataFrame = {
+    val a = df.select(col(id).as("id_a"), col(vec).as("__va"),
+      signBucket(col(vec), math.max(bucketBits, 1)).as("__bucket"))
+    val b = df.select(col(id).as("id_b"), col(vec).as("__vb"),
+      signBucket(col(vec), math.max(bucketBits, 1)).as("__bucket"))
+    val joined =
+      if (bucketBits > 0)
+        a.join(b, a("__bucket") === b("__bucket") && col("id_a") < col("id_b"))
+      else a.join(b, col("id_a") < col("id_b"))
+    joined
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

@@ -60,9 +60,16 @@ object Pipeline {
     var d = df.withColumn("raw", spec.valueCol)
     d = Sentinels.mask(d, spec)
     d = TimeIndex.withDeltaUs(d, spec)
-    val step = TimeIndex.inferStep(d, spec)
     d = Gaps.classify(d, spec, cfg.gapHours)
     d = Gaps.maskPostGap(d, spec) // spec.value is now the clean series
+    // The cleaned base feeds ~10 downstream branches (detectors,
+    // seasonal, suite, sentem, accepted). Without persisting, every
+    // branch re-scans and re-cleans the source (observed: 20 scans /
+    // 60 exchanges in the physical plan). MEMORY_AND_DISK: spills
+    // rather than OOMs at scale.
+    d = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val step = TimeIndex.inferStep(d, spec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // -- event detectors on the clean series -------------------------------
     val evBin = Runs.binarySwitches(d, spec, cfg.zeroTol)
