@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
 import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
-import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Runs, Seasonal, Sentinels, Slope}
+import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Resample, Runs, Seasonal, Sentinels, Slope}
 import graft.pipeline.{Pipeline, PipelineConfig, VariableConfig}
 import graft.sentem.{SentemConfig, SentemQc}
 import graft.sources.Tables
@@ -297,7 +297,11 @@ object SparkEntry {
       TextStats.fingerprint(Tables.documents(s, dir), "doc_id", "text", k = 3, p = 4)),
 
     "q_media_meta" -> ((s, dir) =>
-      Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text"))
+      Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text")),
+
+    // §2.4 resample-median: epoch-aligned hourly buckets.
+    "q_resample" -> ((s, dir) =>
+      Resample.medianBy(Tables.eventsSeries(s, dir), evSpec, freqUs = 3600000000L))
   )
 
   /** Shared prefix for q_events_all / q_seasonal_events: quantized
@@ -887,6 +891,13 @@ object SparkEntry {
         |       CAST(octet_length(CAST(text AS BLOB)) % 24 AS INT) AS n_frames,
         |       ascii(substr(text, 1, 1)) AS first_byte
         |FROM documents""".stripMargin,
+
+    "q_resample" ->
+      (seriesCte +
+        """
+          |SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+          |       median(value) AS med, count(value) AS n
+          |FROM dd GROUP BY user_id, bucket_us""".stripMargin),
 
     "q_sentem_o2" -> sentemOracleSql(400, isNitrate = false),
     "q_sentem_ph" -> sentemOracleSql(410, isNitrate = false),

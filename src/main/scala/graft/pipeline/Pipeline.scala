@@ -203,7 +203,10 @@ object Pipeline {
       .csv(s"$outDir/tables/events_all.csv")
     r.seasonal.write.mode("overwrite").option("header", "true")
       .csv(s"$outDir/tables/seasonal_all.csv")
-    r.meta.write.mode("overwrite").option("header", "true")
+    r.meta
+      .withColumn("sentinel_used", // CSV-safe list repr like the reference
+        concat(lit("["), array_join(col("sentinel_used"), ", "), lit("]")))
+      .write.mode("overwrite").option("header", "true")
       .csv(s"$outDir/tables/meta.csv")
   }
 }

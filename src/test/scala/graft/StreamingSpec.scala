@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.core.SeriesSpec
+import graft.streaming.StreamingQc
+import graft.streaming.StreamingQc.SeriesEvent
+
+class StreamingSpec extends SparkTestBase {
+
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
+
+  test("streaming gap flags: first post-gap sample masked, state spans batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingQc.gapFlags(input.toDS(), gapHours = 2.0)
+      .writeStream.format("memory").queryName("gapsout")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        SeriesEvent("s1", us(0), 1.0),
+        SeriesEvent("s1", us(15), 2.0),
+        SeriesEvent("s1", us(300), 3.0)) // 4h45 after prev -> gap
+      q.processAllAvailable()
+      // second batch continues from the first batch's state
+      input.addData(SeriesEvent("s1", us(315), 4.0), // 15min -> fine
+        SeriesEvent("s1", us(800), 5.0))             // ~8h -> gap
+      q.processAllAvailable()
+      val rows = spark.table("gapsout").orderBy("tsUs").collect()
+      assert(rows.map(_.getAs[Boolean]("isGap")).toSeq ==
+        Seq(false, false, true, false, true))
+      assert(rows(2).isNullAt(rows(2).fieldIndex("value"))) // masked
+      assert(rows(3).getAs[Double]("value") == 4.0)
+    } finally q.stop()
+  }
+
+  test("windowed coverage counts observed vs finite per hour window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp, java.lang.Double)]
+    val df = input.toDS().toDF("series", "ts", "value")
+    val out = StreamingQc.windowedCoverage(df, SeriesSpec(Seq("series")),
+      windowDur = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("covout")
+      .outputMode("complete").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(min.toLong))
+      input.addData(
+        ("s1", t(5), java.lang.Double.valueOf(1.0)),
+        ("s1", t(20), null),
+        ("s1", t(70), java.lang.Double.valueOf(3.0)))
+      q.processAllAvailable()
+      val rows = spark.table("covout").orderBy("window_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_obs") == 2 && rows(0).getAs[Long]("n_finite") == 1)
+      assert(rows(1).getAs[Long]("n_obs") == 1 && rows(1).getAs[Long]("n_finite") == 1)
+    } finally q.stop()
+  }
+
+  test("stateless flags work unchanged on a stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp, java.lang.Double)]
+    val df = input.toDS().toDF("series", "ts", "value")
+    val out = StreamingQc.statelessFlags(df, SeriesSpec(Seq("series")), 0.0, 100.0)
+    val q = out.writeStream.format("memory").queryName("flagsout")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(("s1", t0, java.lang.Double.valueOf(150.0)),
+        ("s1", t0, java.lang.Double.valueOf(-9.0)),
+        ("s1", t0, null))
+      q.processAllAvailable()
+      val rows = spark.table("flagsout").collect()
+      assert(rows.count(_.getAs[Boolean]("flag_range")) == 2) // 150 and -9
+      assert(rows.count(_.getAs[Boolean]("flag_sentinel")) == 1)
+      assert(rows.count(_.getAs[Boolean]("flag_missing")) == 1)
+    } finally q.stop()
+  }
+}
