@@ -478,56 +478,39 @@ object SparkEntry {
     */
   private val eventsChainsCte: String = {
     val wo = "OVER (PARTITION BY user_id ORDER BY ts)"
-    val full = "OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     seriesCte + stepCte +
       s""", xq AS (
          |  SELECT user_id, ts, delta_us,
          |         CASE WHEN delta_us > 86400000000 THEN NULL ELSE round(value/20)*20 END AS v
          |  FROM dd
-         |), bf AS (
-         |  SELECT user_id, ts, v, coalesce(abs(v) <= 1e-12, false) AS z,
-         |         lag(ts) $wo AS prev_ts, lag(v) $wo AS prev_val,
-         |         lead(ts) $wo AS next_ts, lead(v) $wo AS next_val
-         |  FROM xq
-         |), bc AS (
-         |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) $wo THEN 1 ELSE 0 END AS chg FROM bf
-         |), br AS (
-         |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM bc
-         |), bg AS (
-         |  SELECT user_id, ts, v, prev_ts, prev_val, run_id,
-         |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-         |         last_value(ts) $full AS last_ts, last_value(v) $full AS last_val,
-         |         last_value(next_ts) $full AS ln_ts, last_value(next_val) $full AS ln_val
-         |  FROM br WHERE z
-         |), bin_ev AS (
-         |  SELECT user_id, ts AS start_ts, last_ts AS end_ts,
-         |         coalesce(prev_ts, ts) AS pre_t, coalesce(ln_ts, last_ts) AS post_t,
-         |         CASE WHEN prev_ts IS NOT NULL THEN prev_val ELSE v END AS pre_val,
-         |         CASE WHEN ln_ts IS NOT NULL THEN ln_val ELSE last_val END AS post_val
-         |  FROM bg WHERE rn2 = 1
-         |    AND (CASE WHEN prev_ts IS NOT NULL THEN prev_val ELSE v END) IS NOT NULL
-         |    AND (CASE WHEN ln_ts IS NOT NULL THEN ln_val ELSE last_val END) IS NOT NULL
-         |    AND ((CASE WHEN prev_ts IS NOT NULL THEN prev_val ELSE v END) <> 0.0
-         |      OR (CASE WHEN ln_ts IS NOT NULL THEN ln_val ELSE last_val END) <> 0.0)
-         |), ff AS (
+         |), bz AS (
          |  SELECT user_id, ts, v,
-         |         coalesce(abs(v - lag(v) $wo) <= 0.0, false) AS eq,
-         |         lead(ts) $wo AS next_ts
+         |         coalesce(v IS NOT NULL AND abs(v) <= 1e-12, false) AS xb,
+         |         lag(ts) $wo AS prev_ts, lag(v) $wo AS prev_val
          |  FROM xq
-         |), fc AS (
-         |  SELECT *, CASE WHEN eq IS DISTINCT FROM lag(eq) $wo THEN 1 ELSE 0 END AS chg FROM ff
-         |), fr AS (
-         |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM fc
-         |), fg AS (
-         |  SELECT user_id, ts, run_id,
-         |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-         |         last_value(ts) $full AS last_ts, last_value(next_ts) $full AS after_ts
-         |  FROM fr WHERE eq
-         |), flat_ev AS (
-         |  SELECT user_id, ts AS start_ts, coalesce(after_ts, last_ts) AS end_ts,
-         |         (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 AS hours_raw
-         |  FROM fg WHERE rn2 = 1
-         |    AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0
+         |)""".stripMargin + markerCtes("b", "user_id", "bz", Seq("v")) +
+      s""", bin_ev AS (
+         |  SELECT r.user_id, r.ts AS start_ts, e.e_ts AS end_ts,
+         |         coalesce(r.prev_ts, r.ts) AS pre_t, r.next_ts AS post_t,
+         |         CASE WHEN r.prev_ts IS NOT NULL THEN r.prev_val ELSE r.v END AS pre_val,
+         |         r.next_v AS post_val
+         |  FROM bruns r
+         |  JOIN (SELECT user_id AS e_uid, rn AS e_rn, ts AS e_ts FROM bi) e
+         |    ON r.user_id = e.e_uid AND e.e_rn = r.next_rn - 1
+         |  WHERE r.xb AND (r.next_rn - r.rn) >= 1
+         |    AND (CASE WHEN r.prev_ts IS NOT NULL THEN r.prev_val ELSE r.v END) IS NOT NULL
+         |    AND r.next_v IS NOT NULL
+         |    AND ((CASE WHEN r.prev_ts IS NOT NULL THEN r.prev_val ELSE r.v END) <> 0.0 OR r.next_v <> 0.0)
+         |), fz AS (
+         |  SELECT user_id, ts, v,
+         |         coalesce(abs(v - lag(v) $wo) <= 0.0, false) AS xb
+         |  FROM xq
+         |)""".stripMargin + markerCtes("f", "user_id", "fz") +
+      s""", flat_ev AS (
+         |  SELECT user_id, ts AS start_ts, next_ts AS end_ts,
+         |         (epoch_us(next_ts) - epoch_us(ts)) / 3600000000.0 AS hours_raw
+         |  FROM fruns
+         |  WHERE xb AND (epoch_us(next_ts) - epoch_us(ts)) / 3600000000.0 >= 2.0
          |), st0 AS (
          |  SELECT user_id, ts, v,
          |         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 1000000.0 AS t
@@ -539,24 +522,14 @@ object SparkEntry {
          |         CASE WHEN count(v) OVER wf >= 8 AND var_pop(tm) OVER wf > 0
          |              THEN covar_pop(tm, v) OVER wf / var_pop(tm) OVER wf END AS slope
          |  FROM st1 WINDOW wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
-         |), sf0 AS (
-         |  SELECT user_id, ts, coalesce(abs(slope) <= 0.05, false) AS flag,
-         |         lead(ts) $wo AS next_ts
-         |  FROM ssl
-         |), sc AS (
-         |  SELECT *, CASE WHEN flag IS DISTINCT FROM lag(flag) $wo THEN 1 ELSE 0 END AS chg FROM sf0
-         |), sr AS (
-         |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM sc
-         |), sg AS (
-         |  SELECT user_id, ts, run_id,
-         |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-         |         last_value(ts) $full AS last_ts, last_value(next_ts) $full AS after_ts
-         |  FROM sr WHERE flag
-         |), slope_ev AS (
-         |  SELECT user_id, ts AS start_ts, coalesce(after_ts, last_ts) AS end_ts,
-         |         (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 AS hours_raw
-         |  FROM sg WHERE rn2 = 1
-         |    AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0
+         |), gz AS (
+         |  SELECT user_id, ts, coalesce(abs(slope) <= 0.05, false) AS xb FROM ssl
+         |)""".stripMargin + markerCtes("g", "user_id", "gz") +
+      s""", slope_ev AS (
+         |  SELECT user_id, ts AS start_ts, next_ts AS end_ts,
+         |         (epoch_us(next_ts) - epoch_us(ts)) / 3600000000.0 AS hours_raw
+         |  FROM gruns
+         |  WHERE xb AND (epoch_us(next_ts) - epoch_us(ts)) / 3600000000.0 >= 2.0
          |)""".stripMargin
   }
 
@@ -604,54 +577,32 @@ object SparkEntry {
        |  FROM zd
        |  WINDOW wo AS (PARTITION BY $pk ORDER BY ts),
        |         wv AS (PARTITION BY $pk ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
-       |), pe AS (
+       |), pz AS (
        |  SELECT $pk, ts, v,
-       |         coalesce(abs(v - lag(v) OVER wo2) <= 0.0, false) AS eq,
-       |         lead(ts) OVER wo2 AS next_ts
-       |  FROM x WINDOW wo2 AS (PARTITION BY $pk ORDER BY ts)
-       |), pc AS (
-       |  SELECT *, CASE WHEN eq IS DISTINCT FROM lag(eq) $wo THEN 1 ELSE 0 END AS chg FROM pe
-       |), pr AS (
-       |  SELECT *, sum(chg) OVER (PARTITION BY $pk ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM pc
-       |), pg AS (
-       |  SELECT $pk, ts, run_id,
-       |         row_number() $run AS rn2,
-       |         last_value(ts) $full AS last_ts,
-       |         last_value(next_ts) $full AS after_ts
-       |  FROM pr WHERE eq
-       |), pq AS (
-       |  SELECT $pk, run_id FROM pg
-       |  WHERE rn2 = 1 AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0
-       |), pm AS (
-       |  SELECT pr.user_id, pr.event_type, pr.ts, (pr.eq AND pq.run_id IS NOT NULL) AS in_run
-       |  FROM pr LEFT JOIN pq ON pr.user_id = pq.user_id AND pr.event_type = pq.event_type AND pr.run_id = pq.run_id
+       |         coalesce(abs(v - lag(v) $wo) <= 0.0, false) AS xb
+       |  FROM x
+       |)""".stripMargin + markerCtes("p", pk, "pz") +
+    s""", pq AS (
+       |  SELECT r.user_id AS q_uid, r.event_type AS q_et, r.mkid AS q_mkid FROM pruns r
+       |  WHERE r.xb AND (epoch_us(r.next_ts) - epoch_us(r.ts)) / 3600000000.0 >= 2.0
+       |), pmask AS (
+       |  SELECT b.user_id, b.event_type, b.ts, (q.q_mkid IS NOT NULL) AS in_run
+       |  FROM pi b LEFT JOIN pq q ON b.user_id = q.q_uid AND b.event_type = q.q_et AND b.mkid = q.q_mkid
        |), pm2 AS (
        |  SELECT $pk, ts,
        |         (in_run OR coalesce(lag(in_run) $wo, false)) AS flag_plateau
-       |  FROM pm
-       |), ie AS (
-       |  SELECT $pk, ts, delta_us, (v IS NOT NULL) AS z,
-       |         lead(delta_us) $wo AS next_delta
-       |  FROM x
-       |), ic AS (
-       |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) $wo THEN 1 ELSE 0 END AS chg FROM ie
-       |), ir AS (
-       |  SELECT *, sum(chg) OVER (PARTITION BY $pk ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM ic
-       |), ig AS (
-       |  SELECT $pk, ts, delta_us, run_id,
-       |         row_number() $run AS rn2,
-       |         count(*) OVER (PARTITION BY $pk, run_id) AS len,
-       |         last_value(next_delta) $full AS right_d
-       |  FROM ir WHERE z
-       |), iq AS (
-       |  SELECT ig.user_id, ig.event_type, ig.run_id
-       |  FROM ig JOIN st s ON ig.user_id = s.user_id AND ig.event_type = s.event_type
-       |  WHERE rn2 = 1
-       |    AND len <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
-       |    AND delta_us > 10800000000 AND right_d > 10800000000
-       |), im AS (
-       |  SELECT ir.user_id, ir.event_type, ir.ts, (ir.z AND iq.run_id IS NOT NULL) AS flag_isolated
-       |  FROM ir LEFT JOIN iq ON ir.user_id = iq.user_id AND ir.event_type = iq.event_type AND ir.run_id = iq.run_id
+       |  FROM pmask
+       |), iz AS (
+       |  SELECT $pk, ts, delta_us, (v IS NOT NULL) AS xb FROM x
+       |)""".stripMargin + markerCtes("i", pk, "iz", Seq("delta_us")) +
+    s""", iqual AS (
+       |  SELECT r.user_id AS q_uid, r.event_type AS q_et, r.mkid AS q_mkid
+       |  FROM iruns r JOIN st s ON r.user_id = s.user_id AND r.event_type = s.event_type
+       |  WHERE r.xb AND (r.next_rn - r.rn) <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
+       |    AND r.delta_us > 10800000000 AND r.next_delta_us > 10800000000
+       |), imsk AS (
+       |  SELECT b.user_id, b.event_type, b.ts, (q.q_mkid IS NOT NULL) AS flag_isolated
+       |  FROM ii b LEFT JOIN iqual q ON b.user_id = q.q_uid AND b.event_type = q.q_et AND b.mkid = q.q_mkid
        |)
        |SELECT b.user_id, b.event_type, epoch_us(b.ts) AS ts_us, b.raw, b.v AS clean,
        |       CASE WHEN b.v IS NULL OR (b.flag_range OR b.flag_missing OR p.flag_plateau OR b.flag_variance
@@ -660,7 +611,40 @@ object SparkEntry {
        |              OR b.flag_zscore OR b.flag_jumps OR i.flag_isolated) AS saqc_flag
        |FROM base b
        |JOIN pm2 p ON b.user_id = p.user_id AND b.event_type = p.event_type AND b.ts = p.ts
-       |JOIN im i ON b.user_id = i.user_id AND b.event_type = i.event_type AND b.ts = i.ts""".stripMargin
+       |JOIN imsk i ON b.user_id = i.user_id AND b.event_type = i.event_type AND b.ts = i.ts""".stripMargin
+  }
+
+  /** Marker-run CTE generator mirroring Rle.withMarkers/runs (the
+    * reference's exact `rle_bool` semantics — see Rle.scala). Source
+    * CTE `src` must already provide a non-null boolean `xb` plus
+    * whatever columns the consumer needs. Emits CTEs: {p}c (rn, n),
+    * {p}d (c_cur/c_next), {p}m (marker), {p}i (mkid — join target for
+    * masks), {p}r (markers with next_*), {p}runs (markers that start
+    * a run). `leads` columns become next_<col>.
+    */
+  private def markerCtes(p: String, pk: String, src: String,
+      leads: Seq[String] = Seq.empty): String = {
+    val w = s"OVER (PARTITION BY $pk ORDER BY ts)"
+    val extraLeads = leads.map(c => s", lead($c) $w AS next_$c").mkString
+    s""", ${p}c AS (
+       |  SELECT *, CAST(row_number() $w AS BIGINT) - 1 AS rn,
+       |         count(*) OVER (PARTITION BY $pk) AS n
+       |  FROM $src
+       |), ${p}d AS (
+       |  SELECT *, CASE WHEN rn = 0 THEN true ELSE xb <> lag(xb) $w END AS c_cur,
+       |         CASE WHEN rn = n - 1 THEN true ELSE lead(xb) $w <> xb END AS c_next
+       |  FROM ${p}c
+       |), ${p}m AS (
+       |  SELECT *, (c_cur <> c_next) AS marker FROM ${p}d
+       |), ${p}i AS (
+       |  SELECT *, sum(CASE WHEN marker THEN 1 ELSE 0 END) OVER (PARTITION BY $pk ORDER BY ts ROWS UNBOUNDED PRECEDING) AS mkid
+       |  FROM ${p}m
+       |), ${p}r AS (
+       |  SELECT *, lead(rn) $w AS next_rn, lead(ts) $w AS next_ts$extraLeads
+       |  FROM ${p}i WHERE marker
+       |), ${p}runs AS (
+       |  SELECT * FROM ${p}r WHERE next_rn IS NOT NULL
+       |)""".stripMargin
   }
 
   /** documents → distinct k-word shingles CTE (w, sh). */
@@ -978,99 +962,56 @@ object SparkEntry {
       (seriesCte +
         """, q AS (
           |  SELECT user_id, ts, round(value/20) AS v FROM dd
-          |), f AS (
+          |), fz AS (
           |  SELECT user_id, ts, v,
-          |         coalesce(abs(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts)) <= 0.0, false) AS eq,
-          |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+          |         coalesce(abs(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts)) <= 0.0, false) AS xb
           |  FROM q
-          |), c AS (
-          |  SELECT *, CASE WHEN eq IS DISTINCT FROM lag(eq) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg
-          |  FROM f
-          |), r AS (
-          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
-          |  FROM c
-          |), g AS (
-          |  SELECT user_id, ts, v, run_id,
-          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-          |         last_value(ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts,
-          |         last_value(next_ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS after_ts
-          |  FROM r WHERE eq
-          |)
-          |SELECT user_id, epoch_us(ts) AS start_us,
-          |       epoch_us(coalesce(after_ts, last_ts)) AS end_us,
-          |       round((epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0, 6) AS hours,
+          |)""".stripMargin + markerCtes("f", "user_id", "fz") +
+        """
+          |SELECT user_id, epoch_us(ts) AS start_us, epoch_us(next_ts) AS end_us,
+          |       round((epoch_us(next_ts) - epoch_us(ts)) / 3600000000.0, 6) AS hours,
           |       v AS value
-          |FROM g
-          |WHERE rn2 = 1
-          |  AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0""".stripMargin),
+          |FROM fruns
+          |WHERE xb AND (epoch_us(next_ts) - epoch_us(ts)) / 3600000000.0 >= 2.0""".stripMargin),
 
     "q_binary_switches" ->
       (seriesCte +
-        """, f AS (
-          |  SELECT user_id, ts, value,
-          |         coalesce(abs(value) <= 1.0, false) AS z,
+        """, bz AS (
+          |  SELECT user_id, ts, value AS v,
+          |         coalesce(value IS NOT NULL AND abs(value) <= 1.0, false) AS xb,
           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
-          |         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_val,
-          |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts,
-          |         lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS next_val
+          |         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_val
           |  FROM dd
-          |), c AS (
-          |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg
-          |  FROM f
-          |), r AS (
-          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
-          |  FROM c
-          |), g AS (
-          |  SELECT user_id, ts, value, prev_ts, prev_val, run_id,
-          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-          |         last_value(ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts,
-          |         last_value(value) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
-          |         last_value(next_ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ln_ts,
-          |         last_value(next_val) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ln_val
-          |  FROM r WHERE z
-          |), e AS (
-          |  SELECT user_id, epoch_us(ts) AS start_us, epoch_us(last_ts) AS end_us,
-          |         epoch_us(coalesce(prev_ts, ts)) AS pre_us,
-          |         epoch_us(coalesce(ln_ts, last_ts)) AS post_us,
-          |         CASE WHEN prev_ts IS NOT NULL THEN prev_val ELSE value END AS pre_val,
-          |         CASE WHEN ln_ts IS NOT NULL THEN ln_val ELSE last_val END AS post_val
-          |  FROM g WHERE rn2 = 1
-          |)
-          |SELECT * FROM e
-          |WHERE pre_val IS NOT NULL AND post_val IS NOT NULL
-          |  AND (pre_val <> 0.0 OR post_val <> 0.0)""".stripMargin),
+          |)""".stripMargin + markerCtes("b", "user_id", "bz", Seq("v")) +
+        """
+          |SELECT r.user_id, epoch_us(r.ts) AS start_us, epoch_us(e.e_ts) AS end_us,
+          |       epoch_us(coalesce(r.prev_ts, r.ts)) AS pre_us,
+          |       epoch_us(r.next_ts) AS post_us,
+          |       CASE WHEN r.prev_ts IS NOT NULL THEN r.prev_val ELSE r.v END AS pre_val,
+          |       r.next_v AS post_val
+          |FROM bruns r
+          |JOIN (SELECT user_id AS e_uid, rn AS e_rn, ts AS e_ts FROM bi) e
+          |  ON r.user_id = e.e_uid AND e.e_rn = r.next_rn - 1
+          |WHERE r.xb AND (r.next_rn - r.rn) >= 1
+          |  AND (CASE WHEN r.prev_ts IS NOT NULL THEN r.prev_val ELSE r.v END) IS NOT NULL
+          |  AND r.next_v IS NOT NULL
+          |  AND ((CASE WHEN r.prev_ts IS NOT NULL THEN r.prev_val ELSE r.v END) <> 0.0 OR r.next_v <> 0.0)""".stripMargin),
 
     "q_isolated" ->
       (seriesCte + stepCte +
-        """, m AS (
+        """, iz AS (
           |  SELECT user_id, ts, delta_us,
-          |         CASE WHEN value < 10 THEN NULL ELSE value END AS vm,
-          |         lead(delta_us) OVER (PARTITION BY user_id ORDER BY ts) AS next_delta
+          |         (CASE WHEN value < 10 THEN NULL ELSE value END IS NOT NULL) AS xb
           |  FROM dd
-          |), f AS (
-          |  SELECT *, (vm IS NOT NULL) AS z FROM m
-          |), c AS (
-          |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg
-          |  FROM f
-          |), r AS (
-          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
-          |  FROM c
-          |), g AS (
-          |  SELECT user_id, ts, delta_us, run_id,
-          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-          |         count(*) OVER (PARTITION BY user_id, run_id) AS len,
-          |         last_value(next_delta) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS right_d
-          |  FROM r WHERE z
-          |), qual AS (
-          |  SELECT g.user_id, g.run_id
-          |  FROM g JOIN st s ON g.user_id = s.user_id
-          |  WHERE rn2 = 1
-          |    AND len <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
-          |    AND delta_us > 10800000000 AND right_d > 10800000000
+          |)""".stripMargin + markerCtes("i", "user_id", "iz", Seq("delta_us")) +
+        """, qual AS (
+          |  SELECT r.user_id AS q_uid, r.mkid AS q_mkid
+          |  FROM iruns r JOIN st s ON r.user_id = s.user_id
+          |  WHERE r.xb AND (r.next_rn - r.rn) <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
+          |    AND r.delta_us > 10800000000 AND r.next_delta_us > 10800000000
           |)
-          |SELECT r.user_id, epoch_us(r.ts) AS ts_us,
-          |       (r.z AND q.run_id IS NOT NULL) AS isolated
-          |FROM r LEFT JOIN qual q ON r.user_id = q.user_id AND r.run_id = q.run_id""".stripMargin),
+          |SELECT b.user_id, epoch_us(b.ts) AS ts_us, (q.q_mkid IS NOT NULL) AS isolated
+          |FROM ii b LEFT JOIN qual q ON b.user_id = q.q_uid AND b.mkid = q.q_mkid""".stripMargin),
 
     "q_sentinels" ->
       (seriesCte +
@@ -1121,54 +1062,32 @@ object SparkEntry {
           |  FROM zd
           |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts),
           |         wv AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
-          |), pe AS (
+          |), pz AS (
           |  SELECT user_id, ts, v,
-          |         coalesce(abs(v - lag(v) OVER wo) <= 0.0, false) AS eq,
-          |         lead(ts) OVER wo AS next_ts
-          |  FROM x WINDOW wo AS (PARTITION BY user_id ORDER BY ts)
-          |), pc AS (
-          |  SELECT *, CASE WHEN eq IS DISTINCT FROM lag(eq) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg FROM pe
-          |), pr AS (
-          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM pc
-          |), pg AS (
-          |  SELECT user_id, ts, run_id,
-          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-          |         last_value(ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts,
-          |         last_value(next_ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS after_ts
-          |  FROM pr WHERE eq
-          |), pq AS (
-          |  SELECT user_id, run_id FROM pg
-          |  WHERE rn2 = 1 AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0
-          |), pm AS (
-          |  SELECT pr.user_id, pr.ts, (pr.eq AND pq.run_id IS NOT NULL) AS in_run
-          |  FROM pr LEFT JOIN pq ON pr.user_id = pq.user_id AND pr.run_id = pq.run_id
+          |         coalesce(abs(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts)) <= 0.0, false) AS xb
+          |  FROM x
+          |)""".stripMargin + markerCtes("p", "user_id", "pz") +
+        """, pq AS (
+          |  SELECT r.user_id AS q_uid, r.mkid AS q_mkid FROM pruns r
+          |  WHERE r.xb AND (epoch_us(r.next_ts) - epoch_us(r.ts)) / 3600000000.0 >= 2.0
+          |), pmask AS (
+          |  SELECT b.user_id, b.ts, (q.q_mkid IS NOT NULL) AS in_run
+          |  FROM pi b LEFT JOIN pq q ON b.user_id = q.q_uid AND b.mkid = q.q_mkid
           |), pm2 AS (
           |  SELECT user_id, ts,
           |         (in_run OR coalesce(lag(in_run) OVER (PARTITION BY user_id ORDER BY ts), false)) AS flag_plateau
-          |  FROM pm
-          |), ie AS (
-          |  SELECT user_id, ts, delta_us, (v IS NOT NULL) AS z,
-          |         lead(delta_us) OVER (PARTITION BY user_id ORDER BY ts) AS next_delta
-          |  FROM x
-          |), ic AS (
-          |  SELECT *, CASE WHEN z IS DISTINCT FROM lag(z) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg FROM ie
-          |), ir AS (
-          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM ic
-          |), ig AS (
-          |  SELECT user_id, ts, delta_us, run_id,
-          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-          |         count(*) OVER (PARTITION BY user_id, run_id) AS len,
-          |         last_value(next_delta) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS right_d
-          |  FROM ir WHERE z
-          |), iq AS (
-          |  SELECT ig.user_id, ig.run_id
-          |  FROM ig JOIN st s ON ig.user_id = s.user_id
-          |  WHERE rn2 = 1
-          |    AND len <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
-          |    AND delta_us > 10800000000 AND right_d > 10800000000
-          |), im AS (
-          |  SELECT ir.user_id, ir.ts, (ir.z AND iq.run_id IS NOT NULL) AS flag_isolated
-          |  FROM ir LEFT JOIN iq ON ir.user_id = iq.user_id AND ir.run_id = iq.run_id
+          |  FROM pmask
+          |), iz AS (
+          |  SELECT user_id, ts, delta_us, (v IS NOT NULL) AS xb FROM x
+          |)""".stripMargin + markerCtes("i", "user_id", "iz", Seq("delta_us")) +
+        """, iqual AS (
+          |  SELECT r.user_id AS q_uid, r.mkid AS q_mkid
+          |  FROM iruns r JOIN st s ON r.user_id = s.user_id
+          |  WHERE r.xb AND (r.next_rn - r.rn) <= greatest(1, CAST(floor(1800000000.0 / s.step_us + 0.5) AS BIGINT))
+          |    AND r.delta_us > 10800000000 AND r.next_delta_us > 10800000000
+          |), imsk AS (
+          |  SELECT b.user_id, b.ts, (q.q_mkid IS NOT NULL) AS flag_isolated
+          |  FROM ii b LEFT JOIN iqual q ON b.user_id = q.q_uid AND b.mkid = q.q_mkid
           |)
           |SELECT b.user_id, epoch_us(b.ts) AS ts_us,
           |       b.flag_range, b.flag_missing,
@@ -1179,7 +1098,7 @@ object SparkEntry {
           |              OR b.flag_zscore OR b.flag_jumps OR i.flag_isolated THEN 255 ELSE 0 END AS qc_flag
           |FROM base b
           |JOIN pm2 p ON b.user_id = p.user_id AND b.ts = p.ts
-          |JOIN im i ON b.user_id = i.user_id AND b.ts = i.ts""".stripMargin),
+          |JOIN imsk i ON b.user_id = i.user_id AND b.ts = i.ts""".stripMargin),
 
     "q_rolling_slope" ->
       (seriesCte + slopeCte +
@@ -1187,27 +1106,14 @@ object SparkEntry {
 
     "q_flat_slopes" ->
       (seriesCte + slopeCte +
-        """, fl AS (
-          |  SELECT user_id, ts, coalesce(abs(slope) <= 0.05, false) AS flag,
-          |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
-          |  FROM s
-          |), c AS (
-          |  SELECT *, CASE WHEN flag IS DISTINCT FROM lag(flag) OVER (PARTITION BY user_id ORDER BY ts) THEN 1 ELSE 0 END AS chg FROM fl
-          |), r AS (
-          |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id FROM c
-          |), g AS (
-          |  SELECT user_id, ts, run_id,
-          |         row_number() OVER (PARTITION BY user_id, run_id ORDER BY ts) AS rn2,
-          |         last_value(ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts,
-          |         last_value(next_ts) OVER (PARTITION BY user_id, run_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS after_ts
-          |  FROM r WHERE flag
-          |)
-          |SELECT user_id, epoch_us(ts) AS start_us,
-          |       epoch_us(coalesce(after_ts, last_ts)) AS end_us,
-          |       round((epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0, 6) AS hours
-          |FROM g
-          |WHERE rn2 = 1
-          |  AND (epoch_us(coalesce(after_ts, last_ts)) - epoch_us(ts)) / 3600000000.0 >= 2.0""".stripMargin),
+        """, sz AS (
+          |  SELECT user_id, ts, coalesce(abs(slope) <= 0.05, false) AS xb FROM s
+          |)""".stripMargin + markerCtes("g", "user_id", "sz") +
+        """
+          |SELECT user_id, epoch_us(ts) AS start_us, epoch_us(next_ts) AS end_us,
+          |       round((epoch_us(next_ts) - epoch_us(ts)) / 3600000000.0, 6) AS hours
+          |FROM gruns
+          |WHERE xb AND (epoch_us(next_ts) - epoch_us(ts)) / 3600000000.0 >= 2.0""".stripMargin),
 
     "q_decimal_uniformity" ->
       (seriesCte +

@@ -21,22 +21,34 @@ class RunsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(Some(1.0), Some(2.0), None, Some(4.0)))
   }
 
-  // -- flat_run_offset: start = 2nd sample; end = sample after run ----------
-  test("flat run start at second sample of stretch, end one past, >=2h kept") {
+  // -- flat_run_offset: reference pseudo-RLE marker semantics --------------
+  // (expectations validated against the reference's rle_bool on the
+  // same vectors; see Rle.scala for why this is not a true RLE)
+  test("flat run start at second sample of stretch, end at last equal sample") {
+    // 5,5,5,5,7: eq=[F,T,T,T,F] -> markers at rows 1 and 3 -> one run
+    // start 01:00 (2nd sample), end 03:00 (LAST equal sample), 2h
     val df = series(
       ("2024-01-01 00:00:00", v(5.0)),
-      ("2024-01-01 01:00:00", v(5.0)), // eq -> run starts HERE
-      ("2024-01-01 02:00:00", v(5.0)), // eq
-      ("2024-01-01 03:00:00", v(7.0)), // run end boundary -> event end ts
-      ("2024-01-01 04:00:00", v(7.0))) // eq run of 1: end clamps to last idx? no: after=04:00+?
+      ("2024-01-01 01:00:00", v(5.0)),
+      ("2024-01-01 02:00:00", v(5.0)),
+      ("2024-01-01 03:00:00", v(5.0)),
+      ("2024-01-01 04:00:00", v(7.0)))
     val runs = Runs.flatValues(df, spec, minHours = 2.0)
       .orderBy("start").collect()
-    assert(runs.length == 1) // second run (7.0 x2) spans 1h only -> dropped...
+    assert(runs.length == 1)
     val r = runs.head
     assert(r.getAs[java.sql.Timestamp]("start").toString.startsWith("2024-01-01 01:00:00"))
     assert(r.getAs[java.sql.Timestamp]("end").toString.startsWith("2024-01-01 03:00:00"))
     assert(r.getAs[Double]("hours") == 2.0)
     assert(r.getAs[Double]("value") == 5.0)
+    // 5,5,5,7,7: eq=[F,T,T,F,T] -> single run (1,1): 1h -> dropped
+    val df2 = series(
+      ("2024-01-01 00:00:00", v(5.0)),
+      ("2024-01-01 01:00:00", v(5.0)),
+      ("2024-01-01 02:00:00", v(5.0)),
+      ("2024-01-01 03:00:00", v(7.0)),
+      ("2024-01-01 04:00:00", v(7.0)))
+    assert(Runs.flatValues(df2, spec, minHours = 2.0).count() == 0)
   }
 
   test("flat run reaching series end clamps end to last sample") {
@@ -63,6 +75,9 @@ class RunsSpec extends SparkTestBase {
 
   // -- binary_switch_edges --------------------------------------------------
   test("binary switch with finite nonzero neighbors emits pre/post values") {
+    // z=[F,T,T,F] -> pseudo-RLE run (1,1): start=end=01:00, post is the
+    // NEXT MARKER row 02:00 (still zero) -- matches the reference,
+    // which emits pre_val 12.5 / post_val 0.0 here
     val df = series(
       ("2024-01-01 00:00:00", v(12.5)),
       ("2024-01-01 01:00:00", v(0.0)),
@@ -72,26 +87,26 @@ class RunsSpec extends SparkTestBase {
     assert(e.length == 1)
     val r = e.head
     assert(r.getAs[java.sql.Timestamp]("start").toString.startsWith("2024-01-01 01:00:00"))
-    assert(r.getAs[java.sql.Timestamp]("end").toString.startsWith("2024-01-01 02:00:00"))
+    assert(r.getAs[java.sql.Timestamp]("end").toString.startsWith("2024-01-01 01:00:00"))
     assert(r.getAs[java.sql.Timestamp]("pre").toString.startsWith("2024-01-01 00:00:00"))
-    assert(r.getAs[java.sql.Timestamp]("post").toString.startsWith("2024-01-01 03:00:00"))
-    assert(r.getAs[Double]("pre_val") == 12.5 && r.getAs[Double]("post_val") == 8.0)
+    assert(r.getAs[java.sql.Timestamp]("post").toString.startsWith("2024-01-01 02:00:00"))
+    assert(r.getAs[Double]("pre_val") == 12.5 && r.getAs[Double]("post_val") == 0.0)
   }
 
-  test("zero-run with null neighbor emits nothing; edge run clamps indices") {
+  test("zero-run with null neighbor emits nothing; edge cases match reference") {
+    // z=[F,T,F] alternates -> pseudo-RLE produces NO runs at all
     val nullNeighbor = series(
       ("2024-01-01 00:00:00", na),
       ("2024-01-01 01:00:00", v(0.0)),
       ("2024-01-01 02:00:00", v(8.0)))
     assert(Runs.binarySwitches(nullNeighbor, spec).count() == 0)
-    // run at series start: pre clamps to the run's own first sample (0.0),
-    // post finite nonzero -> event survives (0 != 0 or 8 != 0)
+    // z=[T,F]: no markers inside -> no runs (reference behavior)
     val edge = series(
       ("2024-01-01 00:00:00", v(0.0)),
       ("2024-01-01 01:00:00", v(8.0)))
-    val e = Runs.binarySwitches(edge, spec).collect()
-    assert(e.length == 1 && e.head.getAs[Double]("pre_val") == 0.0)
-    // all-zero series: pre and post both clamp to zeros -> suppressed
+    assert(Runs.binarySwitches(edge, spec).count() == 0)
+    // all-zero series z=[T,T]: run (0,1); pre and post clamp to zeros
+    // -> suppressed by the (pre!=0 or post!=0) condition
     val allZero = series(
       ("2024-01-01 00:00:00", v(0.0)),
       ("2024-01-01 01:00:00", v(0.0)))
@@ -100,17 +115,21 @@ class RunsSpec extends SparkTestBase {
 
   // -- isolated_group -------------------------------------------------------
   test("isolated: short finite run fenced by >3h gaps on both sides") {
+    // z=[T,T,F,T,T,F,T] -> pseudo-RLE runs (0,1),(1,2),(3,1); only
+    // run (3,1) has >3h deltas on both edges and length <= grp_pts
     val df = series(
       ("2024-01-01 00:00:00", v(1.0)),
-      ("2024-01-01 00:15:00", na),      // break the finite run
-      ("2024-01-01 04:00:00", v(2.0)),  // isolated: 3h45 gap before, 4h after
-      ("2024-01-01 08:00:00", na),
-      ("2024-01-01 08:15:00", v(3.0)))  // right gap only 15min -> not isolated
+      ("2024-01-01 00:15:00", v(1.5)),
+      ("2024-01-01 00:30:00", na),
+      ("2024-01-01 04:30:00", v(5.0)),  // 4h gap before -> isolated
+      ("2024-01-01 08:00:00", v(6.0)),  // 3.5h gap before it (right fence)
+      ("2024-01-01 08:15:00", na),
+      ("2024-01-01 08:30:00", v(7.0)))
     val d = TimeIndex.withDeltaUs(df, spec)
     val step = TimeIndex.inferStep(d, spec)
     val out = Runs.isolatedMask(d, spec, step, gapHours = 3.0)
       .orderBy("ts").select("isolated").collect().map(_.getBoolean(0))
-    assert(out.toSeq == Seq(false, false, true, false, false))
+    assert(out.toSeq == Seq(false, false, false, true, false, false, false))
   }
 
   // -- dup_keepfirst_then_median -------------------------------------------
