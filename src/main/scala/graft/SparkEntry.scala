@@ -132,6 +132,8 @@ object SparkEntry {
     "q_sentinels" -> ((s, dir) => {
       val d = Tables.eventsSeries(s, dir)
         .withColumn("value", when(col("value") < 1, lit(-9.0)).otherwise(col("value")))
+        // feeds both the per-series count aggregate and the join-back
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Sentinels.mask(d, evSpec)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("value").as("v_masked"), col("sentinel_flag"))
@@ -301,7 +303,29 @@ object SparkEntry {
 
     // §2.4 resample-median: epoch-aligned hourly buckets.
     "q_resample" -> ((s, dir) =>
-      Resample.medianBy(Tables.eventsSeries(s, dir), evSpec, freqUs = 3600000000L))
+      Resample.medianBy(Tables.eventsSeries(s, dir), evSpec, freqUs = 3600000000L)),
+
+    // §2.1 time-slice + §2.2 calibration offset + the reference's
+    // availability/masked/flagged percentages (sentemqc.py:147-150,
+    // :167-169): slice Jan 10-20, offset +0.5, <=0 pre-mask, >100
+    // range flag, per-series scalar percentages.
+    "q_slice_stats" -> ((s, dir) => {
+      def us(iso: String) = java.time.Instant.parse(iso).toEpochMilli * 1000L
+      val d = Tables.eventsSeries(s, dir,
+        sliceUs = Some((us("2024-01-10T00:00:00Z"), us("2024-01-20T00:00:00Z"))))
+        .withColumn("obs_in", col("value") + 0.5)
+        .withColumn("mask_pre", col("obs_in").isNull || col("obs_in") <= 0)
+        .withColumn("obs", when(col("mask_pre"), lit(null)).otherwise(col("obs_in")))
+        .withColumn("flagged", coalesce(col("obs") > 100.0, lit(false)))
+      d.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        round(lit(100.0) * avg(when(col("obs_in").isNotNull, 1.0).otherwise(0.0)), 6)
+          .as("avail_pct"),
+        round(lit(100.0) * avg(when(col("mask_pre"), 1.0).otherwise(0.0)), 6)
+          .as("mask_pct"),
+        round(lit(100.0) * avg(when(col("flagged") && col("obs").isNotNull, 1.0)
+          .otherwise(0.0)), 6).as("flag_pct"))
+    })
   )
 
   /** Shared prefix for q_events_all / q_seasonal_events: quantized
@@ -882,6 +906,25 @@ object SparkEntry {
           |SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
           |       median(value) AS med, count(value) AS n
           |FROM dd GROUP BY user_id, bucket_us""".stripMargin),
+
+    "q_slice_stats" ->
+      (seriesCte +
+        """, sl AS (
+          |  SELECT user_id, ts, value + 0.5 AS obs_in
+          |  FROM dd
+          |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          |), m2 AS (
+          |  SELECT *, (obs_in IS NULL OR obs_in <= 0) AS mask_pre,
+          |         CASE WHEN obs_in IS NULL OR obs_in <= 0 THEN NULL ELSE obs_in END AS obs
+          |  FROM sl
+          |), f2 AS (
+          |  SELECT *, coalesce(obs > 100.0, false) AS flagged FROM m2
+          |)
+          |SELECT user_id, count(*) AS n,
+          |       round(100.0 * avg(CASE WHEN obs_in IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS avail_pct,
+          |       round(100.0 * avg(CASE WHEN mask_pre THEN 1.0 ELSE 0.0 END), 6) AS mask_pct,
+          |       round(100.0 * avg(CASE WHEN flagged AND obs IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS flag_pct
+          |FROM f2 GROUP BY user_id""".stripMargin),
 
     "q_sentem_o2" -> sentemOracleSql(400, isNitrate = false),
     "q_sentem_ph" -> sentemOracleSql(410, isNitrate = false),

@@ -17,10 +17,19 @@ object Tables {
     * the same truncation DuckDB applies when it loads ns parquet into
     * its µs TIMESTAMP, so both engines agree bit-for-bit.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String,
+      sliceUs: Option[(Long, Long)] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // Time-slices must hit the RAW ns column so Catalyst pushes them
+    // into the scan (row-group pruning at scale); a filter on the
+    // derived µs timestamp cannot push through the conversion. For
+    // positive epochs, ts_us >= lo ⟺ ts_ns >= lo·1000 exactly.
+    val sliced = sliceUs match {
+      case Some((lo, hi)) => raw.filter(col("ts") >= lo * 1000 && col("ts") < hi * 1000)
+      case None => raw
+    }
+    sliced.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
@@ -50,9 +59,10 @@ object Tables {
     */
   val eventsSpec: SeriesSpec = SeriesSpec(keys = Seq("user_id"))
 
-  def eventsSeries(spark: SparkSession, dir: String): DataFrame =
+  def eventsSeries(spark: SparkSession, dir: String,
+      sliceUs: Option[(Long, Long)] = None): DataFrame =
     TimeIndex.dedupKeepFirst(
-      events(spark, dir).select("user_id", "ts", "value", "event_id"),
+      events(spark, dir, sliceUs).select("user_id", "ts", "value", "event_id"),
       eventsSpec, col("event_id"))
       .drop("event_id")
 }
