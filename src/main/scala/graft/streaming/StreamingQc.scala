@@ -41,6 +41,59 @@ object StreamingQc {
 
   /** Per-event row for the stateful gap detector. */
   final case class SeriesEvent(skey: String, tsUs: Long, value: java.lang.Double)
+
+  /** A completed constant-value run emitted by the streaming
+    * detector.
+    */
+  final case class RunEvent(skey: String, startUs: Long, endUs: Long,
+      n: Int, value: Double)
+
+  /** State carried per series by flatRunEvents (public: Spark codegen
+    * needs constructor access for the state encoder).
+    */
+  final case class RunState(startUs: Long, endUs: Long,
+      value: Double, n: Int)
+
+  /** Streaming TRUE-run flat-value detector: a run is a maximal span
+    * of equal consecutive values; it is emitted when the value
+    * changes (or goes missing) and it spans ≥ minHours with ≥ 2
+    * samples. State per series: one (start, end, value, count)
+    * tuple, carried across microbatches. This is the streaming-native
+    * semantics — the batch operator keeps the reference's pseudo-RLE
+    * for golden parity.
+    */
+  def flatRunEvents(ds: Dataset[SeriesEvent], minHours: Double = 2.0)
+      : Dataset[RunEvent] = {
+    import ds.sparkSession.implicits._
+    val minUs = (minHours * 3600 * 1e6).toLong
+    ds.groupByKey(_.skey)
+      .flatMapGroupsWithState[RunState, RunEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state: GroupState[RunState]) =>
+          val sorted = events.toSeq.sortBy(_.tsUs)
+          var cur: Option[RunState] = state.getOption
+          val out = scala.collection.mutable.Buffer.empty[RunEvent]
+          def close(): Unit = cur.foreach { r =>
+            if (r.n >= 2 && r.endUs - r.startUs >= minUs)
+              out += RunEvent(key, r.startUs, r.endUs, r.n, r.value)
+          }
+          sorted.foreach { e =>
+            cur match {
+              case Some(r) if e.value != null && e.value.doubleValue() == r.value =>
+                cur = Some(r.copy(endUs = e.tsUs, n = r.n + 1))
+              case _ =>
+                close()
+                cur = Option(e.value).map(v =>
+                  RunState(e.tsUs, e.tsUs, v.doubleValue(), 1))
+            }
+          }
+          cur match {
+            case Some(r) => state.update(r)
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
   final case class GapFlagged(skey: String, tsUs: Long, value: java.lang.Double,
       isGap: Boolean, gapUs: java.lang.Long)
 

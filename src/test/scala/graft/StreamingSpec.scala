@@ -35,6 +35,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming flat runs close on value change, continue across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingQc.flatRunEvents(input.toDS(), minHours = 2.0)
+      .writeStream.format("memory").queryName("runsout")
+      .outputMode("append").start()
+    try {
+      // batch 1: start a constant run (3 samples of 5.0, hourly)
+      input.addData((0 to 2).map(i => SeriesEvent("s1", us(60L * i), 5.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("runsout").count() == 0) // still open
+      // batch 2: extend by 2 more, then change value -> run closes
+      input.addData(
+        SeriesEvent("s1", us(180), 5.0), SeriesEvent("s1", us(240), 5.0),
+        SeriesEvent("s1", us(300), 7.0))
+      q.processAllAvailable()
+      val runs = spark.table("runsout").collect()
+      assert(runs.length == 1)
+      val r = runs.head
+      assert(r.getAs[Long]("startUs") == us(0) && r.getAs[Long]("endUs") == us(240))
+      assert(r.getAs[Int]("n") == 5 && r.getAs[Double]("value") == 5.0)
+      // short run (1h) closed by another change -> below minHours, dropped
+      input.addData(SeriesEvent("s1", us(360), 7.0), SeriesEvent("s1", us(420), 9.0))
+      q.processAllAvailable()
+      assert(spark.table("runsout").count() == 1)
+    } finally q.stop()
+  }
+
   test("windowed coverage counts observed vs finite per hour window") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
