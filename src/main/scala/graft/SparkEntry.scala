@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
 import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
-import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Resample, Runs, Seasonal, Sentinels, Slope}
+import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Resample, RollingStats, Runs, Seasonal, Sentinels, Slope}
 import graft.pipeline.{Pipeline, PipelineConfig, VariableConfig}
 import graft.sentem.{SentemConfig, SentemQc}
 import graft.sources.Tables
@@ -325,6 +325,20 @@ object SparkEntry {
           .as("mask_pct"),
         round(lit(100.0) * avg(when(col("flagged") && col("obs").isNotNull, 1.0)
           .otherwise(0.0)), 6).as("flag_pct"))
+    }),
+
+    // §2.5 gaussian-compare data: 24h gap mask -> ffill/bfill ->
+    // windowed gaussian smooth (sigma 4 rows, radius 16) -> residual.
+    "q_gaussian" -> ((s, dir) => {
+      val d = seriesWithDelta(s, dir)
+      val clean = Gaps(d, evSpec, gapHours = 24.0)
+      val filled = TimeIndex.bfill(
+        TimeIndex.ffill(clean, evSpec, "value", "yf0"), evSpec, "yf0", "yf")
+      RollingStats.gaussianSmooth(filled, evSpec, "yf",
+        sigmaPts = 4.0, radius = 16, out = "smooth")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("smooth"), 6).as("smooth"),
+          round(col("value") - col("smooth"), 6).as("resid"))
     })
   )
 
@@ -925,6 +939,37 @@ object SparkEntry {
           |       round(100.0 * avg(CASE WHEN mask_pre THEN 1.0 ELSE 0.0 END), 6) AS mask_pct,
           |       round(100.0 * avg(CASE WHEN flagged AND obs IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS flag_pct
           |FROM f2 GROUP BY user_id""".stripMargin),
+
+    "q_gaussian" -> {
+      val wo = "OVER (PARTITION BY user_id ORDER BY ts)"
+      def at(o: Int) =
+        if (o < 0) s"lag(yf, ${-o}) $wo"
+        else if (o > 0) s"lead(yf, $o) $wo"
+        else "yf"
+      val terms = graft.operators.RollingStats.gaussianWeights(4.0, 16)
+      val num = terms.map { case (o, wt) =>
+        s"coalesce(${at(o)}, 0.0)*$wt" }.mkString(" + ")
+      val den = terms.map { case (o, wt) =>
+        s"CASE WHEN ${at(o)} IS NOT NULL THEN $wt ELSE 0.0 END" }.mkString(" + ")
+      seriesCte +
+        s""", x AS (
+           |  SELECT user_id, ts,
+           |         CASE WHEN delta_us > 86400000000 THEN NULL ELSE value END AS v
+           |  FROM dd
+           |), y0 AS (
+           |  SELECT *, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0 FROM x
+           |), y1 AS (
+           |  SELECT *, first_value(f0 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS yf FROM y0
+           |), g AS (
+           |  SELECT user_id, ts, v,
+           |         ($num) AS num, ($den) AS den
+           |  FROM y1
+           |)
+           |SELECT user_id, epoch_us(ts) AS ts_us,
+           |       round(CASE WHEN den > 0 THEN num / den END, 6) AS smooth,
+           |       round(v - CASE WHEN den > 0 THEN num / den END, 6) AS resid
+           |FROM g""".stripMargin
+    },
 
     "q_sentem_o2" -> sentemOracleSql(400, isNitrate = false),
     "q_sentem_ph" -> sentemOracleSql(410, isNitrate = false),

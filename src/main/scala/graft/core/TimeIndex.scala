@@ -71,4 +71,22 @@ object TimeIndex {
     math.max(1, math.round(windowUs / stepUs).toInt)
 
   def hoursToUs(h: Double): Long = (h * 3600d * 1e6).toLong
+
+  /** pandas fillna(method='pad'/'bfill') over a series: carry the last
+    * (next) non-null value forward (backward). One ignore-nulls window
+    * each, no shuffle beyond the canonical series partitioning.
+    */
+  def ffill(df: DataFrame, spec: SeriesSpec, colName: String,
+      out: String): DataFrame = {
+    val w = graft.core.SeriesWindows.ordered(spec)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn(out, last(col(colName), ignoreNulls = true).over(w))
+  }
+
+  def bfill(df: DataFrame, spec: SeriesSpec, colName: String,
+      out: String): DataFrame = {
+    val w = graft.core.SeriesWindows.ordered(spec)
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.withColumn(out, first(col(colName), ignoreNulls = true).over(w))
+  }
 }

@@ -71,4 +71,34 @@ object RollingStats {
   def missingFlag(df: DataFrame, spec: SeriesSpec,
       out: String = "flag_missing"): DataFrame =
     df.withColumn(out, spec.valueCol.isNull)
+
+  /** Discrete Gaussian kernel weights for ±radius row offsets. */
+  def gaussianWeights(sigmaPts: Double, radius: Int): Seq[(Int, Double)] =
+    (-radius to radius).map(o =>
+      o -> math.exp(-0.5 * (o / sigmaPts) * (o / sigmaPts)))
+
+  /** Windowed Gaussian smoother over a (typically ffill/bfill-filled)
+    * column — the data behind the reference's gaussian-compare
+    * residual diagnostic (plot_gaussian_compare,
+    * ufz_water_qc_pipeline.py:371-389). Weights renormalize over the
+    * rows present in the frame (scipy's 'nearest' edge mode replicates
+    * edge values instead; at the interior both agree). Closed
+    * lag/lead form — one window pass, codegen-friendly.
+    */
+  def gaussianSmooth(df: DataFrame, spec: SeriesSpec, srcCol: String,
+      sigmaPts: Double, radius: Int, out: String = "smooth"): DataFrame = {
+    val w = SeriesWindows.ordered(spec)
+    def at(o: Int): Column =
+      if (o < 0) lag(col(srcCol), -o).over(w)
+      else if (o > 0) lead(col(srcCol), o).over(w)
+      else col(srcCol)
+    val terms = gaussianWeights(sigmaPts, radius)
+    val num = terms.map { case (o, wt) =>
+      coalesce(at(o), lit(0.0)) * lit(wt)
+    }.reduce(_ + _)
+    val den = terms.map { case (o, wt) =>
+      when(at(o).isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    df.withColumn(out, when(den > 0, num / den))
+  }
 }
