@@ -286,6 +286,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, bitsUsed = 8)
     }),
 
+    // IVF ANN (k-means coarse quantizer, seeded). No SQL oracle —
+    // k-means training is not DuckDB-expressible -> rows-only check;
+    // recall vs the brute-force baseline asserted in ExtSpec.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+    }),
+
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),
 

@@ -71,6 +71,57 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * (MLlib, seeded) assigns every corpus vector to its nearest of
+    * `nlist` centroid cells; a query scans only its `nprobe` closest
+    * cells. Training touches a bounded sample; assignment, probing
+    * and scoring are plain joins on the (tiny, broadcast) centroid
+    * table — the standard ANN shape at cluster scale, recall traded
+    * via nlist/nprobe.
+    * Output: query_id, vec_id, cosine, rank.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      trainSample: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val train = corpus
+      .select(array_to_vector(col(vec).cast("array<double>")).as("features"))
+      .limit(trainSample)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .fit(train)
+    // centroid table: (cell, centroid array) — tiny, broadcast by AQE
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "__cent")
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val wNear = Window.partitionBy(col("__rid")).orderBy(col("__d2").asc, col("cell").asc)
+    def assign(df: DataFrame, keep: Int): DataFrame = df
+      .join(broadcast(cents))
+      .withColumn("__d2", dist2(col(vec), col("__cent")))
+      .withColumn("__cr", row_number().over(wNear))
+      .filter(col("__cr") <= keep)
+      .drop("__cent", "__d2", "__cr")
+    val corpusCells = assign(corpus.withColumn("__rid", col(id)), 1)
+      .select(col(id).as("vec_id"), col(vec).as("__cv"), col("cell"))
+    val queryCells = assign(queries.withColumn("__rid", col(id)), nprobe)
+      .select(col(id).as("query_id"), col(vec).as("__qv"), col("cell"))
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold. With bucketBits > 0
     * candidates are restricted to the same sign-LSH bucket — an
     * equi-join on the bucket key instead of an O(n²) cross join, the

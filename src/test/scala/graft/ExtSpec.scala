@@ -63,6 +63,19 @@ class ExtSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L)) // 2 in other bucket
   }
 
+  test("ivf ann finds neighbors with decent recall vs brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(ivf.size == 50) // 10 queries x top-5
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // probing half the cells
+  }
+
   test("token counts and quality signals") {
     val out = TextStats.tokenCounts(docs((1L, "the cat sat, 42 times!")), "doc_id", "text").head()
     assert(out.getAs[Int]("tokens_ws") == 5)
