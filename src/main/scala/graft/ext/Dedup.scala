@@ -54,7 +54,7 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, id: String, text: String, k: Int,
       threshold: Double): DataFrame = {
-    val sh = shingles(df, id, text, k).cache()
+    val sh = graft.core.Caches.cached(shingles(df, id, text, k))
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -82,7 +82,7 @@ object Dedup {
       numHashes: Int = 12, bands: Int = 6, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingles(df, id, text, k).cache()
+    val sh = graft.core.Caches.cached(shingles(df, id, text, k))
     // signature_i = min over shingles of md5(i || '|' || shingle)
     val sigAggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"sig_$i"))
@@ -142,18 +142,28 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, id: String, text: String,
       maxDist: Int = 3): DataFrame = {
-    val fp = simHash(df, id, text).cache()
+    val fp = graft.core.Caches.cached(simHash(df, id, text))
     val chunks = fp.withColumn("chunk",
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           shiftright(col("simhash"), c * 8).bitwiseAND(255).as("v"))): _*)))
+    // A pair sharing m chunks would surface m times; instead of a
+    // distinct() shuffle over the expanded candidate set, keep only the
+    // match on the SMALLEST shared chunk index (earlier chunks must
+    // differ) — each pair appears exactly once, no dedup pass.
+    val earlierChunkEqual = (0 until 3).map { ci =>
+      when(lit(ci) < col("x.chunk.c"),
+        (shiftright(col("x.simhash"), ci * 8).bitwiseAND(255) ===
+          shiftright(col("y.simhash"), ci * 8).bitwiseAND(255)).cast("int"))
+        .otherwise(0)
+    }.reduce(_ + _)
     val cands = chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk.c") === col("y.chunk.c") && col("x.chunk.v") === col("y.chunk.v") &&
           col(s"x.$id") < col(s"y.$id"))
+      .filter(earlierChunkEqual === 0)
       .select(col(s"x.$id").as("id_a"), col(s"x.simhash").as("ha"),
         col(s"y.$id").as("id_b"), col(s"y.simhash").as("hb"))
-      .distinct()
     cands
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)

@@ -28,10 +28,14 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, k: Int): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
-    val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"))
+    // norms are per-ROW, computed before the join — cosine inside the
+    // pair loop would re-fold both arrays for every candidate pair
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+      norm(col(vec)).as("__qn"))
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
+      norm(col(vec)).as("__cn"))
     val scored = q.join(broadcast(c), col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -57,12 +61,12 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
       k: Int, bitsUsed: Int = 8): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
-      signBucket(col(vec), bitsUsed).as("__bucket"))
+      norm(col(vec)).as("__qn"), signBucket(col(vec), bitsUsed).as("__bucket"))
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
-      signBucket(col(vec), bitsUsed).as("__bucket"))
+      norm(col(vec)).as("__cn"), signBucket(col(vec), bitsUsed).as("__bucket"))
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -85,35 +89,45 @@ object Similarity {
       trainSample: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
+    // Deterministic training set: orderBy(id) before limit — a bare
+    // limit over a multi-partition scan is not a stable sample, so the
+    // "seeded" quantizer could vary run to run despite the fixed seed.
     val train = corpus
-      .select(array_to_vector(col(vec).cast("array<double>")).as("features"))
+      .orderBy(col(id))
       .limit(trainSample)
+      .select(array_to_vector(col(vec).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
       .fit(train)
-    // centroid table: (cell, centroid array) — tiny, broadcast by AQE
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "__cent")
+    // Centroids as a LITERAL array<struct<cell,cent>> — cell assignment
+    // becomes a pure projection (transform → array_sort → slice): no
+    // broadcast join, no per-row window sort over the corpus. nlist is
+    // small by construction, so the literal stays tiny.
+    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"),
+        array(c.toArray.map(lit(_)): _*).as("cent"))
+    }: _*)
     def dist2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
         lit(0.0), (acc, v) => acc + v)
-    val wNear = Window.partitionBy(col("__rid")).orderBy(col("__d2").asc, col("cell").asc)
-    def assign(df: DataFrame, keep: Int): DataFrame = df
-      .join(broadcast(cents))
-      .withColumn("__d2", dist2(col(vec), col("__cent")))
-      .withColumn("__cr", row_number().over(wNear))
-      .filter(col("__cr") <= keep)
-      .drop("__cent", "__d2", "__cr")
-    val corpusCells = assign(corpus.withColumn("__rid", col(id)), 1)
-      .select(col(id).as("vec_id"), col(vec).as("__cv"), col("cell"))
-    val queryCells = assign(queries.withColumn("__rid", col(id)), nprobe)
-      .select(col(id).as("query_id"), col(vec).as("__qv"), col("cell"))
+    // nearest `keep` cells, ties to the smaller cell id (struct sort
+    // orders by d2 then cell)
+    def nearCells(vecCol: Column, keep: Int): Column =
+      slice(array_sort(transform(centArr, ct =>
+        struct(dist2(vecCol, ct.getField("cent")).as("d2"),
+          ct.getField("cell").as("cell")))), 1, keep)
+    val corpusCells = corpus
+      .withColumn("cell", element_at(nearCells(col(vec), 1), 1).getField("cell"))
+      .select(col(id).as("vec_id"), col(vec).as("__cv"),
+        norm(col(vec)).as("__cn"), col("cell"))
+    val queryCells = queries
+      .withColumn("__cell", explode(nearCells(col(vec), nprobe)))
+      .withColumn("cell", col("__cell").getField("cell"))
+      .select(col(id).as("query_id"), col(vec).as("__qv"),
+        norm(col(vec)).as("__qn"), col("cell"))
     val scored = queryCells.join(corpusCells, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(wRank))
@@ -132,15 +146,17 @@ object Similarity {
   def cosinePairs(df: DataFrame, id: String, vec: String,
       threshold: Double, bucketBits: Int = 0): DataFrame = {
     val a = df.select(col(id).as("id_a"), col(vec).as("__va"),
+      norm(col(vec)).as("__na"),
       signBucket(col(vec), math.max(bucketBits, 1)).as("__bucket"))
     val b = df.select(col(id).as("id_b"), col(vec).as("__vb"),
+      norm(col(vec)).as("__nb"),
       signBucket(col(vec), math.max(bucketBits, 1)).as("__bucket"))
     val joined =
       if (bucketBits > 0)
         a.join(b, a("__bucket") === b("__bucket") && col("id_a") < col("id_b"))
       else a.join(b, col("id_a") < col("id_b"))
     joined
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

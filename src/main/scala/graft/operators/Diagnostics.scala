@@ -45,6 +45,10 @@ object Diagnostics {
     * Output: keys*, dom, dom_frac.
     */
   def dominantDecimal(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    // Spark round = HALF_UP; the reference's np.round is half-even, so
+    // frac·100 landing exactly on .5 (e.g. 12.5 → ref 12, ours 13)
+    // diverges — deliberate, matches the DuckDB oracle's round();
+    // documented centrally at TimeIndex.toPoints.
     val code = round(pmod(spec.valueCol, lit(1.0)) * 100).cast("int")
     val finite = df.filter(spec.valueCol.isNotNull).withColumn("__code", code)
     val counts = finite.groupBy((spec.keyCols :+ col("__code")): _*)
@@ -77,21 +81,30 @@ object Diagnostics {
       .agg(percentile(col("__d"), lit(0.1)).as("q10"),
         percentile(col("__d"), lit(0.25)).as("q25"),
         percentile(col("__d"), lit(0.5)).as("q50"))
-    val candCols = Seq(col("q10"), col("q25"), col("q50")) ++
+    // The 11-candidate ladder is evaluated as ONE pass of conditional
+    // aggregates over the deltas (the per-series quantile row is a tiny
+    // broadcast join), not a posexplode that would shuffle 11x the
+    // delta rows. avg of exact 0.0/1.0 terms is order-free, so this is
+    // bit-identical to the per-candidate grouping it replaces.
+    def candExprs: Seq[org.apache.spark.sql.Column] = Seq(col("q10"), col("q25"), col("q50")) ++
       (2 to 9).map(i => col("q50") / i)
-    val cands = qs.select((spec.keyCols :+
-      posexplode(array(candCols: _*)).as(Seq("pos", "cand"))): _*)
-    val hits = deltas.join(cands, spec.keys)
-      .groupBy((spec.keyCols :+ col("pos") :+ col("cand")): _*)
-      .agg(avg(when(abs(col("__d") / col("cand") -
-        round(col("__d") / col("cand"))) <= 1e-3, 1.0).otherwise(0.0)).as("hit"))
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(spec.keyCols: _*)
-      .orderBy(col("hit").desc, col("pos").asc)
-    hits.withColumn("__rk", row_number().over(wBest))
-      .filter(col("__rk") === 1)
-      .select((spec.keyCols :+
-        when(col("hit") > 0.7, round(col("cand"), 6)).as("quant_step") :+
-        (col("hit") > 0.7).as("is_quantized")): _*)
+    val hitAggs = candExprs.zipWithIndex.map { case (c, i) =>
+      avg(when(abs(col("__d") / c - round(col("__d") / c)) <= 1e-3, 1.0)
+        .otherwise(0.0)).as(s"__hit_$i")
+    }
+    val keepQs = Seq(first(col("q10")).as("q10"), first(col("q25")).as("q25"),
+      first(col("q50")).as("q50"))
+    val agg = deltas.join(qs, spec.keys)
+      .groupBy(spec.keyCols: _*)
+      .agg(hitAggs.head, (hitAggs.tail ++ keepQs): _*)
+    val hitCols = candExprs.indices.map(i => col(s"__hit_$i"))
+    val best = greatest(hitCols: _*)
+    // first-max tie-break = candidate ladder order (numpy argmax)
+    val bestCand = coalesce(candExprs.zipWithIndex.map { case (c, i) =>
+      when(col(s"__hit_$i") === best, c)
+    }: _*)
+    agg.select((spec.keyCols :+
+      when(best > 0.7, round(bestCand, 6)).as("quant_step") :+
+      (best > 0.7).as("is_quantized")): _*)
   }
 }

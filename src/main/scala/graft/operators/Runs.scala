@@ -124,6 +124,9 @@ object Runs {
     val qual = Rle.runsFromMarked(marked, spec, carry = Seq("delta_us"))
       .filter(col("__xb"))
       .join(stepDf, spec.keys)
+      // floor(x+0.5) = half-UP, vs the reference's half-even int(round())
+      // — deliberate; documented at TimeIndex.toPoints (no shipped
+      // config hits an exact-.5 ratio).
       .withColumn("__grp_pts",
         greatest(lit(1L), floor(lit(groupWindowUs) / col("step_us") + 0.5).cast("long")))
       .filter(col("run_len") <= col("__grp_pts") &&

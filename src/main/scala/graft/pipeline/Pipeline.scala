@@ -67,9 +67,8 @@ object Pipeline {
     // branch re-scans and re-cleans the source (observed: 20 scans /
     // 60 exchanges in the physical plan). MEMORY_AND_DISK: spills
     // rather than OOMs at scale.
-    d = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val step = TimeIndex.inferStep(d, spec)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d = graft.core.Caches.persisted(d)
+    val step = graft.core.Caches.persisted(TimeIndex.inferStep(d, spec))
 
     // -- event detectors on the clean series -------------------------------
     val evBin = Runs.binarySwitches(d, spec, cfg.zeroTol)

@@ -19,7 +19,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String,
       sliceUs: Option[(Long, Long)] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The flag must be set at SparkSession construction (Bench/Verify/
+    // EntrySmoke/tests all do) — setting it here would mutate reader
+    // behavior session-wide as a hidden side effect of building a query.
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true when building the SparkSession")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // Time-slices must hit the RAW ns column so Catalyst pushes them
     // into the scan (row-group pruning at scale); a filter on the

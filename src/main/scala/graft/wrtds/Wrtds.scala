@@ -26,7 +26,12 @@ object Wrtds {
       htDays: Double = 90.0, minp: Int = 30): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val skey = concat_ws("", spec.keyCols.map(_.cast("string")): _*)
+    // Unambiguous composite key: \u0001 separator + NULL sentinel so
+    // multi-key specs cannot collide ("ab","c" vs "a","bc") and NULL
+    // key parts are not silently skipped by concat_ws (which would
+    // merge distinct series and cross-match rows in the join-back).
+    val skey = concat_ws("\u0001",
+      spec.keyCols.map(c => coalesce(c.cast("string"), lit("\u0002NULL"))): _*)
     val hasQ = qCol.isDefined
     val prepared = df.select(
       skey.as("__skey"),
