@@ -242,6 +242,27 @@ object SparkEntry {
           "coverage_pct", "nan_pct", "flat_values_events", "flat_slopes_events")
     }),
 
+    // Skew-salted two-stage aggregation: event_type has 5 values over
+    // the whole table (maximal key skew) — the salted shape spreads
+    // each hot key over 32 sub-groups, and the decimal sum makes the
+    // two-stage result bit-identical to the direct groupBy the oracle
+    // runs.
+    "q_salted_agg" -> ((s, dir) => {
+      graft.core.Salt.skewAgg(Tables.events(s, dir),
+        keys = Seq("event_type"), valueCol = col("value"),
+        saltOn = col("event_id"), nSalts = 32)
+    }),
+
+    // Bounded-support kernel local regression (the SQL-expressible
+    // WRTDS-family member): range self-join + decimal-quantized kernel
+    // sums -> order-free, hence oracle-checkable unlike the full proxy.
+    "q_wrtds_local" -> ((s, dir) => {
+      Wrtds.local2(Tables.eventsSeries(s, dir), evSpec,
+        htDays = 30.0, supportDays = 90.0, minp = 10)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("l2_yhat"), col("l2_resid"))
+    }),
+
     // §2.5 WRTDS-proxy local regression + robust-z buster. No SQL
     // oracle (O(n^2) kernel regression) -> driver rows-only check.
     "q_wrtds" -> ((s, dir) => {
@@ -261,6 +282,14 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         k = 2, threshold = 0.5)),
+
+    // df-capped inverted index: hot shingles (document frequency >
+    // maxDf) are dropped from the candidate join — the bound that keeps
+    // the exact baseline's quadratic blowup off the scale path — then
+    // candidates verify against FULL shingle sets (jaccard stays exact).
+    "q_dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardCapped(Tables.documents(s, dir), "doc_id", "text",
+        k = 2, threshold = 0.5, maxDf = 20)),
 
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
@@ -739,6 +768,74 @@ object SparkEntry {
           |       round(pr.inter * 1.0 / (sa.n + sb.n - pr.inter), 6) AS jaccard
           |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id
           |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.5""".stripMargin),
+
+    "q_dedup_ngram_capped" ->
+      (shingleCte(2) +
+        """, rare AS (
+          |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
+          |), ix AS (
+          |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle
+          |), cd AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM ix a JOIN ix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |), sz AS (
+          |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          |), iv AS (
+          |  SELECT cd.id_a, cd.id_b, count(*) AS inter
+          |  FROM cd JOIN sh a ON cd.id_a = a.doc_id
+          |          JOIN sh b ON cd.id_b = b.doc_id AND a.shingle = b.shingle
+          |  GROUP BY cd.id_a, cd.id_b
+          |)
+          |SELECT iv.id_a, iv.id_b, iv.inter,
+          |       round(iv.inter * 1.0 / (sa.n + sb.n - iv.inter), 6) AS jaccard
+          |FROM iv JOIN sz sa ON iv.id_a = sa.doc_id JOIN sz sb ON iv.id_b = sb.doc_id
+          |WHERE iv.inter * 1.0 / (sa.n + sb.n - iv.inter) >= 0.5""".stripMargin),
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(value) AS n,
+        |       CAST(sum(CAST(round(value, 3) AS DECIMAL(30,3))) AS DOUBLE) AS sum_val,
+        |       min(value) AS min_val, max(value) AS max_val
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_wrtds_local" -> {
+      // identical expression SHAPES to Wrtds.local2 so both engines
+      // quantize and sum the same IEEE doubles
+      val w = "exp(-(((tj-ti)/30.0)*((tj-ti)/30.0)))"
+      def s(term: String, alias: String) =
+        s"CAST(sum(CAST(round($term, 6) AS DECIMAL(38,6))) AS DOUBLE) AS $alias"
+      seriesCte +
+        s""", b AS (
+           |  SELECT user_id, value, epoch_us(ts) AS us,
+           |         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS mnus
+           |  FROM dd
+           |), t AS (
+           |  SELECT user_id, us, value, (us - mnus) / 86400000000.0 AS t FROM b
+           |), jn AS (
+           |  SELECT i.user_id, i.us AS ius, i.t AS ti, i.value AS yi,
+           |         j.t AS tj, j.value AS yj
+           |  FROM t i JOIN t j ON i.user_id = j.user_id
+           |    AND j.value IS NOT NULL AND abs(j.t - i.t) <= 90.0
+           |), ag AS (
+           |  SELECT user_id, ius, any_value(ti) AS ti, any_value(yi) AS yi,
+           |         count(*) AS n,
+           |         ${s(w, "s0")},
+           |         ${s(s"$w * tj", "s1")},
+           |         ${s(s"$w * tj * tj", "s2")},
+           |         ${s(s"$w * yj", "sy")},
+           |         ${s(s"$w * tj * yj", "sty")}
+           |  FROM jn GROUP BY user_id, ius
+           |), sv AS (
+           |  SELECT *, s0*s2 - s1*s1 AS den FROM ag
+           |), f1 AS (
+           |  SELECT *, (s0*sty - s1*sy)/den AS b1 FROM sv
+           |), f2 AS (
+           |  SELECT *, (sy - b1*s1)/s0 AS b0 FROM f1
+           |)
+           |SELECT user_id, ius AS ts_us, yi AS value,
+           |       round(CASE WHEN n >= 10 AND abs(den) > 1e-9 THEN b0 + b1*ti END, 6) AS l2_yhat,
+           |       round(yi - (CASE WHEN n >= 10 AND abs(den) > 1e-9 THEN b0 + b1*ti END), 6) AS l2_resid
+           |FROM f2""".stripMargin
+    },
 
     "q_dedup_minhash" -> {
       val sigs = (0 until 12).map(i =>

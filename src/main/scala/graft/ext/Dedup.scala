@@ -71,6 +71,41 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Document-frequency-capped n-gram Jaccard: the inverted-index
+    * candidate join is restricted to shingles appearing in ≤ maxDf
+    * documents — the standard hot-shingle cap that bounds the
+    * quadratic pair blowup (a shingle shared by d docs yields d²/2
+    * candidate rows; boilerplate shingles make the exact baseline
+    * explode at corpus scale). Candidates are then verified with the
+    * FULL shingle sets, so every reported jaccard is exact; recall is
+    * lost only for pairs whose overlap is hot shingles exclusively.
+    * Output: id_a < id_b, inter, jaccard (≥ threshold).
+    */
+  def ngramJaccardCapped(df: DataFrame, id: String, text: String, k: Int,
+      threshold: Double, maxDf: Int): DataFrame = {
+    val sh = graft.core.Caches.cached(shingles(df, id, text, k))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("shingle")
+    val idx = sh.join(rare, "shingle")
+    val cands = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
+    val inter = broadcast(cands)
+      .join(sh.withColumnRenamed(id, "id_a"), "id_a")
+      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash + LSH near-dup detection. numHashes salted-md5 min-
     * signatures per doc; signatures grouped into `bands` bands whose
     * md5 is the LSH bucket key; docs sharing any (band, key) bucket

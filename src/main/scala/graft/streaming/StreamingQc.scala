@@ -94,6 +94,161 @@ object StreamingQc {
           out.iterator
       }
   }
+  // ---- streaming SentemQC bands ---------------------------------------
+
+  final case class SentemFlag(skey: String, tsUs: Long, flagGlobal: Int,
+      isFlagged: Boolean, flagReason: String,
+      bandTop: java.lang.Double, bandBottom: java.lang.Double)
+
+  /** Ring buffer of not-yet-finalized points per series (NaN = missing
+    * obs). Public for the state encoder.
+    */
+  final case class SentemState(ts: Array[Long], obs: Array[Double],
+      done: Int)
+
+  /** Streaming SentemQC: the 5-run QC-band engine over a stream.
+    *
+    * The batch engine's windows are CENTERED — each point needs up to
+    * max((w−1)/2) future samples — so the streaming form buffers per
+    * series until a point's full lookahead has arrived, then emits its
+    * flags/band (emit-on-complete; points at the head of the stream
+    * wait, points before a shutdown are never finalized — the batch
+    * engine remains the replay ground truth). State per series is a
+    * bounded window of max(w/2)+max((w−1)/2) (ts, obs) pairs, ~8 KB at
+    * the shipped w=960 configs.
+    *
+    * Stats replicate the batch operator exactly: finite-count
+    * min_periods, interpolated median (run 3), population std,
+    * triangular 5-point weighted stats (run 5), support-gated band,
+    * pct/constant uncertainty flag logic, nitrate round-trip.
+    */
+  def sentemFlags(ds: Dataset[SeriesEvent], code: Int,
+      cfg: graft.sentem.SentemConfig, isNitrate: Boolean)
+      : Dataset[SentemFlag] = {
+    import ds.sparkSession.implicits._
+    val maxPrec = cfg.runs.map(_.w / 2).max
+    val maxFollow = cfg.runs.map(p => (p.w - 1) / 2).max
+    ds.groupByKey(_.skey)
+      .flatMapGroupsWithState[SentemState, SentemFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state: GroupState[SentemState]) =>
+          val prev = state.getOption
+            .getOrElse(SentemState(Array.empty, Array.empty, 0))
+          val incoming = events.toSeq.sortBy(_.tsUs)
+          val ts = prev.ts ++ incoming.map(_.tsUs)
+          val obs = prev.obs ++ incoming.map { e =>
+            // pre-mask (≤0 / missing) + nitrate unit conversion
+            val raw = if (e.value == null || e.value.doubleValue() <= 0)
+              Double.NaN else e.value.doubleValue()
+            if (isNitrate) raw * (14.0 / 62.0) else raw
+          }
+          val n = ts.length
+          val emitUpto = math.max(prev.done, n - maxFollow) // exclusive
+          // prev.done leading points were emitted by earlier batches
+          // (kept only as lookback history) — emit strictly new ones
+          val out = (prev.done until emitUpto).map { i =>
+            evalPoint(key, code, cfg, isNitrate, ts, obs, i)
+          }
+          val keepFrom = math.max(0, emitUpto - maxPrec)
+          state.update(SentemState(ts.drop(keepFrom), obs.drop(keepFrom),
+            emitUpto - keepFrom))
+          // NB `evalPoint` indexes the PRE-trim arrays; the emitted
+          // prefix always has full history because we never trim past
+          // emitUpto - maxPrec.
+          out.iterator
+      }
+  }
+
+  /** Batch-identical per-point SentemQC stats from a contiguous buffer. */
+  private def evalPoint(key: String, code: Int,
+      cfg: graft.sentem.SentemConfig, isNitrate: Boolean,
+      ts: Array[Long], obs: Array[Double], i: Int): SentemFlag = {
+    val x = obs(i)
+    val finiteX = !x.isNaN
+    // sensor-error rules (sentemqc.py:40-50)
+    val flagSensor = code match {
+      case 157787 | 2477034 | 2477787 => if (finiteX && x < 0) 200 else 100
+      case 400 | 400100011 =>
+        if (!finiteX) 200
+        else if (x == 30 || x == 25 || x == 0 || x >= 40) 200 else 100
+      case 410 =>
+        if (!finiteX) 200
+        else if (x == 0 || x >= 13 || x < 0) 200 else 100
+      case _ => 100
+    }
+    def sliceStats(w: Int, useMedian: Boolean): (Double, Double) = {
+      val lo = math.max(0, i - w / 2)
+      val hi = math.min(obs.length - 1, i + (w - 1) / 2)
+      val fin = (lo to hi).iterator.map(obs).filter(!_.isNaN).toArray
+      val minp = graft.sentem.SentemConfig.minPeriods(w)
+      if (fin.length < minp) (Double.NaN, Double.NaN)
+      else {
+        val ma =
+          if (useMedian) {
+            val s = fin.sorted
+            if (s.length % 2 == 1) s(s.length / 2)
+            else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+          } else fin.sum / fin.length
+        val mean = fin.sum / fin.length
+        val sd = math.sqrt(fin.map(v => (v - mean) * (v - mean)).sum / fin.length)
+        (ma, sd)
+      }
+    }
+    def tri5(): (Double, Double) = {
+      val offs = Seq(-2, -1, 0, 1, 2)
+      val wts = Seq(1.0, 2.0, 3.0, 2.0, 1.0)
+      val present = offs.zip(wts).flatMap { case (o, wt) =>
+        val j = i + o
+        if (j >= 0 && j < obs.length && !obs(j).isNaN) Some((obs(j), wt)) else None
+      }
+      if (present.length < 3) (Double.NaN, Double.NaN)
+      else {
+        val wsum = present.map(_._2).sum
+        val ma = present.map { case (v, wt) => v * wt }.sum / wsum
+        val sd = math.sqrt(
+          present.map { case (v, wt) => (v - ma) * (v - ma) * wt }.sum / wsum)
+        (ma, sd)
+      }
+    }
+    var bandTop: java.lang.Double = null
+    var bandBottom: java.lang.Double = null
+    val runFlags = (1 to 5).map { r =>
+      val p = cfg.runs(r - 1)
+      val (ma, sd) =
+        if (r == 5 && cfg.tri5) tri5()
+        else sliceStats(p.w, useMedian = (r == 3))
+      val top = ma + p.ta + p.sf * sd
+      val bot = ma - p.bs - p.sf * sd
+      if (r == 5) {
+        val lo = math.max(0, i - p.w / 2)
+        val hi = math.min(obs.length - 1, i + (p.w - 1) / 2)
+        val support = (lo to hi).count(j => !obs(j).isNaN)
+        if (support >= graft.sentem.SentemConfig.minPeriods(p.w) && !top.isNaN) {
+          val back = if (isNitrate) 62.0 / 14.0 else 1.0
+          bandTop = top * back
+          bandBottom = bot * back
+        }
+      }
+      // NaN comparisons are false — matches SQL NULL flag semantics (100)
+      val viol = (cfg.uncertaintyPct, cfg.uncertaintyCon) match {
+        case (Some(u), _) =>
+          val tu = (1.0 + u) * x; val bu = (1.0 - u) * x
+          (tu > top && bu > top) || (bu < bot && tu < bot)
+        case (None, Some(c)) =>
+          val tu = x + c; val bu = x - c
+          (tu > top && bu > top) || (bu < bot && tu < bot)
+        case _ => x > top || x < bot
+      }
+      if (viol) 200 else 100
+    }
+    val names = Seq("flag_sensor") ++ (1 to 5).map(r => s"flag_run$r")
+    val all = flagSensor +: runFlags
+    val flagged = all.contains(200)
+    val reason = names.zip(all).collect { case (nm, 200) => nm }.mkString(" ")
+    SentemFlag(key, ts(i), if (flagged) 200 else 100, flagged, reason,
+      bandTop, bandBottom)
+  }
+
   final case class GapFlagged(skey: String, tsUs: Long, value: java.lang.Double,
       isGap: Boolean, gapUs: java.lang.Long)
 

@@ -116,6 +116,69 @@ object Wrtds {
       .drop("__skey", "__us")
   }
 
+  /** Bounded-support 2-term kernel local regression — the
+    * SQL-expressible member of the WRTDS family (the full proxy's
+    * O(n²) 4-feature WLS has no tidy relational form; this variant
+    * exists so the kernel-regression semantics are oracle-checkable).
+    *
+    * Per point i: neighbors j of the same series with finite y and
+    * |t_j − t_i| ≤ supportDays (the reference itself drops weights
+    * below 1e-3 of max — ufz_water_qc_pipeline.py:615-616 — so a hard
+    * time cutoff is the same idea made join-friendly: a bounded range
+    * self-join, bucketable by time at cluster scale). Gaussian weights
+    * w = exp(−((Δt)/htDays)²); fit y ≈ b0 + b1·t by weighted least
+    * squares via the closed 2×2 normal equations.
+    *
+    * Cross-engine determinism: every kernel sum term is quantized with
+    * round(term, 6) and summed as DECIMAL(38,6) — exact and order-free
+    * — so Spark and DuckDB aggregate bit-identical values regardless
+    * of row order; the 2×2 solve then runs in double on identical
+    * inputs. Output: keys*, ts, value, l2_yhat, l2_resid (NULL when
+    * fewer than minp in-support neighbors or a degenerate design).
+    */
+  def local2(df: DataFrame, spec: SeriesSpec, htDays: Double = 30.0,
+      supportDays: Double = 90.0, minp: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val wAll = Window.partitionBy(spec.keyCols: _*)
+    val base = df
+      .withColumn("__us", unix_micros(spec.tsCol))
+      .withColumn("__t",
+        (col("__us") - min(col("__us")).over(wAll)) / lit(86400e6))
+    val iSide = base.select((spec.keyCols :+ col("__us").as("__ius") :+
+      col("__t").as("__ti") :+ spec.valueCol.as("__yi")): _*)
+    val jSide = base.filter(spec.valueCol.isNotNull)
+      .select((spec.keyCols :+ col("__t").as("__tj") :+
+        spec.valueCol.as("__yj")): _*)
+    val dt = (col("__tj") - col("__ti")) / htDays
+    val wgt = exp(-(dt * dt))
+    def dec(c: org.apache.spark.sql.Column) =
+      round(c, 6).cast(DecimalType(38, 6))
+    val joined = iSide.join(jSide,
+      spec.keys.map(k => iSide(k) === jSide(k)).reduce(_ && _) &&
+        abs(col("__tj") - col("__ti")) <= supportDays)
+      .select((spec.keys.map(iSide(_)) ++ Seq(col("__ius"), col("__ti"),
+        col("__yi"), col("__tj"), col("__yj"))): _*)
+    val agg = joined
+      .groupBy((spec.keyCols :+ col("__ius")): _*)
+      .agg(first(col("__ti")).as("__ti"), first(col("__yi")).as("__yi"),
+        count(lit(1)).as("__n"),
+        sum(dec(wgt)).cast("double").as("s0"),
+        sum(dec(wgt * col("__tj"))).cast("double").as("s1"),
+        sum(dec(wgt * col("__tj") * col("__tj"))).cast("double").as("s2"),
+        sum(dec(wgt * col("__yj"))).cast("double").as("sy"),
+        sum(dec(wgt * col("__tj") * col("__yj"))).cast("double").as("sty"))
+    val denom = col("s0") * col("s2") - col("s1") * col("s1")
+    val b1 = (col("s0") * col("sty") - col("s1") * col("sy")) / denom
+    val b0 = (col("sy") - b1 * col("s1")) / col("s0")
+    val yhat = when(col("__n") >= minp && abs(denom) > 1e-9,
+      b0 + b1 * col("__ti"))
+    agg.select((spec.keyCols :+ timestamp_micros(col("__ius")).as("ts") :+
+      col("__yi").as("value") :+
+      round(yhat, 6).as("l2_yhat") :+
+      round(col("__yi") - yhat, 6).as("l2_resid")): _*)
+  }
+
   private def medianOf(xs: Array[Double]): Double = {
     val s = xs.sorted
     val n = s.length

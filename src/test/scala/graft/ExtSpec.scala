@@ -98,4 +98,27 @@ class ExtSpec extends SparkTestBase {
     assert(meta.getDouble(4) == "hello".getBytes.map(_ & 0xff).sum.toDouble / 5)
     assert(out(1).isNullAt(out(1).fieldIndex("media_meta")))
   }
+
+  test("df-capped ngram jaccard drops hot-shingle-only pairs, keeps exact scores") {
+    // docs 1-2: near-dups via RARE shingles; docs 3-4: overlap ONLY in
+    // a shingle shared by every doc (hot), so the cap must not pair them
+    val hot = "common common"
+    val d = docs(
+      (1L, s"$hot a b c d e f g h"),
+      (2L, s"$hot a b c d e f g x"),
+      (3L, s"$hot p q r"),
+      (4L, s"$hot t u v"))
+    val exact = Dedup.ngramJaccard(d, "doc_id", "text", k = 2, threshold = 0.1)
+      .orderBy("id_a", "id_b").collect()
+    val capped = Dedup.ngramJaccardCapped(d, "doc_id", "text", k = 2,
+      threshold = 0.1, maxDf = 2)
+      .orderBy("id_a", "id_b").collect()
+    // capped finds the rare-overlap pair with the SAME exact jaccard
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val e12 = exact.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(capped.head.getAs[Double]("jaccard") == e12.getAs[Double]("jaccard"))
+    // the exact baseline DOES see hot-only pairs like (3,4) at low
+    // threshold -- asserting the cap is what removed them
+    assert(exact.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L))
+  }
 }

@@ -108,4 +108,65 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.count(_.getAs[Boolean]("flag_missing")) == 1)
     } finally q.stop()
   }
+
+  test("streaming sentem bands match the batch engine on finalized points") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.sentem.{RunParams, SentemConfig, SentemQc}
+    // small-window config so a short stream finalizes most points
+    val cfg = SentemConfig(Seq(
+      RunParams(8, 2.0, true, 0.3, 0.2), RunParams(8, 2.0, true, 0.3, 0.2),
+      RunParams(4, 1.6, true, 0.05, 0.05), RunParams(5, 1.3, true, 0.05, 0.05),
+      RunParams(5, 1.3, true, 0.05, 0.05)), uncertaintyCon = Some(0.1))
+    val rng = new scala.util.Random(3)
+    val vals = (0 until 60).map { i =>
+      if (i == 25) 50.0                       // spike -> must flag
+      else if (i == 40) Double.NaN            // missing
+      else 7.0 + 0.5 * math.sin(i / 5.0) + 0.05 * rng.nextDouble()
+    }
+    def ev(i: Int) = SeriesEvent("s1", us(15L * i),
+      if (vals(i).isNaN) null else java.lang.Double.valueOf(vals(i)))
+
+    // batch ground truth (code 410 = pH rules)
+    val batchDf = (0 until 60).map(i =>
+      ("s1", new java.sql.Timestamp(us(15L * i) / 1000),
+        if (vals(i).isNaN) null else java.lang.Double.valueOf(vals(i))))
+      .toDF("series", "ts", "value")
+    val spec = SeriesSpec(Seq("series"))
+    val batch = SentemQc(batchDf, spec, 410, cfg, isNitrate = false)
+      .select(unix_micros(col("ts")).as("tsUs"), col("flag_global"),
+        col("flag_reason"), col("qcband_top"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingQc.sentemFlags(input.toDS(), 410, cfg, isNitrate = false)
+      .writeStream.format("memory").queryName("sentemout")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 30).map(ev): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("sentemout").count()
+      assert(afterB1 > 0 && afterB1 < 30) // tail awaits lookahead
+      input.addData((30 until 60).map(ev): _*)
+      q.processAllAvailable()
+      val rows = spark.table("sentemout").orderBy("tsUs").collect()
+      // every emitted point exists once and matches the batch engine
+      assert(rows.length == rows.map(_.getLong(1)).distinct.length)
+      assert(rows.length >= 56) // all but the final lookahead tail
+      rows.foreach { r =>
+        val (bFlag, bReason, bTop) = batch(r.getLong(1))
+        assert(r.getAs[Int]("flagGlobal") == bFlag, s"flag at ${r.getLong(1)}")
+        assert(r.getAs[String]("flagReason") == bReason, s"reason at ${r.getLong(1)}")
+        val sTop = Option(r.get(r.fieldIndex("bandTop"))).map(_.asInstanceOf[Double])
+        (sTop, bTop) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+          case (a, b) => assert(a == b, s"band presence at ${r.getLong(1)}")
+        }
+      }
+      // the spike was flagged somewhere
+      assert(rows.exists(_.getAs[Int]("flagGlobal") == 200))
+    } finally q.stop()
+  }
 }

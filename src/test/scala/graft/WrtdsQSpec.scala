@@ -31,4 +31,41 @@ class WrtdsQSpec extends SparkTestBase {
     assert(stats.getAs[Long]("n") > 300) // fitted for most points
     assert(stats.getAs[Double]("medAbs") < 2.0) // signal recovered
   }
+
+  test("local2 bounded-kernel regression recovers a linear trend") {
+    import spark.implicits._
+    val rows = (0 until 120).map { i =>
+      ("s", java.time.LocalDateTime.of(2022, 1, 1, 12, 0, 0).plusDays(i.toLong)
+        .toString.replace('T', ' '), 5.0 + 0.25 * i)
+    }
+    val df = rows.toDF("series", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .select("series", "ts", "value")
+    val spec = SeriesSpec(Seq("series"))
+    val fit = Wrtds.local2(df, spec, htDays = 20.0, supportDays = 60.0, minp = 5)
+    // a weighted linear fit of exactly-linear data is the line itself
+    // (up to the 1e-6 term quantization), at every point
+    val worst = fit.agg(max(abs(col("l2_resid")))).head().getDouble(0)
+    assert(fit.count() == 120)
+    assert(worst < 1e-3, s"worst |resid| = $worst")
+  }
+
+  test("local2 multi-key series do not bleed into each other") {
+    import spark.implicits._
+    // two series with identical timestamps but different levels: if the
+    // self-join key handling collapsed them, fits would be pulled to
+    // the midpoint and residuals would blow up
+    val rows = (0 until 60).flatMap { i =>
+      val t = java.time.LocalDateTime.of(2022, 1, 1, 12, 0, 0)
+        .plusDays(i.toLong).toString.replace('T', ' ')
+      Seq(("a", t, 10.0), ("b", t, 1000.0))
+    }
+    val df = rows.toDF("series", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .select("series", "ts", "value")
+    val spec = SeriesSpec(Seq("series"))
+    val fit = Wrtds.local2(df, spec, htDays = 20.0, supportDays = 60.0, minp = 5)
+    val worst = fit.agg(max(abs(col("l2_resid")))).head().getDouble(0)
+    assert(worst < 1e-3, s"worst |resid| = $worst")
+  }
 }
