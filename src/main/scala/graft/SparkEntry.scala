@@ -323,6 +323,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // int8 embedding quantization (4x storage cut; element folds are
+    // sequential so output is engine-deterministic).
+    "q_embed_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
+    // deterministic per-shard sequence packing into token budgets.
+    "q_pack_batches" -> ((s, dir) =>
+      TextStats.packBatches(Tables.documents(s, dir), "doc_id", "text",
+        budgetTokens = 2048, nShards = 16)),
+
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -331,6 +341,17 @@ object SparkEntry {
 
     "q_lang_id" -> ((s, dir) =>
       TextStats.langId(Tables.documents(s, dir), "doc_id", "text")),
+
+    // markup strip + email/URL masking + whitespace collapse (the
+    // standard corpus normalization / PII pass), pure regexp chain.
+    "q_text_clean" -> ((s, dir) =>
+      TextStats.cleanText(Tables.documents(s, dir), "doc_id", "text")),
+
+    // end-to-end curation decision: exact-dedup keeper AND quality
+    // AND language — the composition a training-data pipeline ships.
+    "q_corpus_filter" -> ((s, dir) =>
+      TextStats.corpusFilter(Tables.documents(s, dir), "doc_id", "text",
+        minQuality = 0.5, keepLangs = Seq("en"))),
 
     "q_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(Tables.documents(s, dir), "doc_id", "text", k = 3, p = 4)),
@@ -937,6 +958,40 @@ object SparkEntry {
            |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
            |FROM r WHERE rk <= 5""".stripMargin),
 
+    "q_embed_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN maxabs > 0 THEN 127.0 / maxabs END AS s FROM m
+        |), qq AS (
+        |  SELECT vec_id, embedding, s,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * s) AS INT)) AS q
+        |  FROM sc
+        |)
+        |SELECT vec_id, round(s, 6) AS scale, q,
+        |       round(list_sum(list_transform(generate_series(1, len(embedding)),
+        |         i -> (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / s)
+        |            * (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / s)))
+        |         / len(embedding), 9) AS mse
+        |FROM qq""".stripMargin,
+
+    "q_pack_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 16 AS shard,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS batch
+        |FROM c""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
         |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tokens_ws,
@@ -997,6 +1052,65 @@ object SparkEntry {
         |       CASE WHEN s_zh > bs THEN 'zh' ELSE bl END AS lang_pred,
         |       round(CASE WHEN s_zh > bs THEN s_zh ELSE bs END, 6) AS lang_score
         |FROM s3""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |           '<[^>]*>', ' ', 'g'),
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |           'https?://[^\s]+', '<URL>', 'g'),
+        |           '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents
+        |)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_chars_clean,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls
+        |FROM c""".stripMargin,
+
+    "q_corpus_filter" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS th FROM documents
+        |), k AS (
+        |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY th) AS is_keeper FROM h
+        |), wd AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents
+        |), qa AS (
+        |  SELECT doc_id, count(*) AS wc, count(DISTINCT w) AS dw,
+        |         sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS sc
+        |  FROM wd GROUP BY doc_id
+        |), q AS (
+        |  SELECT doc_id,
+        |         round((least(CAST(wc AS DOUBLE) / 100.0, 1.0)
+        |               + least(CAST(sc AS DOUBLE) / wc * 5.0, 1.0)
+        |               + least(CAST(dw AS DOUBLE) / wc * 2.0, 1.0)) / 3.0, 6) >= 0.5 AS quality_ok
+        |  FROM qa
+        |), la AS (
+        |  SELECT doc_id, count(*) AS n,
+        |         sum(CASE WHEN w IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS h_de,
+        |         sum(CASE WHEN w IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS h_en,
+        |         sum(CASE WHEN w IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS h_es,
+        |         sum(CASE WHEN w IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS h_fr
+        |  FROM wd GROUP BY doc_id
+        |), ls AS (
+        |  SELECT doc_id,
+        |         CAST(h_de AS DOUBLE)/n AS s_de, CAST(h_en AS DOUBLE)/n AS s_en,
+        |         CAST(h_es AS DOUBLE)/n AS s_es, CAST(h_fr AS DOUBLE)/n AS s_fr,
+        |         CAST(0 AS DOUBLE)/n AS s_zh
+        |  FROM la
+        |), lp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN s_zh > (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN s_fr ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) END)
+        |              THEN 'zh'
+        |              ELSE (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN 'fr' ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN 'es' ELSE (CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END) END) END)
+        |         END AS lang_pred
+        |  FROM ls
+        |), l AS (
+        |  SELECT doc_id, (lang_pred IN ('en')) AS lang_ok FROM lp
+        |)
+        |SELECT k.doc_id, k.is_keeper, q.quality_ok, l.lang_ok,
+        |       (k.is_keeper AND q.quality_ok AND l.lang_ok) AS keep
+        |FROM k JOIN q ON k.doc_id = q.doc_id JOIN l ON k.doc_id = l.doc_id""".stripMargin,
 
     "q_fingerprint" ->
       (shingleCte(3) +

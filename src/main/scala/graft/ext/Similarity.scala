@@ -136,6 +136,32 @@ object Similarity {
         col("rank"))
   }
 
+  /** Per-vector symmetric int8 quantization — the storage scale path
+    * for embedding corpora (4x smaller than float32, 8x than float64):
+    * scale = 127 / max|vᵢ|, qᵢ = round(vᵢ·scale) ∈ [−127, 127], plus
+    * the reconstruction MSE of q/scale against the original. All
+    * element folds are sequential (same evaluation order in any
+    * engine), so the output is deterministic and oracle-checkable.
+    * Output: id, scale, q (array<int>), mse.
+    */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    val v = col(vec)
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) =>
+      when(abs(x.cast("double")) > acc, abs(x.cast("double"))).otherwise(acc))
+    val scale = when(col("__maxabs") > 0, lit(127.0) / col("__maxabs"))
+    val q = transform(v, x =>
+      round(x.cast("double") * col("__scale")).cast("int"))
+    val err = aggregate(zip_with(v, col("__q"), (x, qi) => {
+      val r = qi.cast("double") / col("__scale")
+      (x.cast("double") - r) * (x.cast("double") - r)
+    }), lit(0.0), (acc, e) => acc + e) / size(v)
+    df.withColumn("__maxabs", maxAbs)
+      .withColumn("__scale", scale)
+      .withColumn("__q", q)
+      .select(col(id), round(col("__scale"), 6).as("scale"),
+        col("__q").as("q"), round(err, 9).as("mse"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold. With bucketBits > 0
     * candidates are restricted to the same sign-LSH bucket — an
     * equi-join on the bucket key instead of an O(n²) cross join, the

@@ -79,6 +79,74 @@ object TextStats {
       round(bestScore, 6).as("lang_score"))
   }
 
+  /** Training-corpus text normalization: strip markup tags, mask
+    * emails / URLs with placeholder tokens (the standard PII /
+    * dedup-noise pass), collapse whitespace. Pure regexp_replace
+    * chain — codegen'd, no UDF; patterns stay in the regex subset
+    * both Java regex and RE2-style engines agree on.
+    * Output: id, clean_text, n_chars_clean, n_emails, n_urls.
+    */
+  def cleanText(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val url = "https?://[^\\s]+"
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, "<[^>]*>", " "), // markup tags
+          email, "<EMAIL>"),
+        url, "<URL>"),
+      "\\s+", " "))
+    df.select(col(id), cleaned.as("clean_text"),
+      length(cleaned).as("n_chars_clean"),
+      regexp_count(t, lit(email)).as("n_emails"),
+      regexp_count(t, lit(url)).as("n_urls"))
+  }
+
+  /** End-to-end curation filter — the composition a training-data
+    * pipeline actually runs: exact-dedup keeper ∧ quality ≥ minQuality
+    * ∧ language ∈ keepLangs. Emits every document with its keep/drop
+    * decision and the reason bits (kept docs have all three true).
+    * Output: id, is_keeper, quality_ok, lang_ok, keep.
+    */
+  def corpusFilter(df: DataFrame, id: String, text: String,
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val keeper = Dedup.exact(df, id, text)
+      .select(col(id), (!col("is_duplicate")).as("is_keeper"))
+    val quality = qualityScore(df, id, text)
+      .select(col(id), (col("quality_score") >= minQuality).as("quality_ok"))
+    val lang = langId(df, id, text)
+      .select(col(id), col("lang_pred").isin(keepLangs: _*).as("lang_ok"))
+    keeper.join(quality, id).join(lang, id)
+      .withColumn("keep",
+        col("is_keeper") && col("quality_ok") && col("lang_ok"))
+  }
+
+  /** Deterministic sequence packing: assign documents to token-budget
+    * batches (the pre-training batching step). Docs are sharded by
+    * id-hash (packing is per-shard so no global-ordering bottleneck —
+    * the single-partition cumulative sum a naive global pack needs
+    * dies at corpus scale), ordered by id within the shard, and the
+    * batch index is floor((cumulative_tokens − tokens) / budget):
+    * greedy fill in id order, a doc spanning a boundary starts in the
+    * earlier batch. Oversized docs (> budget) occupy their own
+    * batches. Output: id, shard, n_tokens, batch.
+    */
+  def packBatches(df: DataFrame, id: String, text: String,
+      budgetTokens: Long = 2048, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = size(split(trim(col(text)), "\\s+"))
+    val shard = pmod(col(id), lit(nShards)) // engine-portable shard key
+    val w = Window.partitionBy(col("shard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(id), shard.as("shard"), tokens.cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("batch",
+        floor((col("__cum") - col("n_tokens")) / budgetTokens).cast("long"))
+      .drop("__cum")
+  }
+
   /** Mod-p sampled shingle-hash fingerprint (winnowing-style document
     * signature): 60-bit hashes of k-word shingles, keep those ≡ 0
     * (mod p), fingerprint = md5 of the sorted kept hashes.

@@ -121,4 +121,59 @@ class ExtSpec extends SparkTestBase {
     // threshold -- asserting the cap is what removed them
     assert(exact.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L))
   }
+
+  test("cleanText strips markup, masks emails/urls, collapses whitespace") {
+    val d = docs(
+      (1L, "Hello <b>world</b>   contact bob@example.com or https://x.io/a?b=1 now"),
+      (2L, "plain  text"))
+    val out = Dedup.exact(d, "doc_id", "text") // touch nothing; keep ordering simple
+    val c = TextStats.cleanText(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(c(0).getAs[String]("clean_text") ==
+      "Hello world contact <EMAIL> or <URL> now")
+    assert(c(0).getAs[Int]("n_emails") == 1 && c(0).getAs[Int]("n_urls") == 1)
+    assert(c(1).getAs[String]("clean_text") == "plain text")
+  }
+
+  test("corpusFilter keeps quality english non-duplicates only") {
+    val good = "the cat and the dog of a house in the sun is " +
+      (1 to 90).map(i => s"w$i").mkString(" ")
+    val german = "der hund und die katze ist das " +
+      (1 to 90).map(i => s"g$i").mkString(" ")
+    val d = docs((1L, good), (2L, good), (3L, german), (4L, "tiny"))
+    val out = TextStats.corpusFilter(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ==
+      Seq(true, false, false, false))
+    assert(!out(1).getAs[Boolean]("is_keeper")) // duplicate of 1
+    assert(!out(2).getAs[Boolean]("lang_ok"))   // german
+    assert(!out(3).getAs[Boolean]("quality_ok")) // too short
+  }
+
+  test("int8 quantization round-trips within scale resolution") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(2.0f, 2.0f, -2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val q1 = out(0).getSeq[Int](out(0).fieldIndex("q"))
+    assert(q1 == Seq(64, -127, 32, 0)) // scale = 127
+    // max reconstruction error per element is 0.5/scale
+    assert(out(0).getAs[Double]("mse") < math.pow(0.5 / 127.0, 2))
+    assert(out(1).getSeq[Int](out(1).fieldIndex("q")) == Seq(127, 127, -127, 64))
+  }
+
+  test("packBatches fills token budgets greedily per shard") {
+    import spark.implicits._
+    // one shard (ids all ≡ 1 mod 16), 10-token docs, budget 25:
+    // cum 10/20/30/40/50 -> starts 0/10/20/30/40 -> batches 0,0,0,1,1
+    val d = Seq.tabulate(5)(i => (1L + 16L * i, ("w " * 10).trim))
+      .toDF("doc_id", "text")
+    val out = TextStats.packBatches(d, "doc_id", "text",
+      budgetTokens = 25, nShards = 16)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).forall(_ == 10))
+    assert(out.map(_.getAs[Long]("shard")).distinct.toSeq == Seq(1L))
+    assert(out.map(_.getAs[Long]("batch")).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+  }
 }
