@@ -859,8 +859,11 @@ object SparkEntry {
     },
 
     "q_dedup_minhash" -> {
+      // salted over the 60-bit shingle hash's decimal string — mirrors
+      // the engine's long-keyed signatures
       val sigs = (0 until 12).map(i =>
-        s"min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n         ")
+        s"min(md5('$i|' || CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS VARCHAR))) AS sig_$i")
+        .mkString(",\n         ")
       val bandRows = (0 until 6).map { b =>
         val parts = (0 until 2).map(r => s"sig_${b * 2 + r}").mkString(", ")
         s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sg"

@@ -48,17 +48,35 @@ object Dedup {
       .select(col(id), col("shingle")).distinct()
   }
 
+  /** Distinct k-word shingles per document as 60-bit hashes — the
+    * join/shuffle currency of the jaccard family: dedup, inverted-index
+    * join and verify all move 8-byte longs instead of shingle strings
+    * (results identical modulo 60-bit collisions, ~n²/2^61).
+    * Output: id, sh60.
+    */
+  def shinglesHashed(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val words = split(lower(trim(col(text))), "\\s+")
+    val positions = when(size(col("__words")) >= k,
+      sequence(lit(1), size(col("__words")) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("__words", words)
+      .withColumn("__i", explode(positions))
+      .withColumn("sh60",
+        hash60(array_join(slice(col("__words"), col("__i"), lit(k)), " ")))
+      .select(col(id), col("sh60")).distinct()
+  }
+
   /** Exact pairwise n-gram Jaccard via inverted-index join (only
     * pairs sharing ≥1 shingle are scored — no cross join).
     * Output: id_a < id_b, inter, jaccard (≥ threshold).
     */
   def ngramJaccard(df: DataFrame, id: String, text: String, k: Int,
       threshold: Double): DataFrame = {
-    val sh = graft.core.Caches.cached(shingles(df, id, text, k))
+    val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col(s"a.$id") < col(s"b.$id"))
+        col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
       .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -83,18 +101,18 @@ object Dedup {
     */
   def ngramJaccardCapped(df: DataFrame, id: String, text: String, k: Int,
       threshold: Double, maxDf: Int): DataFrame = {
-    val sh = graft.core.Caches.cached(shingles(df, id, text, k))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("shingle")
-    val idx = sh.join(rare, "shingle")
+    val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
+    val rare = sh.groupBy("sh60").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("sh60")
+    val idx = sh.join(rare, "sh60")
     val cands = idx.as("a")
       .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col(s"a.$id") < col(s"b.$id"))
+        col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
     val inter = broadcast(cands)
       .join(sh.withColumnRenamed(id, "id_a"), "id_a")
-      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "shingle"))
+      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
@@ -117,10 +135,12 @@ object Dedup {
       numHashes: Int = 12, bands: Int = 6, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = graft.core.Caches.cached(shingles(df, id, text, k))
-    // signature_i = min over shingles of md5(i || '|' || shingle)
+    val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
+    // signature_i = min over shingles of md5(i || '|' || sh60) — the
+    // salted hash is taken over the 60-bit shingle hash's decimal
+    // string, so signatures too move longs, not shingle text
     val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"sig_$i"))
+      min(md5(concat(lit(s"$i|"), col("sh60").cast("string")))).as(s"sig_$i"))
     val sigs = sh.groupBy(id).agg(sigAggs.head, sigAggs.tail: _*)
     // band key = md5 of its row signatures
     val bandCols = (0 until bands).map { b =>
@@ -141,7 +161,7 @@ object Dedup {
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
     val inter = broadcast(cands)
       .join(sh.withColumnRenamed(id, "id_a"), "id_a")
-      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "shingle"))
+      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")

@@ -154,8 +154,8 @@ object TextStats {
     */
   def fingerprint(df: DataFrame, id: String, text: String, k: Int = 3,
       p: Int = 4): DataFrame = {
-    val sh = Dedup.shingles(df, id, text, k)
-      .withColumn("__h", Dedup.hash60(col("shingle")))
+    val sh = Dedup.shinglesHashed(df, id, text, k)
+      .withColumnRenamed("sh60", "__h")
       .filter(pmod(col("__h"), lit(p)) === 0)
     sh.groupBy(id).agg(
       count(lit(1)).as("n_selected"),
