@@ -363,6 +363,15 @@ object SparkEntry {
     "q_resample" -> ((s, dir) =>
       Resample.medianBy(Tables.eventsSeries(s, dir), evSpec, freqUs = 3600000000L)),
 
+    // §2.5 TIME-based (rangeBetween) centered rolling mean — the
+    // faithful frame for irregular sampling; decimal sum keeps the
+    // window aggregate evaluation-order-free across engines.
+    "q_rolling_time" -> ((s, dir) =>
+      RollingStats.rollingMeanTime(Tables.eventsSeries(s, dir), evSpec,
+        windowUs = 6L * 3600000000L, minp = 3, out = "tmean")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("tmean"), 6).as("tmean"))),
+
     // §2.1 time-slice + §2.2 calibration offset + the reference's
     // availability/masked/flagged percentages (sentemqc.py:147-150,
     // :167-169): slice Jan 10-20, offset +0.5, <=0 pre-mask, >100
@@ -1134,6 +1143,17 @@ object SparkEntry {
         |       CAST(octet_length(CAST(text AS BLOB)) % 24 AS INT) AS n_frames,
         |       ascii(substr(text, 1, 1)) AS first_byte
         |FROM documents""".stripMargin,
+
+    "q_rolling_time" ->
+      (seriesCte +
+        """
+          |SELECT user_id, epoch_us(ts) AS ts_us,
+          |       round(CASE WHEN count(value) OVER wt >= 3
+          |             THEN CAST(sum(CAST(round(value, 3) AS DECIMAL(30,3))) OVER wt AS DOUBLE)
+          |                  / count(value) OVER wt END, 6) AS tmean
+          |FROM dd
+          |WINDOW wt AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |              RANGE BETWEEN 21600000000 PRECEDING AND 21600000000 FOLLOWING)""".stripMargin),
 
     "q_resample" ->
       (seriesCte +

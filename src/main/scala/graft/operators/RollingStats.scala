@@ -101,4 +101,26 @@ object RollingStats {
     }.reduce(_ + _)
     df.withColumn(out, when(den > 0, num / den))
   }
+
+  /** TIME-based centered rolling mean over a ± windowUs range frame —
+    * the faithful mapping when sampling is irregular (a count-based
+    * frame spans variable durations; a rangeBetween frame on the µs
+    * axis spans exactly the requested interval regardless of cadence).
+    * The sum runs over round(value, 3) cast to DECIMAL(30,3): exact
+    * and evaluation-order-free, so engines with different window-sum
+    * algorithms (sequential vs segment tree) agree bit-for-bit.
+    * Output: adds `<out>` (NULL below minp finite samples in range).
+    */
+  def rollingMeanTime(df: DataFrame, spec: SeriesSpec, windowUs: Long,
+      minp: Int, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(spec.keyCols: _*)
+      .orderBy(unix_micros(spec.tsCol))
+      .rangeBetween(-windowUs, windowUs)
+    val dec = round(spec.valueCol, 3)
+      .cast(org.apache.spark.sql.types.DecimalType(30, 3))
+    val n = count(spec.valueCol).over(w)
+    df.withColumn(out,
+      when(n >= minp, (sum(dec).over(w).cast("double") / n)))
+  }
 }

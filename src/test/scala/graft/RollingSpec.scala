@@ -85,4 +85,20 @@ class RollingSpec extends SparkTestBase {
     assert(out.filter(col("value") === -99.0).count() == 1) // preserved
     assert(out.filter(col("value").isNull).count() == 5)
   }
+
+  test("time-range rolling mean spans the requested interval, not a row count") {
+    import org.apache.spark.sql.functions._
+    // irregular cadence: 4 points in 10 min, then one 2 h away — a
+    // ±30 min TIME frame must exclude the distant point everywhere
+    val d = series(
+      ("2024-01-01 00:00:00", Some(1.0)), ("2024-01-01 00:05:00", Some(2.0)),
+      ("2024-01-01 00:08:00", Some(3.0)), ("2024-01-01 00:10:00", Some(6.0)),
+      ("2024-01-01 02:10:00", Some(100.0)))
+    val out = graft.operators.RollingStats.rollingMeanTime(
+      d, graft.core.SeriesSpec(Seq("series")), windowUs = 30L * 60 * 1000000, minp = 2, out = "m")
+      .orderBy("ts").collect()
+    assert(out(0).getAs[Double]("m") == 3.0)  // (1+2+3+6)/4
+    assert(out(3).getAs[Double]("m") == 3.0)
+    assert(out(4).isNullAt(out(4).fieldIndex("m"))) // alone in range, minp 2
+  }
 }
