@@ -13,13 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up pass at the smallest SF: plan structures are identical,
-    // so whole-stage codegen compiles + JIT happen here once and the
-    // timed pass below measures steady-state executor throughput (what
-    // a long-running cluster delivers), not first-query JVM warmup —
-    // profiled cold/warm deltas were 2-4x on the heavy queries.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    if (warmDir.nonEmpty && warmDir != "none" && warmDir != sfDir)
+    // Warm-up pass at the SAME scale factor: whole-stage codegen
+    // compilation + JIT happen here once, so the timed pass below
+    // measures steady-state executor throughput (what a long-running
+    // cluster delivers), not first-query JVM warmup — profiled
+    // cold/warm deltas were 2-4x on the heavy queries. Warming at a
+    // smaller SF is NOT equivalent: AQE picks different join
+    // strategies on tiny inputs, so the generated code differs and the
+    // target-SF plans still compile cold.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
+    if (warmDir.nonEmpty && warmDir != "none")
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         finally graft.core.Caches.unpersistAll()

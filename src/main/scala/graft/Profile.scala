@@ -24,7 +24,7 @@ object Profile {
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, dir).count()
-      finally graft.core.Caches.unpersistAll()
+      finally graft.core.Caches.unpersistAll(blocking = true)
       println(f"[profile] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

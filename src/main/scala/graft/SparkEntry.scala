@@ -83,6 +83,16 @@ object SparkEntry {
       TimeIndex.inferStep(seriesWithDelta(s, dir), evSpec)
     }),
 
+    // §2.4 duplicate resolution by exact median (resolve_duplicates —
+    // the standalone aggregate form; the shipped flow dedups
+    // keep-first upstream so this exercises the raw table).
+    "q_dedup_median" -> ((s, dir) => {
+      TimeIndex.resolveDuplicatesMedian(
+        Tables.events(s, dir).select("user_id", "ts", "value"), evSpec)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("n_obs"))
+    }),
+
     // §2.4/§2.5 flagship slice: dedup → delta → gap mask → seasonal
     // coverage stats (EP1's seasonal_stats leg).
     "q_seasonal_summary" -> ((s, dir) => {
@@ -868,20 +878,29 @@ object SparkEntry {
     },
 
     "q_dedup_minhash" -> {
-      // salted over the 60-bit shingle hash's decimal string — mirrors
-      // the engine's long-keyed signatures
+      // Kirsch-Mitzenmacher double hashing mirrored from the engine:
+      // one md5 of the shingle-hash string -> (h1, h2); sig_i = min(h1
+      // + i*h2); band key = arithmetic mix of the row signatures
       val sigs = (0 until 12).map(i =>
-        s"min(md5('$i|' || CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS VARCHAR))) AS sig_$i")
-        .mkString(",\n         ")
+        s"min(h1 + $i * h2) AS sig_$i").mkString(",\n         ")
       val bandRows = (0 until 6).map { b =>
-        val parts = (0 until 2).map(r => s"sig_${b * 2 + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sg"
+        val Seq(p0, p1) = (0 until 2).map(r => s"sig_${b * 2 + r}")
+        s"SELECT doc_id, $b AS band, xor(($p0 % ${1L << 61}) * 2, $p1) AS key FROM sg"
       }.mkString("\n  UNION ALL ")
       shingleCte(2) +
-        s""", sg AS (
+        s""", shh AS (
+           |  SELECT doc_id,
+           |         md5(CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS VARCHAR)) AS hex
+           |  FROM sh
+           |), sh2 AS (
+           |  SELECT doc_id,
+           |         CAST(('0x' || substr(hex, 1, 15)) AS BIGINT) AS h1,
+           |         CAST(('0x' || substr(hex, 16, 11)) AS BIGINT) AS h2
+           |  FROM shh
+           |), sg AS (
            |  SELECT doc_id,
            |         $sigs
-           |  FROM sh GROUP BY doc_id
+           |  FROM sh2 GROUP BY doc_id
            |), bk AS (
            |  $bandRows
            |), cd AS (
@@ -1286,6 +1305,11 @@ object SparkEntry {
 
     "q_step_infer" ->
       (seriesCte + stepCte + "\nSELECT user_id, step_us FROM st"),
+
+    "q_dedup_median" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, median(value) AS value,
+        |       count(*) AS n_obs
+        |FROM events GROUP BY user_id, ts""".stripMargin,
 
     "q_flat_runs" ->
       (seriesCte +

@@ -36,7 +36,8 @@ object TimeIndex {
     */
   def resolveDuplicatesMedian(df: DataFrame, spec: SeriesSpec): DataFrame =
     df.groupBy((spec.keyCols :+ spec.tsCol): _*)
-      .agg(median(spec.valueCol).as(spec.value))
+      .agg(median(spec.valueCol).as(spec.value),
+        count(lit(1)).as("n_obs"))
 
   /** Per-row delta to the previous observation, in microseconds.
     * Adds column `delta_us` (NULL on each series' first row).

@@ -136,16 +136,26 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
-    // signature_i = min over shingles of md5(i || '|' || sh60) — the
-    // salted hash is taken over the 60-bit shingle hash's decimal
-    // string, so signatures too move longs, not shingle text
+    // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle row
+    // yields two independent sub-hashes (h1: 60 bits, h2: 44 bits);
+    // signature_i = min(h1 + i·h2) is then pure long arithmetic — no
+    // per-signature string hashing, no overflow (max < 2^61), and the
+    // identical expression runs in the SQL oracle.
+    val hex = md5(col("sh60").cast("string"))
+    val shH = sh
+      .withColumn("__h1", conv(substring(hex, 1, 15), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(hex, 16, 11), 16, 10).cast("long"))
     val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh60").cast("string")))).as(s"sig_$i"))
-    val sigs = sh.groupBy(id).agg(sigAggs.head, sigAggs.tail: _*)
-    // band key = md5 of its row signatures
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"sig_$i"))
+    val sigs = shH.groupBy(id).agg(sigAggs.head, sigAggs.tail: _*)
+    // band key mixes its row signatures arithmetically; the mod keeps
+    // every intermediate below 2^62 for any band width (no BIGINT
+    // overflow in either engine); band id disambiguates identical keys
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
+      val key = parts.reduce((a, c) =>
+        ((a % lit(1L << 61)) * 2).bitwiseXOR(c))
+      struct(lit(b).as("band"), key.as("key")).as(s"b$b")
     }
     val buckets = sigs.select((col(id) +: bandCols): _*)
       .withColumn("bk", explode(array((0 until bands).map(b => col(s"b$b")): _*)))
