@@ -28,6 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[N] shares one heap across N concurrent tasks: at 32 threads
   // an 8g heap leaves ~150 MB execution memory per task and the big
-  // window sorts + persists spill. The image has 128 GiB; size for it.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // window sorts + persists spill, while a 48g heap made G1 mixed
+  // pauses long enough to randomly 3x individual bench queries.
+  // 16g measured best and steadiest (bench 72s vs 85-134s at 48g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -853,11 +853,11 @@ object SparkEntry {
            |), jn AS (
            |  SELECT i.user_id, i.us AS ius, i.t AS ti, i.value AS yi,
            |         j.t AS tj, j.value AS yj
-           |  FROM t i JOIN t j ON i.user_id = j.user_id
+           |  FROM t i LEFT JOIN t j ON i.user_id = j.user_id
            |    AND j.value IS NOT NULL AND abs(j.t - i.t) <= 90.0
            |), ag AS (
            |  SELECT user_id, ius, any_value(ti) AS ti, any_value(yi) AS yi,
-           |         count(*) AS n,
+           |         count(yj) AS n,
            |         ${s(w, "s0")},
            |         ${s(s"$w * tj", "s1")},
            |         ${s(s"$w * tj * tj", "s2")},

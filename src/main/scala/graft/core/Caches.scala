@@ -33,6 +33,12 @@ object Caches {
   /** Release every registered cache. Safe to call at any point the
     * caller has finished running actions on plans built since the last
     * drain; idempotent.
+    *
+    * The registry is process-global and assumes ONE query lifecycle at
+    * a time (Bench/Verify/tests run queries sequentially): draining
+    * while another query's actions are mid-flight would unpersist that
+    * query's still-needed caches and silently recompute their whole
+    * prefix. Concurrent query execution needs per-query scoping first.
     */
   def unpersistAll(blocking: Boolean = false): Unit = {
     var d = live.poll()

@@ -33,9 +33,14 @@ object Dedup {
   }
 
   /** Distinct k-word shingles per document (lowercased, whitespace
-    * tokenized). Output: id, shingle.
+    * tokenized) as 60-bit hashes — the single shingle construction and
+    * the join/shuffle currency of the jaccard family: dedup,
+    * inverted-index join and verify all move 8-byte longs instead of
+    * shingle strings (results identical modulo 60-bit collisions,
+    * ~n²/2^61; the oracle computes the same hash from the string
+    * form). Output: id, sh60.
     */
-  def shingles(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+  def shinglesHashed(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
     val words = split(lower(trim(col(text))), "\\s+")
     // sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
     // guard short docs with an empty positions array instead
@@ -44,26 +49,34 @@ object Dedup {
       .otherwise(array().cast("array<int>"))
     df.withColumn("__words", words)
       .withColumn("__i", explode(positions))
-      .withColumn("shingle", array_join(slice(col("__words"), col("__i"), lit(k)), " "))
-      .select(col(id), col("shingle")).distinct()
-  }
-
-  /** Distinct k-word shingles per document as 60-bit hashes — the
-    * join/shuffle currency of the jaccard family: dedup, inverted-index
-    * join and verify all move 8-byte longs instead of shingle strings
-    * (results identical modulo 60-bit collisions, ~n²/2^61).
-    * Output: id, sh60.
-    */
-  def shinglesHashed(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val words = split(lower(trim(col(text))), "\\s+")
-    val positions = when(size(col("__words")) >= k,
-      sequence(lit(1), size(col("__words")) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    df.withColumn("__words", words)
-      .withColumn("__i", explode(positions))
       .withColumn("sh60",
         hash60(array_join(slice(col("__words"), col("__i"), lit(k)), " ")))
       .select(col(id), col("sh60")).distinct()
+  }
+
+  /** Shared exact-verification tail: per candidate pair, intersection
+    * over the FULL hashed shingle sets (candidate-driven — the small
+    * pair set broadcasts into the shingle joins, never materializing
+    * the inverted-index blowup), jaccard, threshold filter.
+    */
+  private def verifyJaccard(sh: DataFrame, cands: DataFrame, id: String,
+      threshold: Double, withInter: Boolean): DataFrame = {
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
+    val inter = broadcast(cands)
+      .join(sh.withColumnRenamed(id, "id_a"), "id_a")
+      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    if (withInter)
+      scored.select(col("id_a"), col("id_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+    else
+      scored.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Exact pairwise n-gram Jaccard via inverted-index join (only
@@ -109,26 +122,15 @@ object Dedup {
       .join(idx.as("b"),
         col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
-    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cands)
-      .join(sh.withColumnRenamed(id, "id_a"), "id_a")
-      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("inter"),
-        round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(sh, cands, id, threshold, withInter = true)
   }
 
-  /** MinHash + LSH near-dup detection. numHashes salted-md5 min-
-    * signatures per doc; signatures grouped into `bands` bands whose
-    * md5 is the LSH bucket key; docs sharing any (band, key) bucket
-    * are candidates; candidates are verified with exact shingle
-    * Jaccard. Deterministic end to end.
+  /** MinHash + LSH near-dup detection. numHashes double-hashed
+    * min-signatures per doc (Kirsch-Mitzenmacher: sig_i = min over
+    * shingles of h1 + i·h2); signatures grouped into `bands` bands
+    * whose arithmetic mix is the LSH bucket key; docs sharing any
+    * (band, key) bucket are candidates; candidates are verified with
+    * exact shingle Jaccard. Deterministic end to end.
     * Output: id_a < id_b, jaccard (≥ threshold; LSH recall applies).
     */
   def minHashLsh(df: DataFrame, id: String, text: String, k: Int = 2,
@@ -165,21 +167,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b")).distinct()
-    // exact verify driven BY the candidates (broadcast the small
-    // candidate set into the shingle joins) — never materializes the
-    // full inverted-index pair blowup that hot shingles would cause
-    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cands)
-      .join(sh.withColumnRenamed(id, "id_a"), "id_a")
-      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(sh, cands, id, threshold, withInter = false)
   }
 
   /** 32-bit SimHash over word occurrences: bit j of the fingerprint is

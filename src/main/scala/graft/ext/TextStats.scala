@@ -111,14 +111,39 @@ object TextStats {
     */
   def corpusFilter(df: DataFrame, id: String, text: String,
       minQuality: Double = 0.5,
-      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+      keepLangs: Seq[String] = Seq("en"),
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
+    // ONE tokenize+explode+groupBy computes the quality AND language
+    // aggregates (calling qualityScore + langId would tokenize and
+    // shuffle the full corpus twice); the value expressions replicate
+    // those operators term-for-term so the decisions are identical.
+    val words = df.withColumn("__w", explode(split(lower(trim(col(text))), "\\s+")))
+    val langs = LangMarkers.keys.toSeq.sorted
+    val langAggs = langs.map { l =>
+      val ms = LangMarkers(l)
+      (if (ms.isEmpty) sum(lit(0))
+       else sum(when(col("__w").isin(ms: _*), 1).otherwise(0))).as(s"__hits_$l")
+    }
+    val qualityAggs = Seq(
+      count(lit(1)).as("__wc"),
+      countDistinct(col("__w")).as("__dw"),
+      sum(when(col("__w").isin(stopwords: _*), 1).otherwise(0)).as("__sc"))
+    val agg = words.groupBy(id).agg(qualityAggs.head,
+      (qualityAggs.tail ++ langAggs): _*)
+    val score = round((
+      least(col("__wc").cast("double") / 100.0, lit(1.0)) +
+      least(col("__sc").cast("double") / col("__wc") * 5.0, lit(1.0)) +
+      least(col("__dw").cast("double") / col("__wc") * 2.0, lit(1.0))) / 3.0, 6)
+    val scores = langs.map(l => (l, col(s"__hits_$l").cast("double") / col("__wc")))
+    val (bestLang, _) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) { case ((bl, bs), (l, sc)) =>
+      (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
     val keeper = Dedup.exact(df, id, text)
       .select(col(id), (!col("is_duplicate")).as("is_keeper"))
-    val quality = qualityScore(df, id, text)
-      .select(col(id), (col("quality_score") >= minQuality).as("quality_ok"))
-    val lang = langId(df, id, text)
-      .select(col(id), col("lang_pred").isin(keepLangs: _*).as("lang_ok"))
-    keeper.join(quality, id).join(lang, id)
+    keeper.join(agg.select(col(id),
+        (score >= minQuality).as("quality_ok"),
+        bestLang.isin(keepLangs: _*).as("lang_ok")), id)
       .withColumn("keep",
         col("is_keeper") && col("quality_ok") && col("lang_ok"))
   }

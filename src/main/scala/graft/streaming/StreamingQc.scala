@@ -117,6 +117,14 @@ object StreamingQc {
     * bounded window of max(w/2)+max((w−1)/2) (ts, obs) pairs, ~8 KB at
     * the shipped w=960 configs.
     *
+    * Late data: the last finalized timestamp is the operator's
+    * watermark — later-batch events at/behind it are dropped (their
+    * windows were already evaluated; append mode cannot retract), and
+    * events ahead of it are merge-sorted into the un-finalized buffer
+    * tail so they are evaluated at the correct temporal position. With
+    * in-order arrival the output equals the batch engine on every
+    * finalized point.
+    *
     * Stats replicate the batch operator exactly: finite-count
     * min_periods, interpolated median (run 3), population std,
     * triangular 5-point weighted stats (run 5), support-gated band,
@@ -134,14 +142,27 @@ object StreamingQc {
         (key, events, state: GroupState[SentemState]) =>
           val prev = state.getOption
             .getOrElse(SentemState(Array.empty, Array.empty, 0))
-          val incoming = events.toSeq.sortBy(_.tsUs)
-          val ts = prev.ts ++ incoming.map(_.tsUs)
-          val obs = prev.obs ++ incoming.map { e =>
-            // pre-mask (≤0 / missing) + nitrate unit conversion
-            val raw = if (e.value == null || e.value.doubleValue() <= 0)
-              Double.NaN else e.value.doubleValue()
-            if (isNitrate) raw * (14.0 / 62.0) else raw
-          }
+          // Cross-batch ordering: events at/behind the finalized
+          // horizon are DROPPED (their centered windows were already
+          // evaluated and emitted — this is the operator's watermark),
+          // and the not-yet-finalized buffer tail is merge-sorted with
+          // the survivors so late-but-usable events land at their
+          // correct temporal position instead of being appended.
+          val horizon =
+            if (prev.done > 0) prev.ts(prev.done - 1) else Long.MinValue
+          val incoming = events.toSeq
+            .filter(_.tsUs > horizon)
+            .map { e =>
+              // pre-mask (≤0 / missing) + nitrate unit conversion
+              val raw = if (e.value == null || e.value.doubleValue() <= 0)
+                Double.NaN else e.value.doubleValue()
+              (e.tsUs, if (isNitrate) raw * (14.0 / 62.0) else raw)
+            }
+          val tail = (prev.done until prev.ts.length)
+            .map(i => (prev.ts(i), prev.obs(i)))
+          val merged = (tail ++ incoming).sortBy(_._1)
+          val ts = prev.ts.take(prev.done) ++ merged.map(_._1)
+          val obs = prev.obs.take(prev.done) ++ merged.map(_._2)
           val n = ts.length
           val emitUpto = math.max(prev.done, n - maxFollow) // exclusive
           // prev.done leading points were emitted by earlier batches
@@ -212,11 +233,15 @@ object StreamingQc {
     }
     var bandTop: java.lang.Double = null
     var bandBottom: java.lang.Double = null
+    // every shipped config gives runs 1 and 2 identical (w, agg) —
+    // memoize so the dominant w=960 window folds once per point
+    val statCache = scala.collection.mutable.Map.empty[(Int, Boolean), (Double, Double)]
     val runFlags = (1 to 5).map { r =>
       val p = cfg.runs(r - 1)
       val (ma, sd) =
         if (r == 5 && cfg.tri5) tri5()
-        else sliceStats(p.w, useMedian = (r == 3))
+        else statCache.getOrElseUpdate((p.w, r == 3),
+          sliceStats(p.w, useMedian = (r == 3)))
       val top = ma + p.ta + p.sf * sd
       val bot = ma - p.bs - p.sf * sd
       if (r == 5) {

@@ -154,15 +154,19 @@ object Wrtds {
     val wgt = exp(-(dt * dt))
     def dec(c: org.apache.spark.sql.Column) =
       round(c, 6).cast(DecimalType(38, 6))
+    // LEFT join: a point with zero in-support finite neighbors must
+    // still appear in the output (with NULL fit), not vanish — the
+    // documented contract, and what composing with the full proxy
+    // expects.
     val joined = iSide.join(jSide,
       spec.keys.map(k => iSide(k) === jSide(k)).reduce(_ && _) &&
-        abs(col("__tj") - col("__ti")) <= supportDays)
+        abs(col("__tj") - col("__ti")) <= supportDays, "left")
       .select((spec.keys.map(iSide(_)) ++ Seq(col("__ius"), col("__ti"),
         col("__yi"), col("__tj"), col("__yj"))): _*)
     val agg = joined
       .groupBy((spec.keyCols :+ col("__ius")): _*)
       .agg(first(col("__ti")).as("__ti"), first(col("__yi")).as("__yi"),
-        count(lit(1)).as("__n"),
+        count(col("__yj")).as("__n"),
         sum(dec(wgt)).cast("double").as("s0"),
         sum(dec(wgt * col("__tj"))).cast("double").as("s1"),
         sum(dec(wgt * col("__tj") * col("__tj"))).cast("double").as("s2"),

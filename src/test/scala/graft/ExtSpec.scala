@@ -126,7 +126,6 @@ class ExtSpec extends SparkTestBase {
     val d = docs(
       (1L, "Hello <b>world</b>   contact bob@example.com or https://x.io/a?b=1 now"),
       (2L, "plain  text"))
-    val out = Dedup.exact(d, "doc_id", "text") // touch nothing; keep ordering simple
     val c = TextStats.cleanText(d, "doc_id", "text").orderBy("doc_id").collect()
     assert(c(0).getAs[String]("clean_text") ==
       "Hello world contact <EMAIL> or <URL> now")

@@ -169,4 +169,42 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.exists(_.getAs[Int]("flagGlobal") == 200))
     } finally q.stop()
   }
+
+  test("streaming sentem drops events behind the finalized horizon, sorts ahead of it") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.sentem.{RunParams, SentemConfig}
+    val cfg = SentemConfig(Seq(
+      RunParams(8, 2.0, true, 0.3, 0.2), RunParams(8, 2.0, true, 0.3, 0.2),
+      RunParams(4, 1.6, true, 0.05, 0.05), RunParams(5, 1.3, true, 0.05, 0.05),
+      RunParams(5, 1.3, true, 0.05, 0.05)), uncertaintyCon = Some(0.1))
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingQc.sentemFlags(input.toDS(), 410, cfg, isNitrate = false)
+      .writeStream.format("memory").queryName("sentemlate")
+      .outputMode("append").start()
+    try {
+      // batch 1: t = 0..19 (minutes 0,15,...), finalizes t <= 16
+      input.addData((0 until 20).map(i =>
+        SeriesEvent("s1", us(15L * i), java.lang.Double.valueOf(7.0))): _*)
+      q.processAllAvailable()
+      val emitted1 = spark.table("sentemlate").count()
+      assert(emitted1 == 17) // 20 - maxFollow(3)
+      // batch 2: one event BEHIND the horizon (dropped), one in the
+      // unfinalized window (merge-sorted, evaluated in position), plus
+      // fresh tail data
+      input.addData(
+        SeriesEvent("s1", us(15L * 5 + 1), java.lang.Double.valueOf(99.0)), // late, dropped
+        SeriesEvent("s1", us(15L * 18 + 1), java.lang.Double.valueOf(7.0)), // in-window
+        SeriesEvent("s1", us(15L * 20), java.lang.Double.valueOf(7.0)),
+        SeriesEvent("s1", us(15L * 21), java.lang.Double.valueOf(7.0)),
+        SeriesEvent("s1", us(15L * 22), java.lang.Double.valueOf(7.0)))
+      q.processAllAvailable()
+      val rows = spark.table("sentemlate").orderBy("tsUs").collect()
+      val times = rows.map(_.getAs[Long]("tsUs")).toSeq
+      assert(times == times.distinct, "no duplicate emissions")
+      assert(!times.contains(us(15L * 5 + 1)), "late event not re-emitted")
+      // the in-window insert is evaluated once its own lookahead fills
+      assert(times.contains(us(15L * 18 + 1)))
+    } finally q.stop()
+  }
 }
