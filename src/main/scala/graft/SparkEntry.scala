@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Resample, RollingStats, Runs, Seasonal, Sentinels, Slope}
 import graft.pipeline.{Pipeline, PipelineConfig, VariableConfig}
 import graft.sentem.{SentemConfig, SentemQc}
@@ -331,6 +331,23 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+    }),
+
+    // deterministic hash-stratified sampling: rebalance the corpus by
+    // language (downsample the dominant stratum, keep the tail).
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        bps = Map("en" -> 5000, "de" -> 2500), defaultBps = 1000)),
+
+    // top-k per stratum by quality (WindowGroupLimit keeps the
+    // exchange at O(strata*k) rows).
+    "q_topk_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quality = TextStats.qualityScore(docs, "doc_id", "text")
+      Sampling.topKPerStratum(
+        docs.select("doc_id", "lang").join(quality, "doc_id"),
+        "doc_id", "lang", col("quality_score"), k = 5)
+        .select("doc_id", "lang", "quality_score", "rank")
     }),
 
     // int8 embedding quantization (4x storage cut; element folds are
@@ -988,6 +1005,36 @@ object SparkEntry {
            |)
            |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
            |FROM r WHERE rk <= 5""".stripMargin),
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang AS stratum,
+        |       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS INT) AS bucket,
+        |       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS INT)
+        |         < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END) AS kept
+        |FROM documents""".stripMargin,
+
+    "q_topk_quality" ->
+      """WITH wd AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents
+        |), a AS (
+        |  SELECT doc_id, count(*) AS wc, count(DISTINCT w) AS dw,
+        |         sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS sc
+        |  FROM wd GROUP BY doc_id
+        |), q AS (
+        |  SELECT doc_id,
+        |         round((least(CAST(wc AS DOUBLE) / 100.0, 1.0)
+        |               + least(CAST(sc AS DOUBLE) / wc * 5.0, 1.0)
+        |               + least(CAST(dw AS DOUBLE) / wc * 2.0, 1.0)) / 3.0, 6) AS quality_score
+        |  FROM a
+        |), j AS (
+        |  SELECT d.doc_id, d.lang, q.quality_score FROM documents d
+        |  JOIN q ON d.doc_id = q.doc_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC) AS rk
+        |  FROM j
+        |)
+        |SELECT doc_id, lang, quality_score, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 5""".stripMargin,
 
     "q_embed_quant" ->
       """WITH m AS (

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the subsampling / rebalancing step
+  * of a training-data pipeline. Everything is hash-derived from stable
+  * ids: re-running on the same corpus (or a superset) keeps the same
+  * rows, which is what makes incremental corpus builds reproducible.
+  * No RNG state, no `sample()` — both are partition-layout dependent.
+  */
+object Sampling {
+
+  /** Uniform sampling bucket in [0, 10000): basis points of the id's
+    * 60-bit hash. A row is kept at fraction f iff bucket < f·10000.
+    */
+  def bucketBps(id: Column): Column =
+    pmod(Dedup.hash60(id.cast("string")), lit(10000)).cast("int")
+
+  /** Per-stratum hash sampling: each stratum keeps its own fraction
+    * (basis points), e.g. downsample a dominant language while keeping
+    * the tail. Emits every row with its bucket and keep decision so
+    * both the kept set and the sampling audit are queryable.
+    * Output: id, stratum, bucket, kept.
+    */
+  def stratifiedSample(df: DataFrame, id: String, stratum: String,
+      bps: Map[String, Int], defaultBps: Int): DataFrame = {
+    val rate = bps.foldLeft(lit(defaultBps)) { case (acc, (s, r)) =>
+      when(col("stratum") === s, lit(r)).otherwise(acc)
+    }
+    df.select(col(id), col(stratum).as("stratum"),
+      bucketBps(col(id)).as("bucket"))
+      .withColumn("kept", col("bucket") < rate)
+  }
+
+  /** Top-k rows per stratum by a metric (desc, ties to the smaller
+    * id) — e.g. the k highest-quality documents per language. Spark
+    * plans the rank filter as WindowGroupLimit: each partition keeps a
+    * running top-k heap BEFORE the shuffle, so the exchange moves
+    * O(strata·k) rows, not the corpus.
+    * Output: input columns + rank.
+    */
+  def topKPerStratum(df: DataFrame, id: String, stratum: String,
+      metric: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(metric.desc, col(id).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

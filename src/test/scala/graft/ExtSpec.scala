@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 
 class ExtSpec extends SparkTestBase {
 
@@ -174,5 +174,37 @@ class ExtSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_tokens")).forall(_ == 10))
     assert(out.map(_.getAs[Long]("shard")).distinct.toSeq == Seq(1L))
     assert(out.map(_.getAs[Long]("batch")).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+  }
+
+  test("stratified sampling is deterministic and per-stratum bounded") {
+    import spark.implicits._
+    val d = (1L to 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSample(d, "doc_id", "lang",
+      bps = Map("en" -> 5000, "de" -> 1000), defaultBps = 0)
+    val byLang = out.filter(col("kept")).groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash buckets are ~uniform: en keeps ~50%, de ~10%, fr none
+    assert(byLang.getOrElse("fr", 0L) == 0L)
+    assert(math.abs(byLang("en") / 667.0 - 0.5) < 0.1)
+    assert(math.abs(byLang("de") / 667.0 - 0.1) < 0.05)
+    // rerun -> identical kept set (no RNG, no partition dependence)
+    val again = Sampling.stratifiedSample(d.repartition(7), "doc_id", "lang",
+      bps = Map("en" -> 5000, "de" -> 1000), defaultBps = 0)
+    assert(out.filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).sorted
+      sameElements again.filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("topKPerStratum keeps k best per stratum with stable ties") {
+    import spark.implicits._
+    val d = (1L to 30L).map(i => (i, if (i <= 15) "a" else "b", (i % 5).toDouble))
+      .toDF("doc_id", "lang", "score")
+    val out = Sampling.topKPerStratum(d, "doc_id", "lang", col("score"), k = 3)
+      .orderBy("lang", "rank").collect()
+    assert(out.length == 6)
+    assert(out.filter(_.getString(1) == "a").map(_.getDouble(2)).toSeq == Seq(4.0, 4.0, 4.0))
+    // ties broken by smaller doc_id
+    assert(out.filter(_.getString(1) == "a").map(_.getLong(0)).toSeq == Seq(4L, 9L, 14L))
   }
 }
