@@ -386,6 +386,13 @@ object SparkEntry {
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text")),
 
+    // frame sampling: explode selected frame indices per media row
+    // (every 4th frame of the stub metadata's n_frames).
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "n_frames", everyN = 4)),
+
     // §2.4 resample-median: epoch-aligned hourly buckets.
     "q_resample" -> ((s, dir) =>
       Resample.medianBy(Tables.eventsSeries(s, dir), evSpec, freqUs = 3600000000L)),
@@ -1220,6 +1227,18 @@ object SparkEntry {
           |FROM dd
           |WINDOW wt AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           |              RANGE BETWEEN 21600000000 PRECEDING AND 21600000000 FOLLOWING)""".stripMargin),
+
+    "q_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(CAST(text AS BLOB)) % 24 AS INT) AS n_frames
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       round(CAST(i AS INT) * 1000.0 / 24.0, 6) AS frame_ms
+        |FROM m, unnest(CASE WHEN n_frames > 0
+        |                    THEN range(0, n_frames, 4)
+        |                    ELSE CAST([] AS BIGINT[]) END) AS t(i)""".stripMargin,
 
     "q_resample" ->
       (seriesCte +

@@ -56,6 +56,24 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic frame-sampling plan: one output row per selected
+    * frame at a fixed stride, with the frame's timestamp offset — the
+    * relational half of video frame extraction (the pixel decode is
+    * the stubbed seam above; the EXPLODE of frame indices, which is
+    * what shuffles and scales, is real). A media row with n frames at
+    * `fps` yields ceil(n/everyN) rows.
+    * Output: id, frame_idx, frame_ms.
+    */
+  def frameSamplePlan(df: DataFrame, id: String, nFramesCol: String,
+      everyN: Int, fps: Double = 24.0): DataFrame = {
+    val idxs = when(col(nFramesCol) > 0,
+      sequence(lit(0), col(nFramesCol) - 1, lit(everyN)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(id), explode(idxs).as("frame_idx"))
+      .withColumn("frame_ms",
+        round(col("frame_idx") * lit(1000.0) / fps, 6))
+  }
+
   /** Relational view of the same metadata, computed with built-in
     * expressions (what the oracle checks): byte length, first-char
     * code, and the derived fake dimensions. Used to validate the

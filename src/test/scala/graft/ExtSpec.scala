@@ -207,4 +207,18 @@ class ExtSpec extends SparkTestBase {
     // ties broken by smaller doc_id
     assert(out.filter(_.getString(1) == "a").map(_.getLong(0)).toSeq == Seq(4L, 9L, 14L))
   }
+
+  test("frameSamplePlan explodes strided frame indices with timestamps") {
+    import spark.implicits._
+    val d = Seq((1L, 10), (2L, 0), (3L, 4)).toDF("doc_id", "n_frames")
+    val out = Multimodal.frameSamplePlan(d, "doc_id", "n_frames", everyN = 4)
+      .orderBy("doc_id", "frame_idx").collect()
+    // doc 1: frames 0,4,8; doc 2: none; doc 3: frames 0
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (1L, 4), (1L, 8), (3L, 0)))
+    assert(out(1).getAs[Double]("frame_ms") == round4(4 * 1000.0 / 24.0))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
