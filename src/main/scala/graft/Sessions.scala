@@ -15,6 +15,7 @@ object Sessions {
   def local(nThreads: String = cpus): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$nThreads]")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", nThreads)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision, sequential left fold (matches the
-    * oracle's list_sum(list_transform(...)) evaluation order).
+  /** Σ aᵢ·bᵢ in double precision, sequential accumulation (matches
+    * the oracle's list_sum(list_transform(...)) evaluation order).
+    * Backed by the native codegen'd DotProduct expression registered
+    * by GraftExtensions (sessions must set spark.sql.extensions=
+    * graft.GraftExtensions — Sessions.local does) — the equivalent
+    * higher-order-function fold runs interpreted closures per element;
+    * the native loop lives inside whole-stage codegen.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
