@@ -4,14 +4,16 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SlidingMedian}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL (`SELECT graft_dot(a, b)`)
   * in any session built with
-  * `spark.sql.extensions=graft.GraftExtensions`. The DataFrame API
-  * path (Similarity.dot) constructs the expression directly and does
-  * not require the extension.
+  * `spark.sql.extensions=graft.GraftExtensions`. The extension is
+  * REQUIRED for the DataFrame API path too: Similarity.dot resolves
+  * through the session function registry (`call_function("graft_dot")`),
+  * so every Similarity API (cosine, norm, ANN, cosinePairs, quantize)
+  * fails analysis in a session built without this extension.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,6 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sliding_median"),
+      new ExpressionInfo(classOf[SlidingMedian].getName, "graft_sliding_median"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sliding_median takes (value, min_periods)")
+        require(children(1).foldable,
+          "graft_sliding_median min_periods must be a literal")
+        SlidingMedian(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

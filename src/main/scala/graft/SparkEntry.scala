@@ -149,10 +149,15 @@ object SparkEntry {
     }),
 
     // §2.5/§3 the 9-check QC fallback suite on the gap-cleaned series.
+    // The cleaned base is persisted: the suite's run-mask stages
+    // (plateau, isolated) are self-joins of base-derived aggregates
+    // against the base, and an unpersisted base gets re-planned — and
+    // re-scanned — once per branch (4 parquet scans, 8 shuffles in the
+    // static plan; PlanGuardSpec pins the persisted shape).
     "q_qc_suite" -> ((s, dir) => {
       val d = seriesWithDelta(s, dir)
       val step = TimeIndex.inferStep(d, evSpec)
-      val clean = Gaps(d, evSpec, gapHours = 24.0)
+      val clean = graft.core.Caches.persisted(Gaps(d, evSpec, gapHours = 24.0))
       val cfg = QcConfig(rangeMin = Some(0.0), rangeMax = Some(100.0),
         flatHours = 2.0, kVariance = 6, kZscore = 8, jumpThresh = 5.0)
       QcSuite(clean, evSpec, step, cfg)
@@ -308,9 +313,12 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)),
 
+    // threshold 0.2 (not 0.45) so the checked SF yields a non-trivial
+    // pair set — a 0-row hash match verifies nothing about the scoring
+    // path (95 pairs at sf0.01).
     "q_embed_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45, bucketBits = 8)),
+        threshold = 0.2, bucketBits = 8)),
 
     "q_ann_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -351,9 +359,12 @@ object SparkEntry {
     }),
 
     // int8 embedding quantization (4x storage cut; element folds are
-    // sequential so output is engine-deterministic).
+    // sequential so output is engine-deterministic). The q vector is
+    // serialized to a comma-joined string for the oracle compare — the
+    // driver's pandas hash layer cannot sort raw array columns.
     "q_embed_quant" -> ((s, dir) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")),
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumn("q", array_join(col("q").cast("array<string>"), ","))),
 
     // deterministic per-shard sequence packing into token budgets.
     "q_pack_batches" -> ((s, dir) =>
@@ -385,6 +396,14 @@ object SparkEntry {
 
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text")),
+
+    // REAL codec round-trip: per-doc PNG synthesized and then decoded
+    // with javax.imageio on the executors; every output column comes
+    // from the decoded image, verified by the oracle's closed-form
+    // pixel function (lossless PNG ⇒ exact integer match).
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.pngRoundTripMeta(
+        Tables.documents(s, dir).select("doc_id"), "doc_id")),
 
     // frame sampling: explode selected frame indices per media row
     // (every 4th frame of the stub metadata's n_frames).
@@ -983,7 +1002,7 @@ object SparkEntry {
            |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos0
            |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |)
-           |SELECT id_a, id_b, round(cos0, 6) AS cosine FROM p WHERE cos0 >= 0.45""".stripMargin),
+           |SELECT id_a, id_b, round(cos0, 6) AS cosine FROM p WHERE cos0 >= 0.2""".stripMargin),
 
     "q_ann_brute" ->
       (normCte +
@@ -1056,7 +1075,7 @@ object SparkEntry {
         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * s) AS INT)) AS q
         |  FROM sc
         |)
-        |SELECT vec_id, round(s, 6) AS scale, q,
+        |SELECT vec_id, round(s, 6) AS scale, array_to_string(q, ',') AS q,
         |       round(list_sum(list_transform(generate_series(1, len(embedding)),
         |         i -> (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / s)
         |            * (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / s)))
@@ -1216,6 +1235,20 @@ object SparkEntry {
         |       CAST(octet_length(CAST(text AS BLOB)) % 24 AS INT) AS n_frames,
         |       ascii(substr(text, 1, 1)) AS first_byte
         |FROM documents""".stripMargin,
+
+    "q_media_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, ((31 * x.g + 17 * y.g + d.doc_id) % 256) AS v
+        |  FROM documents d,
+        |       LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 16)) AS g) x,
+        |       LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 12)) AS g) y
+        |)
+        |SELECT doc_id,
+        |       CAST(1 + doc_id % 16 AS INT) AS width,
+        |       CAST(1 + doc_id % 12 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       CAST(sum(v) AS BIGINT) AS sum_px
+        |FROM px GROUP BY doc_id""".stripMargin,
 
     "q_rolling_time" ->
       (seriesCte +

@@ -76,10 +76,24 @@ object SeriesWindows {
 
   /** Interpolated exact median over an arbitrary frame. numpy/pandas
     * median of an even count averages the middle two; `median` can't
-    * take a frame in Spark, so sort the frame's non-null values and
-    * average elements (n+1)/2 and n/2+1 (1-based; equal when n odd).
+    * take a frame in Spark, so the native SlidingMedian aggregate
+    * (graft.functions.SlidingMedian, registered by GraftExtensions)
+    * collects the frame's non-null values into a primitive double
+    * buffer, sorts, and averages the middle pair — same semantics as
+    * the collect_list chain below, minus the per-row boxing/generic
+    * sort that made it the dominant cost of the sentem/zscore stages.
+    * The min_periods guard is fused into the aggregate (NULL below
+    * max(minp, 1) finite values in the frame).
     */
-  def rollingMedian(value: Column, w: WindowSpec, minp: Int): Column = {
+  def rollingMedian(value: Column, w: WindowSpec, minp: Int): Column =
+    call_function("graft_sliding_median", value, lit(minp)).over(w)
+
+  /** The pure-built-in form of [[rollingMedian]] (sort the collected
+    * frame, average elements (n+1)/2 and n/2+1, 1-based; equal when n
+    * odd). Kept as the semantic reference: RollingSpec asserts the
+    * native aggregate matches this expression bit-for-bit.
+    */
+  def rollingMedianSql(value: Column, w: WindowSpec, minp: Int): Column = {
     val arr = array_sort(collect_list(value).over(w))
     val n = size(arr)
     when(n >= minp && n >= 1,

@@ -55,14 +55,18 @@ object Dedup {
   }
 
   /** Shared exact-verification tail: per candidate pair, intersection
-    * over the FULL hashed shingle sets (candidate-driven — the small
-    * pair set broadcasts into the shingle joins, never materializing
-    * the inverted-index blowup), jaccard, threshold filter.
+    * over the FULL hashed shingle sets (candidate-driven — only pairs
+    * already surfaced by a bounded candidate generator are scored, so
+    * the inverted-index blowup is never materialized), jaccard,
+    * threshold filter. No broadcast hint on the candidate set: its
+    * size grows with the corpus duplication rate (a boilerplate-heavy
+    * corpus can yield a multi-GB pair set), so the join strategy is
+    * left to AQE's runtime size estimate instead of being forced.
     */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame, id: String,
       threshold: Double, withInter: Boolean): DataFrame = {
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cands)
+    val inter = cands
       .join(sh.withColumnRenamed(id, "id_a"), "id_a")
       .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))

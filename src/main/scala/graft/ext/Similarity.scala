@@ -26,7 +26,10 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k for each query vector (exact baseline;
-    * O(|queries|·|corpus|) — broadcast the queries side).
+    * O(|queries|·|corpus|) — broadcast the QUERIES side: the query set
+    * is the small one by construction, while the corpus is the 100 TB
+    * axis and must stay partitioned so every executor scans only its
+    * corpus slice against the replicated queries).
     * Output: query_id, vec_id, cosine, rank (ties → smaller vec_id).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
@@ -37,7 +40,7 @@ object Similarity {
       norm(col(vec)).as("__qn"))
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
       norm(col(vec)).as("__cn"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("vec_id"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("vec_id"))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)

@@ -6,8 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst dot product over two `array<float>` columns —
-  * Σ (double)aᵢ · (double)bᵢ, sequential left-to-right accumulation.
+/** Native Catalyst dot product over two `array<float>` /
+  * `array<double>` columns — Σ (double)aᵢ · (double)bᵢ, sequential
+  * left-to-right accumulation. Each side's element type may
+  * independently be float or double (the fold it replaced widened any
+  * numeric element to double, so callers holding double vectors keep
+  * working).
   *
   * Semantically identical to the
   * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)` fold it
@@ -22,12 +26,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_dot requires (array<float>, array<float>), got ($l, $r)")
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires (array<float|double>, array<float|double>), " +
+          s"got (${left.dataType}, ${right.dataType})")
     }
 
   override def dataType: DataType = DoubleType
@@ -35,6 +45,15 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def prettyName: String = "graft_dot"
+
+  private lazy val leftIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val rightIsFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -45,7 +64,9 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xi * yi
       i += 1
     }
     s
@@ -56,6 +77,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val get1 =
+        if (leftIsFloat) s"((double) $arr1.getFloat($i))" else s"$arr1.getDouble($i)"
+      val get2 =
+        if (rightIsFloat) s"((double) $arr2.getFloat($i))" else s"$arr2.getDouble($i)"
       s"""
          |final int $n = $arr1.numElements();
          |if ($n != $arr2.numElements()) {
@@ -64,7 +89,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  double $sum = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($arr1.isNullAt($i) || $arr2.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $sum += ((double) $arr1.getFloat($i)) * ((double) $arr2.getFloat($i));
+         |    $sum += $get1 * $get2;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}

@@ -194,7 +194,13 @@ object Pipeline {
     */
   def write(r: Result, outDir: String, stationCol: String,
       variableCol: String, tsCol: String, variables: Seq[String]): Unit = {
+    // station names become partition directory names — sanitize them
+    // exactly as the reference sanitizes its per-station paths
+    // (_sanitize, ufz_water_qc_pipeline.py:65-66) instead of relying
+    // on Spark's URL-escaping of special characters.
     wide(r.timeseries, stationCol, variableCol, tsCol, variables)
+      .withColumn(stationCol,
+        graft.sources.Ingest.sanitizeNameCol(col(stationCol)))
       .repartition(col(stationCol))
       .write.mode("overwrite").partitionBy(stationCol)
       .parquet(s"$outDir/processed/qc_timeseries.parquet")

@@ -35,6 +35,19 @@ object Ingest {
     }
   }
 
+  /** Path/column name sanitizer (reference `_sanitize`,
+    * scripts/ufz_water_qc_pipeline.py:65-66, scripts/sentemqc.py:23-24):
+    * any run of characters outside [A-Za-z0-9._-] collapses to one
+    * underscore. Used when station/variable names become output paths
+    * or column names; the data-plane variant is [[sanitizeNameCol]].
+    */
+  def sanitizeName(s: String): String =
+    s.replaceAll("[^A-Za-z0-9._-]+", "_")
+
+  /** [[sanitizeName]] as a Column expression (codegen'd regexp). */
+  def sanitizeNameCol(c: Column): Column =
+    regexp_replace(c, "[^A-Za-z0-9._-]+", "_")
+
   /** NaN → NULL for the given double columns (the reference's NaN IS
     * its NULL — SURVEY §1.2; Spark distinguishes them, we normalize at
     * the boundary).

@@ -135,6 +135,13 @@ object Wrtds {
     * of row order; the 2×2 solve then runs in double on identical
     * inputs. Output: keys*, ts, value, l2_yhat, l2_resid (NULL when
     * fewer than minp in-support neighbors or a degenerate design).
+    *
+    * PRECONDITION: one row per (keys, ts). Duplicate timestamps within
+    * a series would collapse to a single output row whose value is an
+    * arbitrary duplicate's (`first(__yi)`) while the kernel sums count
+    * each neighbor once per surviving group — nondeterministic output.
+    * Deduplicate upstream first (e.g. TimeIndex.resolveDuplicatesMedian,
+    * which the shipped pipeline flow always runs before this).
     */
   def local2(df: DataFrame, spec: SeriesSpec, htDays: Double = 30.0,
       supportDays: Double = 90.0, minp: Int = 10): DataFrame = {
@@ -157,12 +164,16 @@ object Wrtds {
     // LEFT join: a point with zero in-support finite neighbors must
     // still appear in the output (with NULL fit), not vanish — the
     // documented contract, and what composing with the full proxy
-    // expects.
-    val joined = iSide.join(jSide,
-      spec.keys.map(k => iSide(k) === jSide(k)).reduce(_ && _) &&
+    // expects. Both sides carry explicit aliases: key columns on the
+    // two sides share expression IDs (common `base` lineage), and an
+    // unaliased iSide(k) === jSide(k) builds a trivially-true
+    // predicate that only Dataset-id self-join disambiguation rescues
+    // — fragile across Spark versions, and it logs a WARN per plan.
+    val joined = iSide.as("i").join(jSide.as("j"),
+      spec.keys.map(k => col(s"i.$k") === col(s"j.$k")).reduce(_ && _) &&
         abs(col("__tj") - col("__ti")) <= supportDays, "left")
-      .select((spec.keys.map(iSide(_)) ++ Seq(col("__ius"), col("__ti"),
-        col("__yi"), col("__tj"), col("__yj"))): _*)
+      .select((spec.keys.map(k => col(s"i.$k").as(k)) ++ Seq(col("__ius"),
+        col("__ti"), col("__yi"), col("__tj"), col("__yj"))): _*)
     val agg = joined
       .groupBy((spec.keyCols :+ col("__ius")): _*)
       .agg(first(col("__ti")).as("__ti"), first(col("__yi")).as("__yi"),

@@ -99,6 +99,42 @@ class ExtSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("media_meta")))
   }
 
+  test("multimodal decodeColumn routes real PNG bytes through javax.imageio") {
+    import spark.implicits._
+    // a real 7x3 PNG encoded with the JDK codec; the stub would report
+    // width = n_bytes % 640 etc., so real dimensions prove real decode
+    val img = new java.awt.image.BufferedImage(
+      7, 3, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val d = Seq((1L, png), (2L, "not an image".getBytes))
+      .toDF("id", "media")
+    val out = Multimodal.decodeColumn(d, "media").orderBy("id").collect()
+    val real = out(0).getStruct(out(0).fieldIndex("media_meta"))
+    assert(real.getInt(1) == 7 && real.getInt(2) == 3) // decoded w/h
+    assert(real.getInt(3) == 1) // n_frames: still image
+    val stub = out(1).getStruct(out(1).fieldIndex("media_meta"))
+    assert(stub.getInt(1) == "not an image".length % 640) // fallback path
+  }
+
+  test("pngRoundTripMeta: decoded metadata matches the closed-form pixel function") {
+    import spark.implicits._
+    val d = Seq(0L, 5L, 17L, 100L).toDF("doc_id")
+    val out = Multimodal.pngRoundTripMeta(d, "doc_id")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val w = (1 + id % 16).toInt
+      val h = (1 + id % 12).toInt
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield (31L * x + 17L * y + id) % 256).sum
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getInt(3) == 3) // decoded raster bands
+      assert(r.getLong(4) == expected, s"sum_px mismatch for id=$id")
+    }
+  }
+
   test("df-capped ngram jaccard drops hot-shingle-only pairs, keeps exact scores") {
     // docs 1-2: near-dups via RARE shingles; docs 3-4: overlap ONLY in
     // a shingle shared by every doc (hot), so the cap must not pair them

@@ -54,6 +54,19 @@ class PipelineSpec extends SparkTestBase {
     assert(w.count() == 20)
   }
 
+  test("name sanitizer collapses illegal path characters to underscores") {
+    import graft.sources.Ingest
+    // reference _sanitize: re.sub('[^A-Za-z0-9._-]+', '_', s)
+    assert(Ingest.sanitizeName("Erkenruh/Einruhr (O2) [mg L-1]") ==
+      "Erkenruh_Einruhr_O2_mg_L-1_")
+    assert(Ingest.sanitizeName("already_OK-1.2") == "already_OK-1.2")
+    import spark.implicits._
+    val out = Seq("a b//c").toDF("s")
+      .select(Ingest.sanitizeNameCol(org.apache.spark.sql.functions.col("s")))
+      .head().getString(0)
+    assert(out == "a_b_c")
+  }
+
   test("pipeline meta carries step, sentinel list, wrtds_ok") {
     val df = mkSeries(50, i => Some(if (i < 6) -9.0 else 20.0 + i))
     val cfg = PipelineConfig(kVariance = 6, kZscore = 8, applySentem = false)

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Plan guards: lock in the scale-critical physical-plan properties so
+  * regressions show up as test failures, not as cluster incidents.
+  * AQE is disabled inside each test so `executedPlan` is the static
+  * plan tree (the properties asserted are decided at planning time).
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withStaticPlans[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def broadcastChildren(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: BroadcastExchangeExec => b.child.toString
+    }
+
+  private def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }.size
+
+  private def forcedHints(df: DataFrame): Seq[ResolvedHint] =
+    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+
+  test("bruteForceTopK broadcasts the queries side, never the corpus") {
+    withStaticPlans {
+      val emb = Tables.embeddings(spark, sfDir)
+      val df = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      val bcasts = broadcastChildren(df)
+      assert(bcasts.nonEmpty, "expected a broadcast of the query side")
+      bcasts.foreach { c =>
+        assert(c.contains("< 10"),
+          s"broadcast subtree is not the filtered queries side:\n$c")
+      }
+    }
+  }
+
+  test("dedup verify tails carry no forced broadcast hint (AQE decides)") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, sfDir)
+      val mh = Dedup.minHashLsh(docs, "doc_id", "text",
+        k = 2, numHashes = 12, bands = 6, threshold = 0.5)
+      assert(forcedHints(mh).isEmpty,
+        "minHashLsh must not force a join strategy on the candidate set")
+      val ng = Dedup.ngramJaccardCapped(docs, "doc_id", "text",
+        k = 3, threshold = 0.5, maxDf = 20)
+      assert(forcedHints(ng).isEmpty,
+        "ngramJaccardCapped must not force a join strategy on the candidate set")
+      graft.core.Caches.unpersistAll()
+    }
+  }
+
+  test("qc suite reuses one series-hash exchange across all window stages") {
+    withStaticPlans {
+      try {
+        val df = SparkEntry.queries("q_qc_suite")(spark, sfDir)
+        val n = shuffleCount(df)
+        // persisted-base shape: the base build's (keys, ts) dedup +
+        // (keys) window exchanges, plus the two run-id join sides.
+        // Before the base was persisted this was 8 shuffles and FOUR
+        // scans of the same parquet (each self-join branch re-planned
+        // the dedup+gap subtree).
+        assert(n <= 4, s"q_qc_suite plans $n shuffles — exchange reuse regressed")
+      } finally graft.core.Caches.unpersistAll()
+    }
+  }
+
+  test("ns time-slice predicates reach the parquet scan as pushed filters") {
+    withStaticPlans {
+      val lo = 1500000000000000L
+      val hi = 1600000000000000L
+      val df = Tables.events(spark, sfDir, sliceUs = Some((lo, hi)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters"), s"no pushed filters:\n$plan")
+      assert(plan.contains("GreaterThanOrEqual(ts") && plan.contains("LessThan(ts"),
+        s"time-slice bounds not pushed to the scan:\n$plan")
+    }
+  }
+}

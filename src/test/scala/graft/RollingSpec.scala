@@ -56,6 +56,36 @@ class RollingSpec extends SparkTestBase {
     assert(med5.isNullAt(0)) // only 4 finite < minp 5
   }
 
+  test("native SlidingMedian matches the collect_list chain bit-for-bit") {
+    // deterministic pseudo-random series with nulls, duplicated values
+    // and plateaus — every frame shape the sentem/zscore stages use
+    val rng = new scala.util.Random(42)
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val rows = (0 until 500).map { i =>
+      val ts = base.plusMinutes(15L * i).toString.replace('T', ' ')
+      val value =
+        if (rng.nextDouble() < 0.1) na
+        else if (rng.nextDouble() < 0.2) v(5.0) // plateaus/duplicates
+        else v(math.round(rng.nextDouble() * 1000) / 10.0)
+      (ts, value)
+    }
+    val df = series(rows: _*)
+    for ((k, minp) <- Seq((4, 2), (5, 3), (12, 4), (48, 15), (96, 32))) {
+      val w = SeriesWindows.centered(spec, k)
+      val cmp = df.select(
+        SeriesWindows.rollingMedian(col("value"), w, minp).as("m_native"),
+        SeriesWindows.rollingMedianSql(col("value"), w, minp).as("m_sql"))
+        .collect()
+      cmp.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch at k=$k: $r")
+        if (!r.isNullAt(0))
+          assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+            s"value mismatch at k=$k: $r")
+      }
+    }
+  }
+
   test("robust z: MAD=0 yields no flag even for wild outliers") {
     // 6 identical + 1 outlier in an 7-row frame: med=5, MAD=0 -> z null
     val df = series(
