@@ -8,9 +8,10 @@ import graft.sources.Ingest
 
 /** CLI entry point (reference scripts/cli.py:4-16):
   * --csv PATH --station NAME --out DIR --vars v1,v2 [--gap-hours H]
-  * [--range v=lo:hi ...] [--ts-col NAME]
+  * [--range v=lo:hi ...] [--ts-col NAME] [--figures true]
   * Reads the wide CSV, unpivots to long form, runs the full pipeline,
-  * writes the wide parquet + events/seasonal/meta CSVs.
+  * writes the wide parquet + events/seasonal/meta CSVs (+ the
+  * per-variable PNG report figures when --figures true).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -48,6 +49,8 @@ object Cli {
       PipelineConfig(gapHours = gapHours, variables = ranges),
       variableCol = Some("variable"))
     Pipeline.write(result, out, "station", "variable", "ts", vars)
+    if (opts.get("figures").contains("true"))
+      graft.report.Figures.writeAll(result, spec, "variable", out)
     println(s"[graft] wrote $out")
     spark.stop()
   }

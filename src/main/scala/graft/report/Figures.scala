@@ -1,0 +1,188 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.SeriesSpec
+import graft.operators.RollingStats
+import graft.pipeline.Pipeline
+
+/** The engine's PNG figure sink — the per-variable report figures the
+  * reference emits from `process_variable`
+  * (scripts/ufz_water_qc_pipeline.py:706-714: raw-vs-clean, flags,
+  * flat events, decimal histogram, |Δ| diffs, seasonal coverage
+  * heatmap, gaussian compare; plus the SentemQC band plot,
+  * scripts/sentemqc.py:117-142).
+  *
+  * Scale discipline: everything that TOUCHES the full series (diffs,
+  * histogram bins, smoothing, flag projection) is computed IN SPARK;
+  * only a stride-downsampled tail (≤ maxPoints rows) or a tiny
+  * aggregate is collected to the driver for rasterization — a figure
+  * cannot use more points than it has pixels, so the collect is
+  * bounded regardless of input size.
+  */
+object Figures {
+
+  /** Deterministic stride downsample to ≤ cap rows per series (keeps
+    * every k-th sample in time order — the figure-resolution variant
+    * of the series, not a statistical sample).
+    */
+  def downsample(df: DataFrame, spec: SeriesSpec, cap: Int): DataFrame = {
+    val w = Window.partitionBy(spec.keyCols: _*).orderBy(spec.tsCol)
+    val wAll = Window.partitionBy(spec.keyCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__stride", greatest(lit(1), (col("__n") / cap).cast("int")))
+      .filter((col("__rn") - 1) % col("__stride") === 0)
+      .drop("__rn", "__n", "__stride")
+  }
+
+  private def tsUs(rows: Array[Row], i: Int): Array[Double] =
+    rows.map(r => r.getTimestamp(i).getTime * 1000.0)
+
+  private def dbl(rows: Array[Row], i: Int): Array[Double] =
+    rows.map(r => if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+
+  /** All figures for one variable of a pipeline Result. Returns the
+    * written paths. `timeseries` must already be filtered to one
+    * (station, variable) series — same contract as the reference's
+    * per-variable plot calls.
+    */
+  def forVariable(series: DataFrame, events: DataFrame, seasonal: DataFrame,
+      spec: SeriesSpec, outDir: String, name: String,
+      maxPoints: Int = 3000): Seq[String] = {
+    val dir = s"$outDir/figures/${graft.sources.Ingest.sanitizeName(name)}"
+    val written = scala.collection.mutable.ArrayBuffer[String]()
+    def emit(fname: String, img: java.awt.image.BufferedImage): Unit = {
+      val p = s"$dir/$fname"
+      Plot.savePng(img, p)
+      written += p
+    }
+
+    // one bounded collect of the downsampled series feeds 4 figures
+    val w = Window.partitionBy(spec.keyCols: _*).orderBy(spec.tsCol)
+    val withDiff = series
+      .withColumn("absdiff", abs(col("clean") - lag(col("clean"), 1).over(w)))
+    val ds = downsample(withDiff, spec, maxPoints)
+      .select(spec.tsCol, col("raw"), col("clean"), col("accepted"),
+        col("saqc_flag"), col("sm_masked"), col("sm_flagged"), col("absdiff"))
+      .orderBy(spec.tsCol)
+      .collect()
+    if (ds.isEmpty) return written.toSeq
+    val xs = tsUs(ds, 0)
+    val raw = dbl(ds, 1); val clean = dbl(ds, 2); val accepted = dbl(ds, 3)
+    val flagged = ds.map(r => !r.isNullAt(4) && r.getBoolean(4))
+    val absdiff = dbl(ds, 7)
+
+    // 1. raw vs clean (plot_series_basic composition, :706)
+    emit("series_raw_clean.png", Plot.render(Seq(Plot.Panel(
+      s"$name — raw vs clean", "Time", name,
+      series = Seq(Plot.Series("Raw", Plot.Raw, xs, raw, 0.7f),
+        Plot.Series("Clean", Plot.Blue, xs, clean, 0.8f)),
+      xIsTimeUs = true))))
+
+    // 2. accepted + flag markers (:708 flags overlay)
+    val fx = xs.zip(raw).zip(flagged).collect { case ((x, y), true) => (x, y) }
+    emit("flags.png", Plot.render(Seq(Plot.Panel(
+      s"$name — QC flags", "Time", name,
+      series = Seq(Plot.Series("Accepted", Plot.Blue, xs, accepted, 0.8f)),
+      markers = Seq(Plot.Markers("Flagged", Plot.Orange,
+        fx.map(_._1), fx.map(_._2))),
+      xIsTimeUs = true))))
+
+    // 3. flat events spans (plot_flat_events, :345-357)
+    val evRows = events
+      .filter(col("type").isin("flat_values", "flat_slopes"))
+      .select(col("type"), col("start"), col("end"))
+      .collect()
+    val spans = evRows.toSeq.map { r =>
+      val c = if (r.getString(0) == "flat_values") Plot.Orange else Plot.Blue
+      val a = if (r.getString(0) == "flat_values") 0.2f else 0.18f
+      Plot.Span(r.getTimestamp(1).getTime * 1000.0,
+        r.getTimestamp(2).getTime * 1000.0, c, a)
+    }
+    emit("flat_events.png", Plot.render(Seq(Plot.Panel(
+      s"$name — flat values (orange) and flat slopes (blue)", "Time", name,
+      series = Seq(Plot.Series("Raw", Plot.Raw, xs, raw, 0.7f)),
+      spans = spans, xIsTimeUs = true))))
+
+    // 4. |Δ| successive differences (plot_quant_diffs, :333-343)
+    emit("quant_diffs.png", Plot.render(Seq(Plot.Panel(
+      s"$name — absolute successive differences", "Time", "|Δ|",
+      series = Seq(Plot.Series("", Plot.Blue, xs, absdiff, 0.6f)),
+      xIsTimeUs = true)), width = 700, heightPerPanel = 260))
+
+    // 5. decimal histogram (plot_decimal_hist, :320-331) — binned in
+    // Spark, 10 numbers cross the driver boundary
+    val hist = series.filter(col("clean").isNotNull)
+      .groupBy(floor(pmod(col("clean"), lit(1.0)) * 10).cast("int").as("bin"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val centers = (0 until 10).map(b => b / 10.0 + 0.05).toArray
+    val heights = (0 until 10).map(b => hist.getOrElse(b, 0L).toDouble).toArray
+    emit("decimal_hist.png", Plot.render(Seq(Plot.Panel(
+      "Decimal distribution", "Fractional part [0..1)", "Count",
+      bars = Some((centers, heights)))), width = 700, heightPerPanel = 260))
+
+    // 6. seasonal coverage heatmap (plot_heatmap_coverage, :359-371)
+    val cov = seasonal.select(col("season"), col("coverage_pct")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+    val order = Seq("DJF", "MAM", "JJA", "SON")
+    emit("coverage.png", Plot.heatmap(
+      order.map(s => s -> cov.getOrElse(s, 0.0)), "Coverage per season [%]"))
+
+    // 7. gaussian compare, 2 panels (plot_gaussian_compare, :373-389):
+    // smooth + residual computed IN SPARK (RollingStats.gaussianSmooth
+    // over the ffill/bfill-filled clean series), downsampled for pixels
+    val filled = graft.core.TimeIndex.bfill(
+      graft.core.TimeIndex.ffill(series, spec, "clean", "__f"), spec, "__f", "__fb")
+    val smoothed = RollingStats.gaussianSmooth(filled, spec, "__fb",
+      sigmaPts = 4.0, radius = 12, out = "__smooth")
+      .withColumn("__resid", col("clean") - col("__smooth"))
+    val gs = downsample(smoothed, spec, maxPoints)
+      .select(spec.tsCol, col("clean"), col("__smooth"), col("__resid"))
+      .orderBy(spec.tsCol).collect()
+    val gx = tsUs(gs, 0)
+    emit("gaussian_compare.png", Plot.render(Seq(
+      Plot.Panel(s"$name — gaussian filter", "Time", name,
+        series = Seq(Plot.Series("Raw", Plot.Raw, gx, dbl(gs, 1), 0.6f),
+          Plot.Series("Gaussian", Plot.Blue, gx, dbl(gs, 2), 0.9f)),
+        xIsTimeUs = true),
+      Plot.Panel("Residual", "Time", "resid",
+        series = Seq(Plot.Series("Residual", Plot.Orange, gx, dbl(gs, 3), 0.7f)),
+        xIsTimeUs = true))))
+
+    // 8. SentemQC masked plot (sentemqc.py:117-142) when the side-band
+    // carries any data for this variable
+    val smFlagged = ds.map(r => !r.isNullAt(6) && r.getBoolean(6))
+    if (ds.exists(r => !r.isNullAt(5)) || smFlagged.exists(identity)) {
+      val sm = dbl(ds, 5)
+      val sfx = xs.zip(raw).zip(smFlagged).collect { case ((x, y), true) => (x, y) }
+      emit("sentem.png", Plot.render(Seq(Plot.Panel(
+        s"$name — SentemQC", "Time", name,
+        series = Seq(Plot.Series("Raw", Plot.Raw, xs, raw, 0.6f),
+          Plot.Series("Masked", Plot.Green, xs, sm, 0.8f)),
+        markers = Seq(Plot.Markers("Flagged", Plot.Orange,
+          sfx.map(_._1), sfx.map(_._2))),
+        xIsTimeUs = true))))
+    }
+    written.toSeq
+  }
+
+  /** Figures for every variable of a pipeline Result (the reference's
+    * per-variable plot loop). `variableCol` names the variable key
+    * column inside the result's series keys.
+    */
+  def writeAll(r: Pipeline.Result, spec: SeriesSpec, variableCol: String,
+      outDir: String, maxPoints: Int = 3000): Seq[String] = {
+    val variables = r.timeseries.select(variableCol).distinct()
+      .collect().map(_.get(0).toString).sorted
+    variables.flatMap { v =>
+      forVariable(
+        r.timeseries.filter(col(variableCol) === v),
+        r.events.filter(col(variableCol) === v),
+        r.seasonal.filter(col(variableCol) === v),
+        spec, outDir, v, maxPoints)
+    }.toSeq
+  }
+}
