@@ -9,14 +9,18 @@ import graft.functions.{DotProduct, SlidingMedian}
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL (`SELECT graft_dot(a, b)`)
   * in any session built with
-  * `spark.sql.extensions=graft.GraftExtensions`. The extension is
-  * REQUIRED for the DataFrame API path too: Similarity.dot resolves
-  * through the session function registry (`call_function("graft_dot")`),
-  * so every Similarity API (cosine, norm, ANN, cosinePairs, quantize)
-  * fails analysis in a session built without this extension.
+  * `spark.sql.extensions=graft.GraftExtensions`, plus the planner
+  * strategy that executes all-sliding-median Window nodes with the
+  * streaming O(n log w) operator
+  * (graft.plans.SlidingMedianWindowExec). The extension is REQUIRED
+  * for the DataFrame API path too: Similarity.dot and
+  * SeriesWindows.rollingMedian resolve through the session function
+  * registry (`call_function`), so those APIs fail analysis in a
+  * session built without this extension.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.SlidingMedianStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
