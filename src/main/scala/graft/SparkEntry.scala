@@ -313,6 +313,16 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)),
 
+    // pairs -> duplicate clusters: connected components by iterative
+    // min-label propagation with pointer doubling (O(log n) rounds of
+    // equi-joins); the decision a curation pipeline ships (one keeper
+    // per family).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      Dedup.dupClusters(docs.select("doc_id"), pairs, "doc_id")
+    }),
+
     // threshold 0.2 (not 0.45) so the checked SF yields a non-trivial
     // pair set — a 0-row hash match verifies nothing about the scoring
     // path (95 pairs at sf0.01).
@@ -836,6 +846,38 @@ object SparkEntry {
     (0 until 8).map(j =>
       s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
+  /** SimHash candidate-pair CTE chain (wd … cd), shared by the pair
+    * query and the cluster query; caller prepends WITH / WITH RECURSIVE
+    * and appends its tail.
+    */
+  private val simhashCteBody: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"sum((((h >> $j) & 1)*2 - 1) * c) AS s$j").mkString(",\n         ")
+    val fpExpr = (0 until 32).map(j =>
+      s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    val chunkRows = (0 until 4).map(cI =>
+      s"SELECT doc_id, simhash, $cI AS c, (simhash >> ${cI * 8}) & 255 AS v FROM fp")
+      .mkString("\n  UNION ALL ")
+    s"""wd AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
+       |), wc AS (
+       |  SELECT doc_id, w, count(*) AS c FROM wd GROUP BY doc_id, w
+       |), wh AS (
+       |  SELECT doc_id, c, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM wc
+       |), bs AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM wh GROUP BY doc_id
+       |), fp AS (
+       |  SELECT doc_id, $fpExpr AS simhash FROM bs
+       |), ch AS (
+       |  $chunkRows
+       |), cd AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, x.simhash AS ha, y.doc_id AS id_b, y.simhash AS hb
+       |  FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+       |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents)
@@ -963,35 +1005,27 @@ object SparkEntry {
            |WHERE iv.inter * 1.0 / (sa.n + sb.n - iv.inter) >= 0.5""".stripMargin
     },
 
-    "q_dedup_simhash" -> {
-      val bitSums = (0 until 32).map(j =>
-        s"sum((((h >> $j) & 1)*2 - 1) * c) AS s$j").mkString(",\n         ")
-      val fpExpr = (0 until 32).map(j =>
-        s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
-      val chunkRows = (0 until 4).map(cI =>
-        s"SELECT doc_id, simhash, $cI AS c, (simhash >> ${cI * 8}) & 255 AS v FROM fp")
-        .mkString("\n  UNION ALL ")
-      s"""WITH wd AS (
-         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
-         |), wc AS (
-         |  SELECT doc_id, w, count(*) AS c FROM wd GROUP BY doc_id, w
-         |), wh AS (
-         |  SELECT doc_id, c, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM wc
-         |), bs AS (
-         |  SELECT doc_id,
-         |         $bitSums
-         |  FROM wh GROUP BY doc_id
-         |), fp AS (
-         |  SELECT doc_id, $fpExpr AS simhash FROM bs
-         |), ch AS (
-         |  $chunkRows
-         |), cd AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, x.simhash AS ha, y.doc_id AS id_b, y.simhash AS hb
-         |  FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
-         |)
-         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-         |FROM cd WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
-    },
+    "q_dedup_simhash" ->
+      (s"WITH $simhashCteBody\n" +
+        """SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+          |FROM cd WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin),
+
+    // connected components over the simhash pair graph: min reachable
+    // id per node via a recursive transitive closure (UNION dedups ->
+    // terminates), mirroring the engine's min-label propagation.
+    "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $simhashCteBody, pr AS (\n" +
+        """  SELECT id_a, id_b FROM cd WHERE bit_count(xor(ha, hb)) <= 3
+          |), e AS (
+          |  SELECT id_a AS a, id_b AS b FROM pr
+          |  UNION ALL SELECT id_b, id_a FROM pr
+          |), reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+          |)
+          |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS is_keeper
+          |FROM reach GROUP BY id""".stripMargin),
 
     "q_embed_pairs" ->
       (normCte +

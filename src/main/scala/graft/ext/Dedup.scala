@@ -226,4 +226,65 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Connected components over a near-dup pair set — the step that
+    * turns pairwise matches into the cluster decision a training-data
+    * pipeline actually ships (one keeper per duplicate cluster, drop
+    * the rest). Pairs are transitive in intent (A≈B, B≈C ⇒ one
+    * document family), so the cluster id is the minimum reachable id.
+    *
+    * Distributed shape: iterative min-label propagation with POINTER
+    * DOUBLING — each round every node takes the min of its own label,
+    * its neighbors' labels, and its label's label (shortcutting).
+    * Plain neighbor-min needs O(diameter) rounds (a 10⁶-node chain of
+    * boilerplate dups would need 10⁶ rounds); shortcutting halves the
+    * effective diameter every round, so convergence is O(log n)
+    * rounds of pure equi-joins — the standard large-graph CC shape on
+    * Spark. The driver loop only inspects a per-round changed-count
+    * scalar; all data stays distributed.
+    *
+    * Output: id, cluster_id (min id of the component), is_keeper.
+    */
+  def dupClusters(ids: DataFrame, pairs: DataFrame, id: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = graft.core.Caches.cached(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // Each round must TRUNCATE lineage (localCheckpoint, eager): the
+    // hop self-join doubles the logical plan per round, so carrying
+    // lineage makes round k's analysis cost O(2^k) — the standard
+    // iterative-graph pitfall. Checkpointing keeps every round's plan
+    // a constant two joins over materialized label tables. (On a
+    // cluster, reliable checkpointing can replace localCheckpoint
+    // when lineage-free fault tolerance is required.)
+    var labels = ids.select(col(id).as("nid"), col(id).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val cur = labels
+      // neighbor min: for each dst, the smallest label among its sources
+      val nbrMin = edges.join(cur, edges("src") === cur("nid"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      // pointer doubling: my label's current label
+      val hop = cur.select(col("lbl").as("hop_from"), col("nid"))
+        .join(cur.select(col("nid").as("hop_from"), col("lbl").as("hlbl")),
+          "hop_from")
+        .select(col("nid"), col("hlbl"))
+      val next = cur
+        .join(nbrMin, cur("nid") === nbrMin("dst"), "left")
+        .join(hop, "nid")
+        .select(col("nid"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("hlbl")).as("lbl"),
+          (least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("hlbl")) =!=
+            col("lbl")).as("__chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
+      it += 1
+    }
+    require(changed == 0, s"dupClusters did not converge in $maxIter rounds")
+    labels.select(col("nid").as(id), col("lbl").as("cluster_id"),
+      (col("nid") === col("lbl")).as("is_keeper"))
+  }
 }

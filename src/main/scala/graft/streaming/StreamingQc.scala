@@ -39,6 +39,24 @@ object StreamingQc {
       .select((spec.keyCols :+ col("win.start").as("window_start") :+
         col("n_obs") :+ col("n_finite")): _*)
 
+  /** Streaming exact dedup over a document stream — the streaming
+    * face of `ext.Dedup.exact`: a document whose normalized-text hash
+    * was already seen (within the watermark's state-retention bound)
+    * is dropped; the first arrival is the keeper. State is keyed by
+    * the 128-bit content hash only — bounded by distinct-content
+    * volume inside the watermark, not stream length — and expired by
+    * `dropDuplicatesWithinWatermark`, which is the only scalable
+    * retention policy for an unbounded stream (an unwatermarked
+    * dropDuplicates grows state forever).
+    * Input needs an event-time column `eventTimeCol`; output is the
+    * deduplicated stream with `text_hash` attached.
+    */
+  def dedupExactStream(df: DataFrame, text: String, eventTimeCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withColumn("text_hash", md5(lower(trim(col(text)))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Per-event row for the stateful gap detector. */
   final case class SeriesEvent(skey: String, tsUs: Long, value: java.lang.Double)
 

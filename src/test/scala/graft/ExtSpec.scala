@@ -87,6 +87,36 @@ class ExtSpec extends SparkTestBase {
     assert(q.getAs[Long]("distinct_words") == 3L)
   }
 
+  test("dupClusters: chain, triangle, singleton resolve to min-id components") {
+    import spark.implicits._
+    // components: {1,2,3,4} chain, {10,11,12} triangle, {20} singleton
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, pairs, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    graft.core.Caches.unpersistAll()
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true)))
+  }
+
+  test("dupClusters: a 300-node path converges within the round budget") {
+    import spark.implicits._
+    // plain neighbor-min needs ~300 rounds on a path; pointer doubling
+    // must close it inside the default 25-round budget
+    val n = 300
+    val ids = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, pairs, "doc_id").collect()
+    graft.core.Caches.unpersistAll()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 0L), "all nodes must join component 0")
+    assert(out.count(_.getBoolean(2)) == 1)
+  }
+
   test("multimodal decode stub: schema, batching, null handling") {
     import spark.implicits._
     val d = Seq((1L, "hello"), (2L, null.asInstanceOf[String]))

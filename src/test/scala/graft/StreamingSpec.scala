@@ -88,6 +88,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first arrival, drops repeats across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDS().toDF("doc_id", "ts", "text")
+    val out = StreamingQc.dedupExactStream(df, "text", "ts", watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedupout")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(min.toLong))
+      input.addData((1L, t(0), "Hello World"), (2L, t(1), "  hello world "),
+        (3L, t(2), "other text"))
+      q.processAllAvailable()
+      // repeat in a LATER batch — state must remember the hash
+      input.addData((4L, t(10), "HELLO WORLD"), (5L, t(11), "fresh"))
+      q.processAllAvailable()
+      val ids = spark.table("dedupout").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 3L, 5L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateless flags work unchanged on a stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
