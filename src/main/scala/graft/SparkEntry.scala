@@ -336,6 +336,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // multi-probe LSH: query probes its bucket + all 1-bit flips —
+    // recall repair without corpus replication.
+    "q_ann_lsh_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
@@ -1065,6 +1073,26 @@ object SparkEntry {
            |)
            |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
            |FROM r WHERE rk <= 5""".stripMargin),
+
+    "q_ann_lsh_probe" -> {
+      val probeList = ("bucket" +: (0 until 8).map(j =>
+        s"xor(bucket, ${1L << j})")).mkString(", ")
+      (normCte +
+        s""", nb AS (
+           |  SELECT *, $bucketSql AS bucket FROM n
+           |), qp AS (
+           |  SELECT vec_id, embedding, nrm, unnest([$probeList]) AS probe
+           |  FROM nb WHERE vec_id < 10
+           |), p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |  FROM qp q JOIN nb c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
+           |)
+           |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
+           |FROM r WHERE rk <= 5""".stripMargin)
+    },
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang AS stratum,

@@ -81,6 +81,36 @@ object Similarity {
         col("rank"))
   }
 
+  /** Multi-probe sign-LSH top-k: the query probes its own bucket AND
+    * every 1-bit-flip neighbor bucket (bitsUsed + 1 probes) — the
+    * standard recall repair for bucketed ANN: a near neighbor that
+    * disagrees on exactly one hyperplane sign is recovered without
+    * raising bucket count or replicating the corpus. The corpus keeps
+    * ONE row per vector (buckets partition it), so probing multiplies
+    * only the query side — at cluster scale that is a bitsUsed+1-row
+    * explosion of the small side feeding the same bucket equi-join.
+    * Output: query_id, vec_id, cosine, rank.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, bitsUsed: Int = 8): DataFrame = {
+    val base = signBucket(col(vec), bitsUsed)
+    val probes = array((base +: (0 until bitsUsed).map(j =>
+      base.bitwiseXOR(lit(1L << j)))): _*)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+      norm(col(vec)).as("__qn"), explode(probes).as("__bucket"))
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
+      norm(col(vec)).as("__cn"), signBucket(col(vec), bitsUsed).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * (MLlib, seeded) assigns every corpus vector to its nearest of
     * `nlist` centroid cells; a query scans only its `nprobe` closest

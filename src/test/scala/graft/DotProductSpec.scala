@@ -46,6 +46,20 @@ class DotProductSpec extends SparkTestBase {
     assert(mm.isNullAt(0))
   }
 
+  test("double-element arrays are accepted, each side independently") {
+    import spark.implicits._
+    // the fold accepted any numeric array (it widened to double);
+    // the native expression must not regress that contract
+    val dd = Seq((1L, Array(1.0, 2.0), Array(3.0, 4.0))).toDF("id", "a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d")).head()
+    assert(dd.getDouble(0) == 11.0)
+    val mixed = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "a")
+      .withColumn("b", col("a").cast("array<double>"))
+      .select(Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.dot(col("b"), col("a")).as("d2")).head()
+    assert(mixed.getDouble(0) == 5.0 && mixed.getDouble(1) == 5.0)
+  }
+
   test("graft_dot is registered in SQL via GraftExtensions") {
     import spark.implicits._
     Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")

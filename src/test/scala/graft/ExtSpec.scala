@@ -63,6 +63,20 @@ class ExtSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L)) // 2 in other bucket
   }
 
+  test("multi-probe LSH recall dominates single-probe at equal bucket count") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = hits(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    val single = hits(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 5))
+    val multi = hits(Similarity.lshTopKMultiProbe(queries, emb, "vec_id", "embedding", 5))
+    val rSingle = (brute & single).size.toDouble / brute.size
+    val rMulti = (brute & multi).size.toDouble / brute.size
+    assert(rMulti >= rSingle, s"multi-probe $rMulti < single $rSingle")
+    assert(rMulti > rSingle, s"1-bit flips must add candidates on this corpus ($rMulti)")
+  }
+
   test("ivf ann finds neighbors with decent recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 10)
