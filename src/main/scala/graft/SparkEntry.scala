@@ -412,6 +412,21 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(Tables.documents(s, dir), "doc_id", "text", k = 3, p = 4)),
 
+    // train/test decontamination: training docs sharing >= 2 distinct
+    // 3-shingles with any benchmark doc (deterministic mod-29 split
+    // stands in for the eval suite).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", k = 3, minShared = 2)
+    }),
+
+    // per-source curation scorecard (volume, dup rate, chars, lang mix).
+    "q_source_stats" -> ((s, dir) =>
+      TextStats.sourceStats(Tables.documents(s, dir), "source", "text", "lang")),
+
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -1073,6 +1088,25 @@ object SparkEntry {
            |)
            |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
            |FROM r WHERE rk <= 5""".stripMargin),
+
+    "q_decontaminate" ->
+      (shingleCte(3) +
+        """, hh AS (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+          |), tr AS (SELECT DISTINCT doc_id, h FROM hh WHERE doc_id % 29 <> 0),
+          |   be AS (SELECT DISTINCT doc_id AS bench_id, h FROM hh WHERE doc_id % 29 = 0)
+          |SELECT tr.doc_id, be.bench_id, count(*) AS shared
+          |FROM tr JOIN be ON tr.h = be.h
+          |GROUP BY tr.doc_id, be.bench_id
+          |HAVING count(*) >= 2""".stripMargin),
+
+    "q_source_stats" ->
+      """SELECT source, CAST(count(*) AS INT) AS n_docs,
+        |       CAST(count(DISTINCT md5(lower(trim(text)))) AS INT) AS n_unique,
+        |       round(1.0 - count(DISTINCT md5(lower(trim(text)))) * 1.0 / count(*), 6) AS dup_rate,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS INT) AS n_en
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_ann_lsh_probe" -> {
       val probeList = ("bucket" +: (0 until 8).map(j =>

@@ -227,6 +227,28 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Train/test DECONTAMINATION sweep — flag training documents whose
+    * k-shingle overlap with any benchmark/eval document reaches
+    * `minShared` distinct shingles (the standard pre-training hygiene
+    * pass: evaluation text leaking into the corpus inflates benchmark
+    * scores). Shape: inverted-index equi-join on the 60-bit shingle
+    * hash; the benchmark side is small by construction (eval suites
+    * are tiny next to a 100 TB corpus), so AQE broadcasts its shingle
+    * index and the corpus side streams map-side — no shuffle of the
+    * training shingles beyond the aggregation on (doc, bench) hits.
+    * Output: id, bench_id, shared (≥ minShared).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+      text: String, k: Int, minShared: Int): DataFrame = {
+    val tsh = shinglesHashed(train, id, text, k)
+    val bsh = shinglesHashed(bench, id, text, k)
+      .withColumnRenamed(id, "bench_id")
+    tsh.join(bsh, "sh60")
+      .groupBy(col(id), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Connected components over a near-dup pair set — the step that
     * turns pairwise matches into the cluster decision a training-data
     * pipeline actually ships (one keeper per duplicate cluster, drop

@@ -148,6 +148,28 @@ object TextStats {
         col("is_keeper") && col("quality_ok") && col("lang_ok"))
   }
 
+  /** Per-source curation scorecard — the aggregate a pipeline uses to
+    * rank or drop whole sources (domains, crawls, dumps) before
+    * touching individual documents: volume, exact-dup rate inside the
+    * source, total characters, language mix. One shuffle on the
+    * source key with map-side partial aggregation; the distinct-text
+    * count rides the same shuffle keyed by (source, hash).
+    * Output: source, n_docs, n_unique, dup_rate, sum_chars, n_en.
+    */
+  def sourceStats(df: DataFrame, source: String, text: String,
+      lang: String): DataFrame =
+    df.select(col(source),
+        md5(lower(trim(col(text)))).as("__h"),
+        length(col(text)).cast("long").as("__len"),
+        (col(lang) === "en").cast("int").as("__en"))
+      .groupBy(col(source))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        countDistinct(col("__h")).cast("int").as("n_unique"),
+        round(lit(1.0) - countDistinct(col("__h")) * lit(1.0) / count(lit(1)), 6)
+          .as("dup_rate"),
+        sum(col("__len")).as("sum_chars"),
+        sum(col("__en")).cast("int").as("n_en"))
+
   /** Deterministic sequence packing: assign documents to token-budget
     * batches (the pre-training batching step). Docs are sharded by
     * id-hash (packing is per-shard so no global-ordering bottleneck —

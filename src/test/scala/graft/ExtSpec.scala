@@ -101,6 +101,35 @@ class ExtSpec extends SparkTestBase {
     assert(q.getAs[Long]("distinct_words") == 3L)
   }
 
+  test("decontaminate flags shingle overlap with the benchmark, skips clean docs") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog"))
+    val train = docs(
+      (1L, "look the quick brown fox jumps again today"), // shares 3-shingles
+      (2L, "completely different content with no overlap at all"))
+    val out = Dedup.decontaminate(train, bench, "doc_id", "text",
+      k = 3, minShared = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 100L)
+    assert(out.head.getLong(2) >= 2) // "the quick brown", "quick brown fox", "brown fox jumps"
+  }
+
+  test("sourceStats: per-source volume, dup rate, chars and language mix") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaa bbb", "en", "s1"), (2L, "AAA BBB ", "en", "s1"), // exact dups
+      (3L, "ccc", "de", "s1"),
+      (4L, "ddd eee fff", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextStats.sourceStats(d, "source", "text", "lang")
+      .orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getInt(1) == 3 && s1.getInt(2) == 2) // 3 docs, 2 unique
+    assert(s1.getDouble(3) == 0.333333) // round(1 - 2/3, 6)
+    assert(s1.getLong(4) == 7 + 8 + 3 && s1.getInt(5) == 2)
+    val s2 = out(1)
+    assert(s2.getInt(1) == 1 && s2.getDouble(3) == 0.0 && s2.getInt(5) == 1)
+  }
+
   test("dupClusters: chain, triangle, singleton resolve to min-id components") {
     import spark.implicits._
     // components: {1,2,3,4} chain, {10,11,12} triangle, {20} singleton
