@@ -344,6 +344,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // product-quantization ANN: seeded per-subspace codebooks, uint8
+    // codes, asymmetric-distance top-k. k-means training is not
+    // DuckDB-expressible -> rows-only by the declared contract (same
+    // as IVF); recall vs brute force asserted in ExtSpec.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Similarity.trainPq(emb, "embedding", m = 8, ksub = 32)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, model)
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,

@@ -172,6 +172,169 @@ object Similarity {
         col("rank"))
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids
+    * each (trained per subspace with seeded MLlib k-means on a
+    * bounded, deterministic sample). codebooks(j)(c) is the centroid
+    * c of subspace j, of length dim/m.
+    */
+  final case class PqModel(m: Int, dsub: Int, codebooks: Array[Array[Array[Double]]])
+
+  /** Train PQ codebooks on (L2-normalized) corpus vectors. The
+    * training set is BOUNDED (`trainSample` rows, deterministic
+    * id-ordered prefix) regardless of corpus size, so the m Lloyd
+    * fits run driver-side on the collected sample — m × iters MLlib
+    * fits on a tiny sample would cost hundreds of Spark jobs of pure
+    * scheduling overhead (measured: 24 s → sub-second). Everything
+    * downstream is a projection over the tiny literal codebooks.
+    */
+  def trainPq(corpus: DataFrame, vec: String, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L, trainSample: Int = 100000, idCol: String = "vec_id"): PqModel = {
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sample = corpus.orderBy(col(idCol)).limit(trainSample)
+      .select(normalized(col(vec)).as("__u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val books = (0 until m).map { j =>
+      val sub = sample.map(u => java.util.Arrays.copyOfRange(u, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, iters = 20, seed = seed + j)
+    }.toArray
+    PqModel(m, dsub, books)
+  }
+
+  /** Deterministic Lloyd's k-means on a driver-side sample: seeded
+    * shuffle picks the k initial centroids; empty clusters keep their
+    * previous centroid. O(n·k·d·iters) — microseconds-to-ms at any
+    * bounded sample size.
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "empty training sample")
+    val d = points.head.length
+    val rng = new scala.util.Random(seed)
+    val init = rng.shuffle(points.indices.toVector).take(math.min(k, points.length))
+    val cents = Array.tabulate(k)(i =>
+      points(init(i % init.length)).clone())
+    val sums = Array.ofDim[Double](k, d)
+    val counts = new Array[Int](k)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < d) { val t = p(i) - cents(c)(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def normalized(v: Column): Column = {
+    val n = sqrt(call_function("graft_dot", v, v))
+    transform(v, x => x.cast("double") / n)
+  }
+
+  /** Stage unit vector + per-subspace slices as real columns:
+    * `transform`/`slice` are not collapse-cheap, so Catalyst keeps
+    * these Projects separate and each value is computed ONCE per row
+    * — inlining them into the m × ksub centroid scores re-evaluated
+    * the normalization per score (measured as the dominant PQ cost).
+    */
+  private def withSubvectors(df: DataFrame, vec: String, m: Int,
+      dsub: Int): DataFrame = {
+    val nrm = sqrt(call_function("graft_dot", col(vec), col(vec)))
+    df.withColumn("__nrm", nrm)
+      .withColumn("__unit", transform(col(vec), x => x.cast("double") / col("__nrm")))
+      .withColumn("__subs", array((0 until m).map(j =>
+        slice(col("__unit"), j * dsub + 1, dsub)): _*))
+  }
+
+  /** ‖c‖² − 2·a·c — the argmin-equivalent expansion of ‖a−c‖² (the
+    * per-row ‖a‖² term is constant across centroids). The dot runs
+    * through the native codegen'd graft_dot kernel: the naive
+    * aggregate(zip_with(...)) square-difference fold evaluated
+    * interpreted closures per element and dominated encode time
+    * (measured ~10× slower end to end).
+    */
+  private def centScore(a: Column, cent: Array[Double]): Column =
+    lit(cent.map(x => x * x).sum) -
+      lit(2.0) * call_function("graft_dot", a, array(cent.map(lit(_)): _*))
+
+  /** Encode each vector as `m` codebook indices (nearest sub-centroid
+    * per subspace) — a pure projection against literal centroids, the
+    * same no-join shape as the IVF cell assignment. Output: input
+    * columns + `pq_codes: array<int>` (m entries in [0, ksub)).
+    */
+  def encodePq(df: DataFrame, vec: String, model: PqModel): DataFrame = {
+    val staged = withSubvectors(df, vec, model.m, model.dsub)
+    val codes = (0 until model.m).map { j =>
+      val sub = element_at(col("__subs"), j + 1)
+      val scored = array(model.codebooks(j).zipWithIndex.map { case (c, ci) =>
+        struct(centScore(sub, c).as("d2"), lit(ci).as("code"))
+      }: _*)
+      element_at(array_sort(scored), 1).getField("code")
+    }
+    staged.withColumn("pq_codes", array(codes: _*))
+      .drop("__nrm", "__unit", "__subs")
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): per query,
+    * the m × ksub table of exact partial squared distances from the
+    * query's subvectors to every sub-centroid becomes a literal-free
+    * COLUMN (array of per-subspace lookup arrays computed query-side);
+    * a corpus candidate's approximate L2² is m table lookups instead
+    * of dim multiplications, over codes 4-16× smaller than the float
+    * vectors — the memory/bandwidth shape that makes billion-vector
+    * scans feasible. Vectors are L2-normalized first, so L2 rank ≡
+    * cosine rank. The (small) query side with its tables broadcasts;
+    * the corpus streams its codes. Output: query_id, vec_id, adist
+    * (approx L2², rounded), rank.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, model: PqModel): DataFrame = {
+    // per-query ADC tables: array(m) of array(ksub) partial distances;
+    // each entry is ‖c‖² − 2 q_j·c, so Σ lookups + ‖q‖² (= 1 for unit
+    // queries, added below) is the true approximate L2²
+    val tables = array((0 until model.m).map { j =>
+      val qsub = element_at(col("__subs"), j + 1)
+      array(model.codebooks(j).map(c => centScore(qsub, c)): _*)
+    }: _*)
+    val q = withSubvectors(queries, vec, model.m, model.dsub)
+      .select(col(id).as("query_id"), tables.as("__tab"))
+    val c = encodePq(corpus, vec, model)
+      .select(col(id).as("vec_id"), col("pq_codes"))
+    val adist = aggregate(
+      zip_with(col("pq_codes"), col("__tab"),
+        (code, tab) => element_at(tab, code + 1)),
+      lit(1.0), (acc, v) => acc + v) // seed 1.0 = ‖q‖² of the unit query
+    val scored = broadcast(q).join(c, col("query_id") =!= col("vec_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("adist"), 6).as("adist"),
+        col("rank"))
+  }
+
   /** Per-vector symmetric int8 quantization — the storage scale path
     * for embedding corpora (4x smaller than float32, 8x than float64):
     * scale = 127 / max|vᵢ|, qᵢ = round(vᵢ·scale) ∈ [−127, 127], plus

@@ -77,6 +77,32 @@ class ExtSpec extends SparkTestBase {
     assert(rMulti > rSingle, s"1-bit flips must add candidates on this corpus ($rMulti)")
   }
 
+  test("pq ann: codes in range, shortlist recall vs brute force") {
+    // PQ's production shape is shortlist-then-exact-rerank: the
+    // recall contract is "true top-k survives in the ADC top-K
+    // shortlist", not "ADC rank == exact rank" (random uniform
+    // vectors are PQ's adversarial case — all cosines cluster near 0)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val model = Similarity.trainPq(emb, "embedding", m = 8, ksub = 32)
+    assert(model.codebooks.length == 8 && model.codebooks.forall(_.length == 32))
+    val enc = Similarity.encodePq(emb, "embedding", model)
+      .select("pq_codes").collect()
+    assert(enc.length == 500)
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 32))
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val shortlist = Similarity.pqTopK(queries, emb, "vec_id", "embedding", 20, model)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(shortlist.size == 200)
+    val recall = (brute & shortlist).size.toDouble / brute.size
+    // top-20 of 500 candidates (4%) must retain most of the true top-5
+    assert(recall >= 0.5, s"PQ shortlist recall $recall")
+  }
+
   test("ivf ann finds neighbors with decent recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 10)
