@@ -65,10 +65,24 @@ object Dedup {
     */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame, id: String,
       threshold: Double, withInter: Boolean): DataFrame = {
-    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.withColumnRenamed(id, "id_a"), "id_a")
-      .join(sh.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
+    // Only candidate documents' shingle sets participate in the
+    // verification — restrict the shingle table FIRST. Without this,
+    // the (id_b, sh60) join and the sizes aggregate shuffle the
+    // ENTIRE corpus' shingles even when candidates are a millionth of
+    // it; with it, the verify tail's shuffles scale with the
+    // candidate volume. Scores stay exact: the restricted table keeps
+    // every shingle of every candidate doc.
+    // Both restriction inputs are reused by several branches below and
+    // carry the whole candidate-generation lineage (band joins,
+    // signatures) — cache them or every branch re-runs that lineage.
+    val candsC = graft.core.Caches.cached(cands)
+    val candIds = candsC.select(col("id_a").as(id))
+      .union(candsC.select(col("id_b").as(id))).distinct()
+    val shC = graft.core.Caches.cached(sh.join(candIds, Seq(id)))
+    val sizes = shC.groupBy(id).agg(count(lit(1)).as("n"))
+    val inter = candsC
+      .join(shC.withColumnRenamed(id, "id_a"), "id_a")
+      .join(shC.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val scored = inter
       .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
