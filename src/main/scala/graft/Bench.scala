@@ -1,12 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 object Bench {
+
+  /** Total JVM GC time in seconds across all collectors. */
+  private def gcSeconds: Double =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum / 1e3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     // Warm-up pass at the SAME scale factor: whole-stage codegen
-    // compilation + JIT happen here once, so the timed pass below
-    // measures steady-state executor throughput (what a long-running
+    // compilation + JIT happen here once, so the timed passes below
+    // measure steady-state executor throughput (what a long-running
     // cluster delivers), not first-query JVM warmup — profiled
     // cold/warm deltas were 2-4x on the heavy queries. Warming at a
     // smaller SF is NOT equivalent: AQE picks different join
@@ -18,16 +26,30 @@ object Bench {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         finally graft.core.Caches.unpersistAll()
       }
+    // Median-of-3 per query: a single timed pass is hostage to one GC
+    // pause or a contended machine (round-3 drift was 2-5x on unchanged
+    // code); the median of three back-to-back passes in the same JVM is
+    // reproducible to ~±20%. GC seconds attributed per query make the
+    // remaining variance diagnosable from the artifact alone.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally graft.core.Caches.unpersistAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to reps).map { _ =>
+        val g0 = gcSeconds
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally graft.core.Caches.unpersistAll()
+        ((System.nanoTime() - t0) / 1e9, gcSeconds - g0)
+      }
+      val sorted = samples.sortBy(_._1)
+      val median = sorted(sorted.size / 2)
+      name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val gc = results.map { case (k, (_, g)) => s"\"" + k + "\":" + f"$g%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1112,11 +1112,11 @@ object SparkEntry {
           |HAVING count(*) >= 2""".stripMargin),
 
     "q_source_stats" ->
-      """SELECT source, CAST(count(*) AS INT) AS n_docs,
-        |       CAST(count(DISTINCT md5(lower(trim(text)))) AS INT) AS n_unique,
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
         |       round(1.0 - count(DISTINCT md5(lower(trim(text)))) * 1.0 / count(*), 6) AS dup_rate,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
-        |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS INT) AS n_en
+        |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
         |FROM documents GROUP BY source""".stripMargin,
 
     "q_ann_lsh_probe" -> {

@@ -64,7 +64,7 @@ object Dedup {
     * left to AQE's runtime size estimate instead of being forced.
     */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame, id: String,
-      threshold: Double, withInter: Boolean): DataFrame = {
+      threshold: Double, withInter: Boolean, nDocs: Long): DataFrame = {
     // Only candidate documents' shingle sets participate in the
     // verification — restrict the shingle table FIRST. Without this,
     // the (id_b, sh60) join and the sizes aggregate shuffle the
@@ -72,13 +72,23 @@ object Dedup {
     // it; with it, the verify tail's shuffles scale with the
     // candidate volume. Scores stay exact: the restricted table keeps
     // every shingle of every candidate doc.
-    // Both restriction inputs are reused by several branches below and
-    // carry the whole candidate-generation lineage (band joins,
-    // signatures) — cache them or every branch re-runs that lineage.
+    // The candidate set is reused by several branches below and
+    // carries the whole candidate-generation lineage (band joins,
+    // signatures) — cache it or every branch re-runs that lineage.
     val candsC = graft.core.Caches.cached(cands)
     val candIds = candsC.select(col("id_a").as(id))
       .union(candsC.select(col("id_b").as(id))).distinct()
-    val shC = graft.core.Caches.cached(sh.join(candIds, Seq(id)))
+    // ADAPTIVE restriction: the join + second cache only pay off when
+    // candidates are a small slice of the corpus (the 100 TB case). On
+    // a corpus where most docs are candidates (high duplication rate,
+    // or a small benchmark SF), the restriction machinery costs more
+    // than the shingles it prunes — so one cheap count of distinct
+    // candidate ids (also materializing the candidate cache we need
+    // anyway) decides: restrict only when candidates cover less than
+    // half the documents. Scores are identical on both paths.
+    val nCand = candIds.count()
+    val shC = if (nCand * 2 >= nDocs) sh
+      else graft.core.Caches.cached(sh.join(candIds, Seq(id)))
     val sizes = shC.groupBy(id).agg(count(lit(1)).as("n"))
     val inter = candsC
       .join(shC.withColumnRenamed(id, "id_a"), "id_a")
@@ -140,7 +150,7 @@ object Dedup {
       .join(idx.as("b"),
         col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
-    verifyJaccard(sh, cands, id, threshold, withInter = true)
+    verifyJaccard(sh, cands, id, threshold, withInter = true, nDocs = df.count())
   }
 
   /** MinHash + LSH near-dup detection. numHashes double-hashed
@@ -185,7 +195,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b")).distinct()
-    verifyJaccard(sh, cands, id, threshold, withInter = false)
+    verifyJaccard(sh, cands, id, threshold, withInter = false, nDocs = df.count())
   }
 
   /** 32-bit SimHash over word occurrences: bit j of the fingerprint is
@@ -293,11 +303,22 @@ object Dedup {
     // a constant two joins over materialized label tables. (On a
     // cluster, reliable checkpointing can replace localCheckpoint
     // when lineage-free fault tolerance is required.)
-    var labels = ids.select(col(id).as("nid"), col(id).as("lbl"))
+    // Seed with one neighbor-min PRE-PASS: round 0's labels are the ids
+    // themselves, so its neighbor-min is computable straight off the
+    // edge table (min incoming src per dst) and its pointer-doubling
+    // hop is the identity — the whole first round folds into one
+    // aggregate + left join at seed time, saving a full loop round
+    // (2 joins + self-join + checkpoint + count).
+    val seedMin = edges.groupBy(col("dst").as("nid"))
+      .agg(min(col("src")).as("__nlbl"))
+    var labels = ids.select(col(id).as("nid"))
+      .join(seedMin, Seq("nid"), "left")
+      .select(col("nid"),
+        least(col("nid"), coalesce(col("__nlbl"), col("nid"))).as("lbl"))
       .localCheckpoint(true)
-    var changed = 1L
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (!converged && it < maxIter) {
       val cur = labels
       // neighbor min: for each dst, the smallest label among its sources
       val nbrMin = edges.join(cur, edges("src") === cur("nid"))
@@ -315,11 +336,18 @@ object Dedup {
           (least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("hlbl")) =!=
             col("lbl")).as("__chg"))
         .localCheckpoint(true)
-      changed = next.filter(col("__chg")).count()
+      // The changed-count is a separate driver job over the (already
+      // materialized) checkpoint; batching it to every 2nd round halves
+      // that scheduling overhead. Running one extra round past the
+      // fixed point is a no-op on the labels, so correctness is
+      // unaffected; the final allowed round is always checked so the
+      // convergence require below stays meaningful.
+      if (it % 2 == 0 || it == maxIter - 1)
+        converged = next.filter(col("__chg")).count() == 0
       labels = next.drop("__chg")
       it += 1
     }
-    require(changed == 0, s"dupClusters did not converge in $maxIter rounds")
+    require(converged, s"dupClusters did not converge in $maxIter rounds")
     labels.select(col("nid").as(id), col("lbl").as("cluster_id"),
       (col("nid") === col("lbl")).as("is_keeper"))
   }

@@ -163,12 +163,14 @@ object TextStats {
         length(col(text)).cast("long").as("__len"),
         (col(lang) === "en").cast("int").as("__en"))
       .groupBy(col(source))
-      .agg(count(lit(1)).cast("int").as("n_docs"),
-        countDistinct(col("__h")).cast("int").as("n_unique"),
+      // counts stay long: at the scorecard's documented scale (billions
+      // of docs per source in a pre-training corpus) int32 overflows
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("n_unique"),
         round(lit(1.0) - countDistinct(col("__h")) * lit(1.0) / count(lit(1)), 6)
           .as("dup_rate"),
         sum(col("__len")).as("sum_chars"),
-        sum(col("__en")).cast("int").as("n_en"))
+        sum(col("__en")).cast("long").as("n_en"))
 
   /** Deterministic sequence packing: assign documents to token-budget
     * batches (the pre-training batching step). Docs are sharded by

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.functions.SlidingMedian
 
@@ -54,7 +54,12 @@ object SlidingMedianStrategy extends SparkStrategy {
     case a @ Alias(WindowExpression(
         AggregateExpression(sm: SlidingMedian, Complete, false, None, _),
         WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, lo, hi))), _) =>
-      (frameBound(lo), frameBound(hi)) match {
+      // The exec's hot loop reads frame values as unboxed doubles;
+      // narrower numeric children (int/long/float — accepted by the
+      // aggregate, which widens in update()) fall through to WindowExec
+      // rather than ClassCastException inside the exec.
+      if (sm.child.dataType != DoubleType) None
+      else (frameBound(lo), frameBound(hi)) match {
         case (Some(l), Some(u)) if l <= 0 && u >= 0 =>
           Some(MedianSpec(a, sm.child, -l, u, math.max(sm.minPeriods, 1)))
         case _ => None

@@ -33,7 +33,10 @@ object Figures {
     val wAll = Window.partitionBy(spec.keyCols: _*)
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
-      .withColumn("__stride", greatest(lit(1), (col("__n") / cap).cast("int")))
+      // ceiling division: a floor stride keeps ceil(n/floor(n/cap))
+      // rows — up to ~2·cap−1 (n=199, cap=100 keeps all 199) — which
+      // breaks the documented ≤ cap driver-collect bound
+      .withColumn("__stride", greatest(lit(1), ceil(col("__n") / cap).cast("int")))
       .filter((col("__rn") - 1) % col("__stride") === 0)
       .drop("__rn", "__n", "__stride")
   }

@@ -11,27 +11,46 @@ import graft.core.{SeriesSpec, SeriesWindows}
   * The one operator that is not a tidy built-in composition: per point
   * i a Gaussian time-kernel weighted least squares on
   * [1, t, sin(2π·doy/365.25), cos(2π·doy/365.25) (, q)] over ALL other
-  * points of the series — O(n²) per series, contained inside
-  * `flatMapGroups` so each series runs as one task on its executor
-  * (the reference runs the same loop single-threaded; our parallel
-  * axis is many series). Weights below 1e-3 of the max are dropped
-  * like the reference (:615-616).
+  * points of the series — O(n²) per series, contained inside a grouped
+  * map so each series runs as one task on its executor (the reference
+  * runs the same loop single-threaded; our parallel axis is many
+  * series). Weights below 1e-3 of the max are dropped like the
+  * reference (:615-616).
   */
 object Wrtds {
 
   /** Adds `wrtds_yhat` and `wrtds_resid` (NULL where the reference
     * yields NaN). Optional discharge column enables the q-kernel.
+    *
+    * Memory discipline: rows arrive per series already TIME-SORTED
+    * (`flatMapSortedGroups` pushes the sort into the shuffle) and are
+    * consumed straight into a [[SeriesStore]] — fixed-size primitive
+    * column blocks whose tail spills to executor-local disk past
+    * `spillAtRows`. The O(n²) kernel then runs i-block × j-block, so a
+    * pathological single series degrades to repeated spilled passes
+    * (O(n²/B) sequential block reads, dominated by the O(n²) compute
+    * they feed), never a task OOM from materializing the series as one
+    * boxed array. Per-task live memory is O(blockRows), plus the
+    * finite-q column when the q-kernel is on (its MAD bandwidth needs
+    * a median over all finite q values).
+    *
+    * Numerics are bit-identical to the materialized form: j is scanned
+    * ascending within and across blocks (same FP accumulation order),
+    * and the reference's max-weight normalization is the identity here
+    * — the self-pair j=i always has weight exactly 1.0 (exp(0)·exp(0))
+    * and every other weight is ≤ 1, so normalizing divides by 1.0.
     */
   def proxy(df: DataFrame, spec: SeriesSpec, qCol: Option[String] = None,
-      htDays: Double = 90.0, minp: Int = 30): DataFrame = {
+      htDays: Double = 90.0, minp: Int = 30,
+      blockRows: Int = 1 << 16, spillAtRows: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Unambiguous composite key: \u0001 separator + NULL sentinel so
+    // Unambiguous composite key:  separator + NULL sentinel so
     // multi-key specs cannot collide ("ab","c" vs "a","bc") and NULL
     // key parts are not silently skipped by concat_ws (which would
     // merge distinct series and cross-match rows in the join-back).
-    val skey = concat_ws("\u0001",
-      spec.keyCols.map(c => coalesce(c.cast("string"), lit("\u0002NULL"))): _*)
+    val skey = concat_ws("",
+      spec.keyCols.map(c => coalesce(c.cast("string"), lit("NULL"))): _*)
     val hasQ = qCol.isDefined
     val prepared = df.select(
       skey.as("__skey"),
@@ -40,81 +59,130 @@ object Wrtds {
       spec.valueCol.cast("double").as("__y"),
       (qCol.map(col(_).cast("double")).getOrElse(lit(null).cast("double"))).as("__q"))
       .as[(String, Long, Double, java.lang.Double, java.lang.Double)]
-    val fitted = prepared.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val rows = it.toArray.sortBy(_._2)
-      val n = rows.length
-      val us = rows.map(_._2)
-      val minUs = us.min
-      val tnum = us.map(u => (u - minUs) / 86400e6) // days
-      val sv = rows.map(r => math.sin(2 * math.Pi * r._3 / 365.25))
-      val cv = rows.map(r => math.cos(2 * math.Pi * r._3 / 365.25))
-      val y = rows.map(r => if (r._4 == null) Double.NaN else r._4.doubleValue())
-      val q = rows.map(r => if (r._5 == null) Double.NaN else r._5.doubleValue())
-      val dim = if (hasQ) 4 else 3
-      def xrow(i: Int): Array[Double] =
-        if (hasQ) Array(tnum(i), sv(i), cv(i), q(i)) else Array(tnum(i), sv(i), cv(i))
-      val finite = (0 until n).map(i =>
-        !y(i).isNaN && xrow(i).forall(v => !v.isNaN && !v.isInfinite)).toArray
-      val idxs = (0 until n).filter(finite).toArray
-      val out = Array.fill[(Double, Double)](n)((Double.NaN, Double.NaN))
-      if (idxs.length >= math.max(minp, 10)) {
-        // q-kernel bandwidth: 3 * MAD of the finite discharge values
-        val qMad = if (hasQ) {
-          val qv = idxs.map(q)
-          val med = medianOf(qv)
-          math.max(1e-9, medianOf(qv.map(v => math.abs(v - med))) * 3)
-        } else 0.0
-        var i = 0
-        while (i < n) {
-          if (finite(i)) {
-            val wAll = idxs.map { j =>
-              val dt = math.abs(tnum(j) - tnum(i))
-              val wt = math.exp(-math.pow(dt / htDays, 2))
-              if (hasQ) wt * math.exp(-math.pow(math.abs(q(j) - q(i)) / qMad, 2))
-              else wt
-            }
-            val wMax = wAll.max
-            val ws = if (wMax > 0) wAll.map(_ / wMax) else wAll
-            val keep = ws.zipWithIndex.filter(_._1 > 1e-3)
-            if (keep.length >= minp) {
-              // solve (A'W²A) beta = A'W²y with A = [1 | X]
-              val p = dim + 1
-              val ata = Array.ofDim[Double](p, p)
-              val aty = Array.ofDim[Double](p)
-              keep.foreach { case (w, kj) =>
-                val j = idxs(kj)
-                val a = Array(1.0) ++ xrow(j)
-                val w2 = w * w
-                var r = 0
-                while (r < p) {
-                  aty(r) += w2 * a(r) * y(j)
-                  var c = 0
-                  while (c < p) { ata(r)(c) += w2 * a(r) * a(c); c += 1 }
-                  r += 1
-                }
-              }
-              solveInPlace(ata, aty).foreach { beta =>
-                val ai = Array(1.0) ++ xrow(i)
-                val yhat = ai.zip(beta).map { case (a, b) => a * b }.sum
-                out(i) = (yhat, y(i) - yhat)
-              }
-            }
-          }
-          i += 1
-        }
-      }
-      (0 until n).iterator.map { i =>
-        val (yh, res) = out(i)
-        (key, us(i),
-          if (yh.isNaN) null else java.lang.Double.valueOf(yh),
-          if (res.isNaN) null else java.lang.Double.valueOf(res))
-      }
-    }.toDF("__skey", "__us", "wrtds_yhat", "wrtds_resid")
+    val fitted = prepared.groupByKey(_._1)
+      .flatMapSortedGroups(col("_2")) { (key, it) =>
+        fitSeries(key, it, hasQ, htDays, minp, blockRows, spillAtRows)
+      }.toDF("__skey", "__us", "wrtds_yhat", "wrtds_resid")
     df.withColumn("__skey", skey)
       .withColumn("__us", unix_micros(spec.tsCol))
       .join(fitted, Seq("__skey", "__us"), "left")
       .drop("__skey", "__us")
   }
+
+  /** One series' blocked WLS kernel. `it` MUST be time-sorted. */
+  private def fitSeries(key: String,
+      it: Iterator[(String, Long, Double, java.lang.Double, java.lang.Double)],
+      hasQ: Boolean, htDays: Double, minp: Int,
+      blockRows: Int, spillAtRows: Int)
+      : Iterator[(String, Long, java.lang.Double, java.lang.Double)] = {
+    val store = new SeriesStore(blockRows, spillAtRows)
+    val qFinite = Array.newBuilder[Double] // q of finite rows, for MAD
+    var minUs = 0L
+    var first = true
+    var nFinite = 0
+    it.foreach { r =>
+      if (first) { minUs = r._2; first = false } // sorted: first = min
+      val tnum = (r._2 - minUs) / 86400e6 // days
+      val sv = math.sin(2 * math.Pi * r._3 / 365.25)
+      val cv = math.cos(2 * math.Pi * r._3 / 365.25)
+      val y = if (r._4 == null) Double.NaN else r._4.doubleValue()
+      val q = if (r._5 == null) Double.NaN else r._5.doubleValue()
+      val fin = !y.isNaN && !tnum.isNaN && !tnum.isInfinite &&
+        !sv.isNaN && !cv.isNaN && (!hasQ || (!q.isNaN && !q.isInfinite))
+      if (fin) { nFinite += 1; if (hasQ) qFinite += q }
+      store.append(r._2, tnum, sv, cv, y, q, fin)
+    }
+    store.seal()
+    val dim = if (hasQ) 4 else 3
+    val p = dim + 1
+    if (nFinite < math.max(minp, 10)) {
+      // below the global support floor every output is NULL
+      closing(store.blocks().flatMap { b =>
+        (0 until b.len).iterator.map(i => (key, b.us(i),
+          null: java.lang.Double, null: java.lang.Double))
+      }, store)
+    } else {
+      // q-kernel bandwidth: 3 * MAD of the finite discharge values
+      val qMad = if (hasQ) {
+        val qv = qFinite.result()
+        val med = medianOf(qv)
+        math.max(1e-9, medianOf(qv.map(v => math.abs(v - med))) * 3)
+      } else 0.0
+      closing(store.blocks().flatMap { ib =>
+        val m = ib.len
+        // flat per-i normal equations: ata[m·p·p], aty[m·p] — the only
+        // O(blockRows) kernel state; solve (A'W²A)β = A'W²y, A = [1|X]
+        val ata = new Array[Double](m * p * p)
+        val aty = new Array[Double](m * p)
+        val kept = new Array[Int](m)
+        val aj = new Array[Double](p)
+        store.blocks().foreach { jb =>
+          var j = 0
+          while (j < jb.len) {
+            if (jb.fin(j)) {
+              aj(0) = 1.0; aj(1) = jb.tnum(j); aj(2) = jb.sv(j); aj(3) = jb.cv(j)
+              if (hasQ) aj(4) = jb.q(j)
+              val yj = jb.y(j)
+              var ii = 0
+              while (ii < m) {
+                if (ib.fin(ii)) {
+                  val dt = math.abs(jb.tnum(j) - ib.tnum(ii))
+                  val wt = math.exp(-math.pow(dt / htDays, 2))
+                  val w = if (hasQ)
+                    wt * math.exp(-math.pow(math.abs(jb.q(j) - ib.q(ii)) / qMad, 2))
+                  else wt
+                  if (w > 1e-3) {
+                    kept(ii) += 1
+                    val w2 = w * w
+                    val mOff = ii * p * p
+                    val vOff = ii * p
+                    var r = 0
+                    while (r < p) {
+                      aty(vOff + r) += w2 * aj(r) * yj
+                      var c = 0
+                      while (c < p) {
+                        ata(mOff + r * p + c) += w2 * aj(r) * aj(c); c += 1
+                      }
+                      r += 1
+                    }
+                  }
+                }
+                ii += 1
+              }
+            }
+            j += 1
+          }
+        }
+        (0 until m).iterator.map { ii =>
+          var yhat = Double.NaN
+          if (ib.fin(ii) && kept(ii) >= minp) {
+            val a = Array.tabulate(p, p)((r, c) => ata(ii * p * p + r * p + c))
+            val b = Array.tabulate(p)(r => aty(ii * p + r))
+            solveInPlace(a, b).foreach { beta =>
+              val ai = if (hasQ)
+                Array(1.0, ib.tnum(ii), ib.sv(ii), ib.cv(ii), ib.q(ii))
+              else Array(1.0, ib.tnum(ii), ib.sv(ii), ib.cv(ii))
+              yhat = ai.zip(beta).map { case (x, b0) => x * b0 }.sum
+            }
+          }
+          (key, ib.us(ii),
+            if (yhat.isNaN) null else java.lang.Double.valueOf(yhat),
+            if (yhat.isNaN) null else java.lang.Double.valueOf(ib.y(ii) - yhat))
+        }
+      }, store)
+    }
+  }
+
+  /** Deletes the store's spill file once `inner` is exhausted. */
+  private def closing[T](inner: Iterator[T], store: SeriesStore): Iterator[T] =
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = inner.hasNext
+        if (!h) store.close()
+        h
+      }
+      def next(): T = inner.next()
+    }
 
   /** Bounded-support 2-term kernel local regression — the
     * SQL-expressible member of the WRTDS family (the full proxy's

@@ -149,11 +149,11 @@ class ExtSpec extends SparkTestBase {
     val out = TextStats.sourceStats(d, "source", "text", "lang")
       .orderBy("source").collect()
     val s1 = out(0)
-    assert(s1.getInt(1) == 3 && s1.getInt(2) == 2) // 3 docs, 2 unique
+    assert(s1.getLong(1) == 3 && s1.getLong(2) == 2) // 3 docs, 2 unique
     assert(s1.getDouble(3) == 0.333333) // round(1 - 2/3, 6)
-    assert(s1.getLong(4) == 7 + 8 + 3 && s1.getInt(5) == 2)
+    assert(s1.getLong(4) == 7 + 8 + 3 && s1.getLong(5) == 2)
     val s2 = out(1)
-    assert(s2.getInt(1) == 1 && s2.getDouble(3) == 0.0 && s2.getInt(5) == 1)
+    assert(s2.getLong(1) == 1 && s2.getDouble(3) == 0.0 && s2.getLong(5) == 1)
   }
 
   test("dupClusters: chain, triangle, singleton resolve to min-id components") {

@@ -26,9 +26,13 @@ class FiguresSpec extends SparkTestBase {
     val df = mkSeries(1000, i => Some(i.toDouble))
     val out = Figures.downsample(df, spec, cap = 100)
       .orderBy("ts").select("value").collect().map(_.getDouble(0))
-    assert(out.length <= 110 && out.length >= 90) // n/ceil-stride slack
+    assert(out.length <= 100 && out.length >= 50) // ceil stride: hard <= cap
     assert(out.toSeq == out.sorted.toSeq) // order preserved
     assert(out.head == 0.0) // first sample kept
+    // adversarial n just under 2*cap: floor stride would keep ALL 199
+    val tight = Figures.downsample(mkSeries(199, i => Some(i.toDouble)), spec,
+      cap = 100).count()
+    assert(tight <= 100 && tight >= 50, s"cap bound violated: $tight")
   }
 
   test("pipeline figures render decodable PNGs with plotted content") {
