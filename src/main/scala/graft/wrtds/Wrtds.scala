@@ -60,7 +60,7 @@ object Wrtds {
       (qCol.map(col(_).cast("double")).getOrElse(lit(null).cast("double"))).as("__q"))
       .as[(String, Long, Double, java.lang.Double, java.lang.Double)]
     val fitted = prepared.groupByKey(_._1)
-      .flatMapSortedGroups(col("_2")) { (key, it) =>
+      .flatMapSortedGroups(col("__us")) { (key, it) =>
         fitSeries(key, it, hasQ, htDays, minp, blockRows, spillAtRows)
       }.toDF("__skey", "__us", "wrtds_yhat", "wrtds_resid")
     df.withColumn("__skey", skey)
