@@ -64,7 +64,7 @@ object Dedup {
     * left to AQE's runtime size estimate instead of being forced.
     */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame, id: String,
-      threshold: Double, withInter: Boolean, nDocs: Long): DataFrame = {
+      threshold: Double, withInter: Boolean): DataFrame = {
     // Only candidate documents' shingle sets participate in the
     // verification — restrict the shingle table FIRST. Without this,
     // the (id_b, sh60) join and the sizes aggregate shuffle the
@@ -85,9 +85,19 @@ object Dedup {
     // than the shingles it prunes — so one cheap count of distinct
     // candidate ids (also materializing the candidate cache we need
     // anyway) decides: restrict only when candidates cover less than
-    // half the documents. Scores are identical on both paths.
+    // half the SHINGLED documents. The denominator is the shingle
+    // table's own distinct-doc count (approximate is fine — this only
+    // picks a perf path), NOT the input corpus count: docs too short
+    // to shingle never appear in `sh`, so corpus count would bias
+    // toward restricting, and it would cost a full extra input scan.
+    // Both counts run over tables that are cached and needed anyway.
+    // NOTE (documented in COVERAGE.md): building a dedup query
+    // therefore fires these two small planning jobs at construction
+    // time, AQE-style. Scores are identical on both paths.
     val nCand = candIds.count()
-    val shC = if (nCand * 2 >= nDocs) sh
+    val nShDocs = sh.agg(approx_count_distinct(col(id)).as("n"))
+      .head().getLong(0)
+    val shC = if (nCand * 2 >= nShDocs) sh
       else graft.core.Caches.cached(sh.join(candIds, Seq(id)))
     val sizes = shC.groupBy(id).agg(count(lit(1)).as("n"))
     val inter = candsC
@@ -150,7 +160,7 @@ object Dedup {
       .join(idx.as("b"),
         col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
-    verifyJaccard(sh, cands, id, threshold, withInter = true, nDocs = df.count())
+    verifyJaccard(sh, cands, id, threshold, withInter = true)
   }
 
   /** MinHash + LSH near-dup detection. numHashes double-hashed
@@ -195,7 +205,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b")).distinct()
-    verifyJaccard(sh, cands, id, threshold, withInter = false, nDocs = df.count())
+    verifyJaccard(sh, cands, id, threshold, withInter = false)
   }
 
   /** 32-bit SimHash over word occurrences: bit j of the fingerprint is
@@ -336,14 +346,13 @@ object Dedup {
           (least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("hlbl")) =!=
             col("lbl")).as("__chg"))
         .localCheckpoint(true)
-      // The changed-count is a separate driver job over the (already
-      // materialized) checkpoint; batching it to every 2nd round halves
-      // that scheduling overhead. Running one extra round past the
-      // fixed point is a no-op on the labels, so correctness is
-      // unaffected; the final allowed round is always checked so the
-      // convergence require below stays meaningful.
-      if (it % 2 == 0 || it == maxIter - 1)
-        converged = next.filter(col("__chg")).count() == 0
+      // The changed-count is a cheap driver job over the (already
+      // materialized) checkpoint — scan of cached blocks only. Check
+      // it EVERY round: batching it to every 2nd round (tried in an
+      // earlier revision) makes a fixed point reached on an odd round
+      // pay one extra full propagation round (2 joins + self-join +
+      // checkpoint), which costs far more than the count it saves.
+      converged = next.filter(col("__chg")).count() == 0
       labels = next.drop("__chg")
       it += 1
     }
