@@ -38,6 +38,16 @@ object GoldenBench {
           timestamp_micros(expr("timestamp div 1000")).as("ts"),
           col(s"${v}__raw").as("value"))
       }.reduce(_ unionByName _), Seq("value"))
+    // Multi-series scaling mode: replicate the corpus to N synthetic
+    // stations (station__r0..r{N-1}) — the direct test of the "more
+    // series = more parallelism" scale claim: per-series work is
+    // identical, only the partition axis widens. N=1 → the plain
+    // 5-series golden corpus.
+    val nStations = sys.env.getOrElse("SPARK_GRAFT_GOLDEN_STATIONS", "1").toInt
+    val longN = if (nStations <= 1) long else
+      long.withColumn("__r", explode(array((0 until nStations).map(lit(_)): _*)))
+        .withColumn("station", concat(col("station"), lit("__r"), col("__r")))
+        .drop("__r")
     val spec = SeriesSpec(Seq("station", "variable"))
     val vcfg = ranges.map { case (v, lo, hi) =>
       v -> VariableConfig(rangeMin = Some(lo), rangeMax = Some(hi))
@@ -47,7 +57,7 @@ object GoldenBench {
       applySentem = false, variables = vcfg)
 
     def once(): (Long, Long, Long, Long) = {
-      val r = Pipeline.run(long, spec, cfg, variableCol = Some("variable"))
+      val r = Pipeline.run(longN, spec, cfg, variableCol = Some("variable"))
       val res = (r.timeseries.count(), r.events.count(),
         r.seasonal.count(), r.meta.count())
       graft.core.Caches.unpersistAll()
@@ -57,8 +67,11 @@ object GoldenBench {
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val (nts, nev, nse, nme) = once()
-      println(f"[golden-bench] rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"(timeseries=$nts events=$nev seasonal=$nse meta=$nme)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[golden-bench] rep $i: $sec%.2f s " +
+        f"(stations=$nStations series=${5 * nStations.max(1)} " +
+        f"timeseries=$nts events=$nev seasonal=$nse meta=$nme " +
+        f"rows_per_s=${nts / sec}%.0f)")
     }
     spark.stop()
   }

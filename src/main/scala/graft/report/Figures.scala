@@ -41,6 +41,21 @@ object Figures {
       .drop("__rn", "__n", "__stride")
   }
 
+  /** Decimal-histogram bar data (plot_decimal_hist binning): first
+    * fractional digit of the non-null values of `valueCol`, 10 bins.
+    * Public so figure CONTENT is assertable against golden-derived
+    * values (FiguresSpec/GoldenSpec pin bar heights, not pixels).
+    */
+  def decimalHist(series: DataFrame, valueCol: String)
+      : (Array[Double], Array[Double]) = {
+    val hist = series.filter(col(valueCol).isNotNull)
+      .groupBy(floor(pmod(col(valueCol), lit(1.0)) * 10).cast("int").as("bin"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val centers = (0 until 10).map(b => b / 10.0 + 0.05).toArray
+    val heights = (0 until 10).map(b => hist.getOrElse(b, 0L).toDouble).toArray
+    (centers, heights)
+  }
+
   private def tsUs(rows: Array[Row], i: Int): Array[Double] =
     rows.map(r => r.getTimestamp(i).getTime * 1000.0)
 
@@ -118,11 +133,7 @@ object Figures {
 
     // 5. decimal histogram (plot_decimal_hist, :320-331) — binned in
     // Spark, 10 numbers cross the driver boundary
-    val hist = series.filter(col("clean").isNotNull)
-      .groupBy(floor(pmod(col("clean"), lit(1.0)) * 10).cast("int").as("bin"))
-      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val centers = (0 until 10).map(b => b / 10.0 + 0.05).toArray
-    val heights = (0 until 10).map(b => hist.getOrElse(b, 0L).toDouble).toArray
+    val (centers, heights) = decimalHist(series, "clean")
     emit("decimal_hist.png", Plot.render(Seq(Plot.Panel(
       "Decimal distribution", "Fractional part [0..1)", "Count",
       bars = Some((centers, heights)))), width = 700, heightPerPanel = 260))

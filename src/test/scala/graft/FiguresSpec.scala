@@ -35,6 +35,29 @@ class FiguresSpec extends SparkTestBase {
     assert(tight <= 100 && tight >= 50, s"cap bound violated: $tight")
   }
 
+  test("decimal-hist figure data matches golden-derived bar heights") {
+    // Figure CONTENT parity, not pixels: the decimal-histogram bar
+    // heights computed by the figure layer over the golden corpus's
+    // committed O2 raw series must equal the histogram derived
+    // independently (plain Scala over the collected values, same
+    // first-fractional-digit binning as plot_decimal_hist).
+    val gold = spark.read.parquet("/root/reference/scripts/water_qc_output/" +
+      "processed/Erkenruh_Einruhr/Erkenruh_Einruhr__qc_timeseries.parquet")
+      .select(col("SurfaceWaterConcentration_O2_mg_L-1__raw").as("clean"))
+      .filter(!isnan(col("clean")))
+    val (centers, heights) = Figures.decimalHist(gold, "clean")
+    assert(centers.toSeq == (0 until 10).map(b => b / 10.0 + 0.05))
+    val vals = gold.collect().map(_.getDouble(0))
+    val expected = new Array[Double](10)
+    vals.foreach { v =>
+      val frac = ((v % 1.0) + 1.0) % 1.0 // pmod semantics
+      expected(math.min(9, (frac * 10).toInt)) += 1
+    }
+    assert(vals.length > 90000, s"golden O2 series unexpectedly small: ${vals.length}")
+    assert(heights.toSeq == expected.toSeq,
+      s"bar heights ${heights.toSeq} != golden-derived ${expected.toSeq}")
+  }
+
   test("pipeline figures render decodable PNGs with plotted content") {
     // a series with flags, flat runs and gaps so every figure has data
     val df = mkSeries(600, i =>
