@@ -319,12 +319,20 @@ object Dedup {
     // hop is the identity — the whole first round folds into one
     // aggregate + left join at seed time, saving a full loop round
     // (2 joins + self-join + checkpoint + count).
+    // Iterate over the CONTRACTED graph only: a node with no edge can
+    // never change its label, so isolated docs — the overwhelming
+    // majority of any real corpus — are excluded from every round's
+    // joins and folded back with a single left join at the end. Round
+    // cost scales with the duplicate-pair volume, not the corpus size:
+    // at 100 TB the label table inside the loop is the (tiny) dup
+    // subgraph, not billions of singleton docs. The seed aggregate's
+    // key set (edge dst endpoints, both directions unioned) IS the
+    // contracted node set, so seeding needs no extra join at all.
     val seedMin = edges.groupBy(col("dst").as("nid"))
       .agg(min(col("src")).as("__nlbl"))
-    var labels = ids.select(col(id).as("nid"))
-      .join(seedMin, Seq("nid"), "left")
+    var labels = seedMin
       .select(col("nid"),
-        least(col("nid"), coalesce(col("__nlbl"), col("nid"))).as("lbl"))
+        least(col("nid"), col("__nlbl")).as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -333,7 +341,12 @@ object Dedup {
       // neighbor min: for each dst, the smallest label among its sources
       val nbrMin = edges.join(cur, edges("src") === cur("nid"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      // pointer doubling: my label's current label
+      // pointer doubling: my label's current label. (A 4-step composed
+      // hop — m2 = lbl∘lbl, m4 = m2∘m2 — was tried and measured: round
+      // count stayed at 7 while rounds got costlier, because the
+      // binding constraint here is neighbor-min edge propagation, not
+      // pointer-chain depth; deeper shortcuts don't push labels across
+      // edges any faster.)
       val hop = cur.select(col("lbl").as("hop_from"), col("nid"))
         .join(cur.select(col("nid").as("hop_from"), col("lbl").as("hlbl")),
           "hop_from")
@@ -345,19 +358,29 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("hlbl")).as("lbl"),
           (least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("hlbl")) =!=
             col("lbl")).as("__chg"))
-        .localCheckpoint(true)
-      // The changed-count is a cheap driver job over the (already
-      // materialized) checkpoint — scan of cached blocks only. Check
-      // it EVERY round: batching it to every 2nd round (tried in an
-      // earlier revision) makes a fixed point reached on an odd round
-      // pay one extra full propagation round (2 joins + self-join +
-      // checkpoint), which costs far more than the count it saves.
+        .localCheckpoint(false)
+      // LAZY checkpoint + count = ONE job per round: the count action
+      // materializes the checkpoint blocks it scans, so the round pays
+      // a single scheduling barrier instead of eager-materialize +
+      // count (measured ~0.1 s/round at sf0.1; plan truncation is
+      // identical — Dataset.localCheckpoint cuts lineage regardless of
+      // eagerness). Check convergence EVERY round: batching the count
+      // to every 2nd round (tried in an earlier revision) makes a
+      // fixed point reached on an odd round pay one extra full
+      // propagation round, which costs far more than the count it
+      // saves.
       converged = next.filter(col("__chg")).count() == 0
       labels = next.drop("__chg")
       it += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        println(s"[cc] round $it converged=$converged t=${System.nanoTime()}")
     }
     require(converged, s"dupClusters did not converge in $maxIter rounds")
-    labels.select(col("nid").as(id), col("lbl").as("cluster_id"),
-      (col("nid") === col("lbl")).as("is_keeper"))
+    // fold isolated nodes back in: no edge → own cluster, keeper
+    ids.select(col(id).as("nid"))
+      .join(labels.withColumnRenamed("lbl", "__lbl"), Seq("nid"), "left")
+      .select(col("nid").as(id),
+        coalesce(col("__lbl"), col("nid")).as("cluster_id"),
+        (col("nid") === coalesce(col("__lbl"), col("nid"))).as("is_keeper"))
   }
 }
