@@ -427,6 +427,17 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(Tables.documents(s, dir), "doc_id", "text", k = 3, p = 4)),
 
+    // Gopher-style word-repetition quality signals (dup-word /
+    // top-unigram / top-bigram fractions), shuffle-free per doc.
+    "q_repetition" -> ((s, dir) =>
+      TextStats.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // context-window chunking: 120-char chunks on a 90-char stride
+    // (30-char overlap), scan-local explode.
+    "q_chunks" -> ((s, dir) =>
+      TextStats.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 120, stride = 90)),
+
     // train/test decontamination: training docs sharing >= 2 distinct
     // 3-shingles with any benchmark doc (deterministic mod-29 split
     // stands in for the eval suite).
@@ -1337,6 +1348,47 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_selected,
           |       md5(array_to_string(list_sort(list(CAST(h AS VARCHAR))), ',')) AS fingerprint
           |FROM sel GROUP BY doc_id""".stripMargin),
+
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS i
+        |  FROM d WHERE len(ws) > 0
+        |), wc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |         count(*) AS nd, max(c) AS tc
+        |  FROM wc GROUP BY 1
+        |), bp AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |), bc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM bp GROUP BY 1, 2
+        |), bt AS (
+        |  SELECT doc_id, max(c) AS tb FROM bc GROUP BY 1
+        |)
+        |SELECT uni.doc_id, nw AS n_words, nd AS n_distinct_words,
+        |       round(1.0 - nd * 1.0 / nw, 6) AS dup_word_frac,
+        |       round(tc * 1.0 / nw, 6) AS top_word_frac,
+        |       round(CASE WHEN nw >= 2 THEN tb * 1.0 / (nw - 1)
+        |                  ELSE 0.0 END, 6) AS top_bigram_frac
+        |FROM uni LEFT JOIN bt ON uni.doc_id = bt.doc_id""".stripMargin,
+
+    "q_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, ((length(text)-1)//90)+1)) AS chunk_id
+        |  FROM documents WHERE length(text) > 0
+        |)
+        |SELECT doc_id, chunk_id,
+        |       1 + chunk_id*90 AS start_offset,
+        |       substr(text, (1 + chunk_id*90)::BIGINT, 120) AS chunk_text
+        |FROM c""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id,

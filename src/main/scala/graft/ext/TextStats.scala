@@ -196,6 +196,76 @@ object TextStats {
       .drop("__cum")
   }
 
+  /** Gopher-style repetition signals — the word-level repetition
+    * filters a pre-training curation pass runs per document: duplicate
+    * word fraction (1 − distinct/total), top-unigram fraction, and
+    * top-bigram fraction. Computed entirely with array higher-order
+    * functions (split → sort → one fold): the max term frequency is
+    * the longest equal-run in the sorted token array, so there is NO
+    * explode and NO shuffle — each document is scored inside its scan
+    * task, the shape that stays embarrassingly parallel at 100 TB.
+    * Docs with zero words are dropped (no meaningful ratios).
+    * Output: id, n_words, n_distinct_words, dup_word_frac,
+    * top_word_frac, top_bigram_frac.
+    */
+  def repetitionStats(df: DataFrame, id: String, text: String): DataFrame = {
+    val ws = filter(split(lower(trim(col(text))), "\\s+"),
+      w => w =!= lit(""))
+    // longest run of equal adjacent elements in the sorted array ==
+    // max term frequency; one codegen'd fold, long arithmetic only
+    def maxRun(arr: Column): Column = aggregate(
+      sort_array(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bi = transform(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))
+    val n = size(ws).cast("long")
+    val nd = size(array_distinct(ws)).cast("long")
+    df.select(col(id), ws.as("__ws"), bi.as("__bi"),
+        n.as("n_words"), nd.as("n_distinct_words"))
+      .filter(col("n_words") > 0)
+      .select(col(id), col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words") * lit(1.0) / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(maxRun(col("__ws")) * lit(1.0) / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(when(col("n_words") >= 2,
+            maxRun(col("__bi")) * lit(1.0) / (col("n_words") - 1))
+          .otherwise(lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  /** Context-window document chunking: fixed-size character chunks on
+    * a fixed stride (overlap = chunkSize − stride), the step that
+    * splits long documents into model-window pieces. One
+    * sequence+explode per doc — chunk count is derived from the
+    * length column, so the explode never materializes beyond the
+    * doc's own chunks and the operator stays scan-local (no shuffle).
+    * Empty docs yield no chunks. The final chunk may be shorter than
+    * chunkSize (no padding). Output: id, chunk_id (0-based),
+    * start_offset (1-based char), chunk_text.
+    */
+  def chunkDocs(df: DataFrame, id: String, text: String,
+      chunkSize: Int = 120, stride: Int = 90): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize: size=$chunkSize stride=$stride")
+    val t = col(text)
+    df.filter(length(t) > 0)
+      .select(col(id), t.as("__t"),
+        explode(sequence(lit(0L),
+          floor((length(t) - 1) / lit(stride)).cast("long"))).as("chunk_id"))
+      .select(col(id), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_offset"),
+        col("__t").substr((col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("chunk_text"))
+  }
+
   /** Mod-p sampled shingle-hash fingerprint (winnowing-style document
     * signature): 60-bit hashes of k-word shingles, keep those ≡ 0
     * (mod p), fingerprint = md5 of the sorted kept hashes.

@@ -186,6 +186,65 @@ class ExtSpec extends SparkTestBase {
     assert(out.count(_.getBoolean(2)) == 1)
   }
 
+  test("dupClusters: random graphs match a union-find oracle") {
+    import spark.implicits._
+    // seeded generator → deterministic test; shapes mix sparse random
+    // edges (many small components) and a dense slice (one giant one)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 80 + trial * 40
+      val edges = (1 to n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map { i =>
+        // component min = root under min-union (parent chain decreases)
+        (i.toLong, find(i).toLong)
+      }.toMap
+      val ids = (0L until n).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val out = Dedup.dupClusters(ids, pairs, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.core.Caches.unpersistAll()
+      assert(out == expect, s"trial $trial (n=$n) diverged from union-find")
+    }
+  }
+
+  test("repetitionStats: dup/top-unigram/top-bigram fractions by hand") {
+    import spark.implicits._
+    // "a a a b": 4 words, 2 distinct, top word a=3/4,
+    // bigrams [a a, a a, a b] -> top 2/3
+    val d = Seq((1L, "a a a b"), (2L, "x"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2, "all-whitespace doc must be dropped")
+    val r1 = out(0)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 2)
+    assert(r1.getDouble(3) == 0.5)
+    assert(r1.getDouble(4) == 0.75)
+    assert(r1.getDouble(5) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    val r2 = out(1) // single word: no bigrams -> 0.0
+    assert(r2.getLong(1) == 1 && r2.getDouble(4) == 1.0 && r2.getDouble(5) == 0.0)
+  }
+
+  test("chunkDocs: stride/overlap boundaries and short tail") {
+    import spark.implicits._
+    val d = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val out = TextStats.chunkDocs(d, "doc_id", "text", chunkSize = 5, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, "abcde"), (1L, 1L, 4L, "defgh"),
+      (1L, 2L, 7L, "ghij"), (1L, 3L, 10L, "j")))
+  }
+
   test("multimodal decode stub: schema, batching, null handling") {
     import spark.implicits._
     val d = Seq((1L, "hello"), (2L, null.asInstanceOf[String]))
