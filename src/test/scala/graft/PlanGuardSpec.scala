@@ -79,6 +79,18 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionStats and chunkDocs plan with zero exchanges") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, sfDir)
+      val rep = graft.ext.TextStats.repetitionStats(docs, "doc_id", "text")
+      assert(shuffleCount(rep) == 0,
+        "repetitionStats must score each doc inside its scan task")
+      val ch = graft.ext.TextStats.chunkDocs(docs, "doc_id", "text")
+      assert(shuffleCount(ch) == 0,
+        "chunkDocs must stay scan-local (explode, no shuffle)")
+    }
+  }
+
   test("ns time-slice predicates reach the parquet scan as pushed filters") {
     withStaticPlans {
       val lo = 1500000000000000L
