@@ -438,6 +438,12 @@ object SparkEntry {
       TextStats.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
         chunkSize = 120, stride = 90)),
 
+    // vocabulary top-100: occurrences + doc frequency per word,
+    // lexicographic tie-break (deterministic cross-engine).
+    "q_vocab" -> ((s, dir) =>
+      TextStats.wordFrequencies(Tables.documents(s, dir), "doc_id", "text",
+        k = 100)),
+
     // train/test decontamination: training docs sharing >= 2 distinct
     // 3-shingles with any benchmark doc (deterministic mod-29 split
     // stands in for the eval suite).
@@ -1389,6 +1395,18 @@ object SparkEntry {
         |       1 + chunk_id*90 AS start_offset,
         |       substr(text, (1 + chunk_id*90)::BIGINT, 120) AS chunk_text
         |FROM c""".stripMargin,
+
+    "q_vocab" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents
+        |)
+        |SELECT word, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM w GROUP BY 1
+        |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id,

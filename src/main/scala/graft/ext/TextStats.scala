@@ -266,6 +266,26 @@ object TextStats {
           lit(chunkSize)).as("chunk_text"))
   }
 
+  /** Global word-frequency top-k — the vocabulary-building /
+    * tokenizer-training prep pass: total occurrences and document
+    * frequency per word, top k by count. One shuffle on the word key
+    * with map-side partial aggregation (hot words — "the" at corpus
+    * scale — combine inside each scan task before shuffling, so the
+    * skew lands pre-reduced); the top-k is TakeOrderedAndProject over
+    * the aggregated vocabulary, never a global sort of it.
+    * Deterministic: ties break lexicographically.
+    * Output: word, n_occurrences, n_docs — top k rows.
+    */
+  def wordFrequencies(df: DataFrame, id: String, text: String,
+      k: Int = 100): DataFrame =
+    df.select(col(id), explode(split(lower(trim(col(text))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(id)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("word").asc)
+      .limit(k)
+
   /** Mod-p sampled shingle-hash fingerprint (winnowing-style document
     * signature): 60-bit hashes of k-word shingles, keep those ≡ 0
     * (mod p), fingerprint = md5 of the sorted kept hashes.

@@ -234,6 +234,15 @@ class ExtSpec extends SparkTestBase {
     assert(r2.getLong(1) == 1 && r2.getDouble(4) == 1.0 && r2.getDouble(5) == 0.0)
   }
 
+  test("wordFrequencies: counts, doc frequency, deterministic ties") {
+    import spark.implicits._
+    val d = Seq((1L, "b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.wordFrequencies(d, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a and b both occur twice; tie breaks lexicographically (a first)
+    assert(out.toSeq == Seq(("a", 2L, 2L), ("b", 2L, 1L)))
+  }
+
   test("chunkDocs: stride/overlap boundaries and short tail") {
     import spark.implicits._
     val d = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
