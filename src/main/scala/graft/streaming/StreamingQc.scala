@@ -57,6 +57,84 @@ object StreamingQc {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** One LSH bucket occupancy event for the streaming near-dup
+    * detector (public for the encoder).
+    */
+  final case class BucketHit(band: Int, key: Long, docId: Long,
+      eventTime: java.sql.Timestamp)
+
+  /** Doc ids seen in one (band, key) bucket (public for the state
+    * encoder).
+    */
+  final case class BucketState(ids: Array[Long])
+
+  /** A near-duplicate candidate pair surfaced by a shared bucket. */
+  final case class CandidatePair(idA: Long, idB: Long, band: Int)
+
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
+    * streaming face of `ext.Dedup.minHashLsh` up to (not including)
+    * the exact-Jaccard verify tail, which needs both docs' full
+    * shingle sets and therefore stays a batch/offline join.
+    *
+    * Signatures and band keys are the IDENTICAL expressions to the
+    * batch operator (Dedup.minHashSigCols — per-row fold, stateless),
+    * so batch and stream agree on which bucket a document lands in.
+    * State is keyed by (band, bucket key): the doc ids seen in that
+    * bucket, capped at `maxBucketSize` (a boilerplate-hot bucket stops
+    * accumulating — recall loss on pathological buckets is the
+    * documented trade that bounds state; the batch path has no cap)
+    * and expired by event-time timeout `stateTtl` past the watermark,
+    * so total state is bounded by bucket-diversity inside the TTL
+    * horizon, not stream length. A pair sharing m bands is emitted m
+    * times (once per band) — downstream consumers dedupe or verify;
+    * candidates, like the batch operator's, have LSH recall semantics.
+    * Input must carry an event-time column already watermarked by the
+    * caller.
+    */
+  def nearDupCandidatesStream(df: DataFrame, id: String, text: String,
+      eventTimeCol: String, k: Int = 2, numHashes: Int = 12, bands: Int = 6,
+      maxBucketSize: Int = 64, stateTtl: String = "1 hour")
+      : Dataset[CandidatePair] = {
+    import df.sparkSession.implicits._
+    // same single-expression band computation as the batch operator;
+    // the watermarked event-time column must survive projection all
+    // the way into the stateful operator (event-time timeout tracks it)
+    val hits = df.select(col(id).as("__id"), col(eventTimeCol).as("__et"),
+        explode(graft.ext.Dedup.minHashBands(col(text), k, numHashes, bands))
+          .as("bk"))
+      .filter(col("bk.key").isNotNull)
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("__id").as("docId"), col("__et").as("eventTime"))
+      .as[BucketHit]
+    hits.groupByKey(h => (h.band, h.key))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bk, events, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = scala.collection.mutable.ArrayBuffer(
+              state.getOption.map(_.ids).getOrElse(Array.empty[Long]): _*)
+            val evs = events.toSeq.sortBy(e => (e.eventTime.getTime, e.docId))
+            val out = scala.collection.mutable.Buffer.empty[CandidatePair]
+            var maxMs = Long.MinValue
+            evs.foreach { e =>
+              maxMs = math.max(maxMs, e.eventTime.getTime)
+              if (!seen.contains(e.docId)) {
+                seen.foreach { o =>
+                  out += CandidatePair(math.min(o, e.docId),
+                    math.max(o, e.docId), bk._1)
+                }
+                if (seen.length < maxBucketSize) seen += e.docId
+              }
+            }
+            state.update(BucketState(seen.toArray))
+            if (maxMs != Long.MinValue)
+              state.setTimeoutTimestamp(maxMs, stateTtl)
+            out.iterator
+          }
+      }
+  }
+
   /** Per-event row for the stateful gap detector. */
   final case class SeriesEvent(skey: String, tsUs: Long, value: java.lang.Double)
 

@@ -234,6 +234,33 @@ class ExtSpec extends SparkTestBase {
     assert(r2.getLong(1) == 1 && r2.getDouble(4) == 1.0 && r2.getDouble(5) == 0.0)
   }
 
+  test("per-row minhash signatures equal the shingle-table groupBy aggregation") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50)
+    // historical groupBy formulation (what the oracle SQL still mirrors)
+    val sh = Dedup.shinglesHashed(docs, "doc_id", "text", 2)
+    val hex = md5(col("sh60").cast("string"))
+    val shH = sh
+      .withColumn("__h1", conv(substring(hex, 1, 15), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(hex, 16, 11), 16, 10).cast("long"))
+    val aggs = (0 until 12).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"sig_$i"))
+    val viaAgg = shH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaFold = docs
+      .select(col("doc_id"), Dedup.minHashSigArray(col("text"), 2, 12).as("sa"))
+      .filter(element_at(col("sa"), 1).isNotNull)
+      .select(col("doc_id") +: (0 until 12).map(i =>
+        element_at(col("sa"), i + 1).as(s"sig_$i")): _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    graft.core.Caches.unpersistAll()
+    assert(viaFold.length == viaAgg.length && viaFold.nonEmpty)
+    viaAgg.zip(viaFold).foreach { case (a, f) =>
+      assert(a == f, s"signature mismatch for doc ${a.head}")
+    }
+  }
+
   test("wordFrequencies: counts, doc frequency, deterministic ties") {
     import spark.implicits._
     val d = Seq((1L, "b a b"), (2L, "a c")).toDF("doc_id", "text")

@@ -111,6 +111,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates surface a planted pair across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDS().toDF("doc_id", "ts", "text")
+      .withWatermark("ts", "1 hour")
+    val out = StreamingQc.nearDupCandidatesStream(df, "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("nddout")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(min.toLong))
+      val base = "the quick brown fox jumps over the lazy dog near the river bank"
+      input.addData((1L, t(0), base),
+        (3L, t(1), "completely unrelated text about spark physical plans"))
+      q.processAllAvailable()
+      // the near-dup arrives a BATCH LATER — bucket state must remember doc 1
+      input.addData((2L, t(10), base + " today"))
+      q.processAllAvailable()
+      val pairs = spark.table("nddout").select("idA", "idB").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"planted pair missing: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc must not pair: $pairs")
+    } finally q.stop()
+  }
+
   test("stateless flags work unchanged on a stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
