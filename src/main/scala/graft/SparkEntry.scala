@@ -334,6 +334,16 @@ object SparkEntry {
       Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.2, bucketBits = 8)),
 
+    // embedding-space near-dup families: cosine pairs (the already
+    // oracle-exact q_embed_pairs generator) closed into components —
+    // the grouping step a semantic-dedup pass runs after pair finding.
+    "q_embed_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.2, bucketBits = 8)
+      Dedup.dupClusters(emb.select("vec_id"), pairs, "vec_id")
+    }),
+
     "q_ann_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
@@ -1092,6 +1102,28 @@ object SparkEntry {
            |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |)
            |SELECT id_a, id_b, round(cos0, 6) AS cosine FROM p WHERE cos0 >= 0.2""".stripMargin),
+
+    // components over the cosine-pair graph: same recursive closure as
+    // q_dedup_clusters, over the q_embed_pairs generator (pair set
+    // already proven hash-exact, closure is integer-domain).
+    "q_embed_clusters" ->
+      (normCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", nb AS (
+           |  SELECT *, $bucketSql AS bucket FROM n
+           |), pr AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.2
+           |), e AS (
+           |  SELECT id_a AS a, id_b AS b FROM pr
+           |  UNION ALL SELECT id_b, id_a FROM pr
+           |), reach(id, r) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+           |)
+           |SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS is_keeper
+           |FROM reach GROUP BY id""".stripMargin),
 
     "q_ann_brute" ->
       (normCte +
