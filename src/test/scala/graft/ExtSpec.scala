@@ -281,6 +281,24 @@ class ExtSpec extends SparkTestBase {
       (1L, 2L, 7L, "ghij"), (1L, 3L, 10L, "j")))
   }
 
+  test("chunkDocs: strided prefixes reassemble the original document") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 20L).map(i =>
+      (i, rnd.alphanumeric.take(1 + rnd.nextInt(400)).mkString)).toDF("doc_id", "text")
+    for ((size, stride) <- Seq((5, 3), (64, 64), (120, 90))) {
+      val chunks = TextStats.chunkDocs(docs, "doc_id", "text", size, stride)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(_.getString(3))).toMap
+      docs.collect().foreach { r =>
+        val (id, t) = (r.getLong(0), r.getString(1))
+        val cs = chunks(id)
+        val rebuilt = cs.init.map(_.take(stride)).mkString + cs.last
+        assert(rebuilt == t, s"doc $id not reassembled at ($size,$stride)")
+      }
+    }
+  }
+
   test("multimodal decode stub: schema, batching, null handling") {
     import spark.implicits._
     val d = Seq((1L, "hello"), (2L, null.asInstanceOf[String]))

@@ -138,6 +138,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup bucket cap bounds state: capped-out docs never pair") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDS().toDF("doc_id", "ts", "text")
+      .withWatermark("ts", "1 hour")
+    val out = StreamingQc.nearDupCandidatesStream(df, "doc_id", "text", "ts",
+      maxBucketSize = 1)
+    val q = out.writeStream.format("memory").queryName("ndcap")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(min.toLong))
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      input.addData((1L, t(0), base), (2L, t(1), base), (3L, t(2), base))
+      q.processAllAvailable()
+      val pairs = spark.table("ndcap").select("idA", "idB").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // cap=1: only doc 1 is retained per bucket, so 2 and 3 each pair
+      // with 1 but never with each other
+      assert(pairs == Set((1L, 2L), (1L, 3L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("stateless flags work unchanged on a stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
