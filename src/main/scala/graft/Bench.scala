@@ -49,7 +49,17 @@ object Bench {
     val gc = results.map { case (k, (_, g)) => s"\"" + k + "\":" + f"$g%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"reps":$reps,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // Self-contained artifact: the driver captures only a stdout tail,
+    // which truncated the round-5 record to 22/58 medians. Writing the
+    // full JSON to a file keeps every per-query median recoverable.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    if (outPath.nonEmpty && outPath != "none")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
   }
 }

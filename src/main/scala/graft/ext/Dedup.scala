@@ -94,11 +94,19 @@ object Dedup {
     // NOTE (documented in COVERAGE.md): building a dedup query
     // therefore fires these two small planning jobs at construction
     // time, AQE-style. Scores are identical on both paths.
-    val nCand = candIds.count()
-    val nShDocs = sh.agg(approx_count_distinct(col(id)).as("n"))
-      .head().getLong(0)
-    val shC = if (nCand * 2 >= nShDocs) sh
-      else graft.core.Caches.cached(sh.join(candIds, Seq(id)))
+    // SPARK_GRAFT_VERIFY_RESTRICT=on|off pins the decision for A/B
+    // measurement (and skips the two planning jobs); default "auto"
+    // is the adaptive heuristic above.
+    val shC = sys.env.get("SPARK_GRAFT_VERIFY_RESTRICT") match {
+      case Some("on") => graft.core.Caches.cached(sh.join(candIds, Seq(id)))
+      case Some("off") => sh
+      case _ =>
+        val nCand = candIds.count()
+        val nShDocs = sh.agg(approx_count_distinct(col(id)).as("n"))
+          .head().getLong(0)
+        if (nCand * 2 >= nShDocs) sh
+        else graft.core.Caches.cached(sh.join(candIds, Seq(id)))
+    }
     val sizes = shC.groupBy(id).agg(count(lit(1)).as("n"))
     val inter = candsC
       .join(shC.withColumnRenamed(id, "id_a"), "id_a")
@@ -218,7 +226,7 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup detection. numHashes double-hashed
-    * min-signatures per doc (see [[minHashSigCols]] — per-row fold,
+    * min-signatures per doc (see [[minHashSigArray]] — per-row fold,
     * no signature shuffle); signatures grouped into `bands` bands
     * whose arithmetic mix is the LSH bucket key; docs sharing any
     * (band, key) bucket are candidates; candidates are verified with
@@ -240,7 +248,8 @@ object Dedup {
     // still gets built for verification. The fold remains the right
     // shape where no shuffle is available at all — the STREAMING
     // detector (StreamingQc.nearDupCandidatesStream) uses it, and
-    // MinHashEquivalence in ExtSpec pins both formulations equal.
+    // ExtSpec's "per-row minhash signatures equal the shingle-table
+    // groupBy aggregation" pins both formulations equal.
     // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle row
     // yields two independent sub-hashes (h1: 60 bits, h2: 44 bits);
     // signature_i = min(h1 + i·h2) is then pure long arithmetic — no

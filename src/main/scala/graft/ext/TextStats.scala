@@ -199,20 +199,36 @@ object TextStats {
   /** Gopher-style repetition signals — the word-level repetition
     * filters a pre-training curation pass runs per document: duplicate
     * word fraction (1 − distinct/total), top-unigram fraction, and
-    * top-bigram fraction. Computed entirely with array higher-order
-    * functions (split → sort → one fold): the max term frequency is
-    * the longest equal-run in the sorted token array, so there is NO
-    * explode and NO shuffle — each document is scored inside its scan
-    * task, the shape that stays embarrassingly parallel at 100 TB.
+    * top-bigram fraction. Two interchangeable formulations (identical
+    * results, pinned equal in ExtSpec): [[repetitionStatsFold]] — per-doc
+    * sorted-array folds, zero shuffle, interpreted lambdas — and
+    * [[repetitionStatsRelational]] — explode + codegen'd hash
+    * aggregates, two shuffles. Default is the fold (shuffle-free: each
+    * document is scored inside its scan task, the shape that stays
+    * embarrassingly parallel at 100 TB); the A/B numbers live in
+    * COVERAGE.md. SPARK_GRAFT_REPETITION_IMPL=relational switches.
     * Docs with zero words are dropped (no meaningful ratios).
     * Output: id, n_words, n_distinct_words, dup_word_frac,
     * top_word_frac, top_bigram_frac.
     */
-  def repetitionStats(df: DataFrame, id: String, text: String): DataFrame = {
+  def repetitionStats(df: DataFrame, id: String, text: String): DataFrame =
+    sys.env.get("SPARK_GRAFT_REPETITION_IMPL") match {
+      case Some("relational") => repetitionStatsRelational(df, id, text)
+      case _ => repetitionStatsFold(df, id, text)
+    }
+
+  /** Shuffle-free formulation: per-doc sorted-array folds. NOTE: the
+    * `aggregate` lambdas evaluate INTERPRETED (higher-order-function
+    * lambdas sit outside whole-stage codegen — measured in COVERAGE.md
+    * §2.9), so this trades interpreted per-row CPU for zero shuffle.
+    */
+  private[graft] def repetitionStatsFold(df: DataFrame, id: String,
+      text: String): DataFrame = {
     val ws = filter(split(lower(trim(col(text))), "\\s+"),
       w => w =!= lit(""))
     // longest run of equal adjacent elements in the sorted array ==
-    // max term frequency; one codegen'd fold, long arithmetic only
+    // max term frequency; one fold (interpreted — see method doc),
+    // long arithmetic only
     def maxRun(arr: Column): Column = aggregate(
       sort_array(arr),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
@@ -238,6 +254,48 @@ object TextStats {
           .as("top_word_frac"),
         round(when(col("n_words") >= 2,
             maxRun(col("__bi")) * lit(1.0) / (col("n_words") - 1))
+          .otherwise(lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  /** Relational formulation of [[repetitionStats]]: explode unigrams
+    * and bigrams (tagged) into one long table, count term frequencies
+    * with a codegen'd two-level hash aggregate, and fold back to one
+    * row per doc. Two shuffles on (id, kind, term) / (id), but every
+    * operator stays inside whole-stage codegen with map-side partial
+    * aggregation. Semantics identical to the fold (max term frequency
+    * == longest equal-run of the sorted token array).
+    */
+  private[graft] def repetitionStatsRelational(df: DataFrame, id: String,
+      text: String): DataFrame = {
+    val ws = filter(split(lower(trim(col(text))), "\\s+"),
+      w => w =!= lit(""))
+    val bi = transform(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))
+    val terms = df
+      .select(col(id), ws.as("__ws"), bi.as("__bi"))
+      .filter(size(col("__ws")) > 0)
+      .select(col(id), explode(concat(
+        transform(col("__ws"), w => struct(lit(0).as("kind"), w.as("term"))),
+        transform(col("__bi"), b => struct(lit(1).as("kind"), b.as("term")))))
+        .as("t"))
+      .select(col(id), col("t.kind").as("kind"), col("t.term").as("term"))
+    val tf = terms.groupBy(col(id), col("kind"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val uni = col("kind") === 0
+    tf.groupBy(col(id))
+      .agg(
+        sum(when(uni, col("c"))).as("n_words"),
+        count(when(uni, lit(1))).as("n_distinct_words"),
+        max(when(uni, col("c"))).as("__max_w"),
+        max(when(!uni, col("c"))).as("__max_b"))
+      .select(col(id), col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words") * lit(1.0) / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(col("__max_w") * lit(1.0) / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(when(col("n_words") >= 2,
+            coalesce(col("__max_b"), lit(0L)) * lit(1.0) / (col("n_words") - 1))
           .otherwise(lit(0.0)), 6).as("top_bigram_frac"))
   }
 

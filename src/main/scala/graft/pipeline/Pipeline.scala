@@ -116,7 +116,8 @@ object Pipeline {
             .select((spec.keyCols :+ spec.tsCol :+
               col("value_masked").as("sm_masked") :+
               col("is_flagged").as("sm_flagged") :+
-              col("flag_reason").as("sm_flagreason")): _*)
+              col("flag_reason").as("sm_flagreason") :+
+              col("qcband_top") :+ col("qcband_bottom")): _*)
         }
         val sm = smParts.reduce(_ unionByName _)
         d.join(sm, spec.keys :+ spec.ts, "left")
@@ -137,9 +138,11 @@ object Pipeline {
         when(col("clean").isNull || col("saqc_flag") || col("wrtds_spike"),
           lit(null)).otherwise(col("clean")))
 
+    // qcband_top/bottom ride along for the figure layer only — the
+    // wide/CSV sinks keep the reference's persisted layout without them
     val tsCols = spec.keyCols ++ Seq(spec.tsCol, col("raw"), col("clean"),
       col("accepted"), col("saqc_flag"), col("sm_masked"), col("sm_flagged"),
-      col("sm_flagreason"))
+      col("sm_flagreason"), col("qcband_top"), col("qcband_bottom"))
     val meta = step
       .join(Sentinels.activeCodesList(df, spec), spec.keys, "left")
       .withColumn("wrtds_ok", lit(wrtdsOn))
@@ -150,6 +153,8 @@ object Pipeline {
     .withColumn("sm_masked", lit(null).cast("double"))
     .withColumn("sm_flagged", lit(null).cast("boolean"))
     .withColumn("sm_flagreason", lit(null).cast("string"))
+    .withColumn("qcband_top", lit(null).cast("double"))
+    .withColumn("qcband_bottom", lit(null).cast("double"))
 
   /** Range bounds per variable via a when-chain (NULL = unbounded). */
   private def perVariableRange(cfg: PipelineConfig, varCol: Option[Column])

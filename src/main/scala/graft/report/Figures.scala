@@ -62,6 +62,52 @@ object Figures {
   private def dbl(rows: Array[Row], i: Int): Array[Double] =
     rows.map(r => if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
 
+  /** |Δ| successive differences of `clean` per series — the y-series
+    * of the quant_diffs figure (`plot_quant_diffs`,
+    * ufz_water_qc_pipeline.py:333-343: `s.diff().abs()` — NULL
+    * propagates through the lag like pandas NaN).
+    */
+  def withAbsDiff(series: DataFrame, spec: SeriesSpec): DataFrame = {
+    val w = Window.partitionBy(spec.keyCols: _*).orderBy(spec.tsCol)
+    series.withColumn("absdiff",
+      abs(col("clean") - lag(col("clean"), 1).over(w)))
+  }
+
+  /** The season→coverage matrix the coverage heatmap plots: fixed
+    * DJF/MAM/JJA/SON order, absent or NULL seasons drawn as 0 (the
+    * reference heatmap's fillna(0), `plot_heatmap_coverage`,
+    * ufz_water_qc_pipeline.py:359-371).
+    */
+  def coverageMatrix(seasonal: DataFrame): Seq[(String, Double)] = {
+    val cov = seasonal.select(col("season"), col("coverage_pct")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+    Seq("DJF", "MAM", "JJA", "SON").map(s => s -> cov.getOrElse(s, 0.0))
+  }
+
+  /** QC-band line data exactly as the reference's band plot draws it
+    * (`plot_combined_log_gap`, sentemqc.py:118-127): non-positive band
+    * values become NaN (the log-scale filter), then any point whose
+    * time delta to the previous point exceeds 10× the inferred base
+    * step (median positive delta; 15 min fallback — sentemqc.py:61-72)
+    * is NaN'd so the line breaks across gaps. `xsUs` must be
+    * time-sorted.
+    */
+  def bandLine(xsUs: Array[Double], v: Array[Double]): Array[Double] = {
+    val pos = v.map(x => if (x > 0) x else Double.NaN)
+    if (xsUs.length <= 1) return pos
+    val deltas = xsUs.sliding(2).map(p => p(1) - p(0)).filter(_ > 0).toArray
+    val stepUs = if (xsUs.length < 3 || deltas.isEmpty) 15 * 60 * 1e6
+      else { java.util.Arrays.sort(deltas); deltas(deltas.length / 2) }
+    val gapUs = 10 * stepUs
+    val out = pos.clone()
+    var i = 1
+    while (i < out.length) {
+      if (xsUs(i) - xsUs(i - 1) > gapUs) out(i) = Double.NaN
+      i += 1
+    }
+    out
+  }
+
   /** All figures for one variable of a pipeline Result. Returns the
     * written paths. `timeseries` must already be filtered to one
     * (station, variable) series — same contract as the reference's
@@ -79,12 +125,17 @@ object Figures {
     }
 
     // one bounded collect of the downsampled series feeds 4 figures
-    val w = Window.partitionBy(spec.keyCols: _*).orderBy(spec.tsCol)
-    val withDiff = series
-      .withColumn("absdiff", abs(col("clean") - lag(col("clean"), 1).over(w)))
+    val withDiff = withAbsDiff(series, spec)
+    // band columns are plot-only (the reference never persists them);
+    // draw them when the caller's series carries them
+    val hasBand = series.columns.contains("qcband_top") &&
+      series.columns.contains("qcband_bottom")
+    val baseCols = Seq(spec.tsCol, col("raw"), col("clean"), col("accepted"),
+      col("saqc_flag"), col("sm_masked"), col("sm_flagged"), col("absdiff"))
+    val selCols = if (hasBand)
+      baseCols ++ Seq(col("qcband_top"), col("qcband_bottom")) else baseCols
     val ds = downsample(withDiff, spec, maxPoints)
-      .select(spec.tsCol, col("raw"), col("clean"), col("accepted"),
-        col("saqc_flag"), col("sm_masked"), col("sm_flagged"), col("absdiff"))
+      .select(selCols: _*)
       .orderBy(spec.tsCol)
       .collect()
     if (ds.isEmpty) return written.toSeq
@@ -139,11 +190,8 @@ object Figures {
       bars = Some((centers, heights)))), width = 700, heightPerPanel = 260))
 
     // 6. seasonal coverage heatmap (plot_heatmap_coverage, :359-371)
-    val cov = seasonal.select(col("season"), col("coverage_pct")).collect()
-      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
-    val order = Seq("DJF", "MAM", "JJA", "SON")
     emit("coverage.png", Plot.heatmap(
-      order.map(s => s -> cov.getOrElse(s, 0.0)), "Coverage per season [%]"))
+      coverageMatrix(seasonal), "Coverage per season [%]"))
 
     // 7. gaussian compare, 2 panels (plot_gaussian_compare, :373-389):
     // smooth + residual computed IN SPARK (RollingStats.gaussianSmooth
@@ -172,10 +220,24 @@ object Figures {
     if (ds.exists(r => !r.isNullAt(5)) || smFlagged.exists(identity)) {
       val sm = dbl(ds, 5)
       val sfx = xs.zip(raw).zip(smFlagged).collect { case ((x, y), true) => (x, y) }
+      // QC band top/bottom in grey when the series carries the band
+      // columns (plot_combined_log_gap, sentemqc.py:125-127:
+      // positive-filtered, gap-broken, drawn only if any point is left)
+      val bandSeries =
+        if (!hasBand) Seq.empty
+        else {
+          val top = bandLine(xs, dbl(ds, 8))
+          val bot = bandLine(xs, dbl(ds, 9))
+          if (top.exists(d => !d.isNaN) && bot.exists(d => !d.isNaN))
+            Seq(Plot.Series("QC band top", Plot.BandGrey, xs, top, 0.8f),
+              Plot.Series("QC band bottom", Plot.BandGrey, xs, bot, 0.8f))
+          else Seq.empty
+        }
       emit("sentem.png", Plot.render(Seq(Plot.Panel(
         s"$name — SentemQC", "Time", name,
-        series = Seq(Plot.Series("Raw", Plot.Raw, xs, raw, 0.6f),
-          Plot.Series("Masked", Plot.Green, xs, sm, 0.8f)),
+        series = Seq(Plot.Series("Raw", Plot.Raw, xs, raw, 0.6f)) ++
+          bandSeries ++
+          Seq(Plot.Series("Masked", Plot.Green, xs, sm, 0.8f)),
         markers = Seq(Plot.Markers("Flagged", Plot.Orange,
           sfx.map(_._1), sfx.map(_._2))),
         xIsTimeUs = true))))

@@ -24,6 +24,7 @@ object Plot {
   val Blue = new Color(0x1f, 0x77, 0xb4)
   val Orange = new Color(0xff, 0x7f, 0x0e)
   val Green = new Color(0x2c, 0xa0, 0x2c)
+  val BandGrey = new Color(0x77, 0x77, 0x77) // COLOR_QCBAND_GREY, sentemqc.py:17
 
   final case class Series(label: String, color: Color, xs: Array[Double],
       ys: Array[Double], lw: Float = 1.0f)

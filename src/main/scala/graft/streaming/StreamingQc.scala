@@ -63,10 +63,12 @@ object StreamingQc {
   final case class BucketHit(band: Int, key: Long, docId: Long,
       eventTime: java.sql.Timestamp)
 
-  /** Doc ids seen in one (band, key) bucket (public for the state
-    * encoder).
+  /** Doc ids seen in one (band, key) bucket, plus the newest event
+    * time observed for the bucket so the TTL is anchored to the
+    * newest event EVER seen, not just the current batch's (public for
+    * the state encoder).
     */
-  final case class BucketState(ids: Array[Long])
+  final case class BucketState(ids: Array[Long], maxEventMs: Long)
 
   /** A near-duplicate candidate pair surfaced by a shared bucket. */
   final case class CandidatePair(idA: Long, idB: Long, band: Int)
@@ -77,12 +79,15 @@ object StreamingQc {
     * shingle sets and therefore stays a batch/offline join.
     *
     * Signatures and band keys are the IDENTICAL expressions to the
-    * batch operator (Dedup.minHashSigCols — per-row fold, stateless),
+    * batch operator (Dedup.minHashSigArray — per-row fold, stateless),
     * so batch and stream agree on which bucket a document lands in.
     * State is keyed by (band, bucket key): the doc ids seen in that
     * bucket, capped at `maxBucketSize` (a boilerplate-hot bucket stops
     * accumulating — recall loss on pathological buckets is the
-    * documented trade that bounds state; the batch path has no cap)
+    * documented trade that bounds state; the batch path has no cap.
+    * A doc arriving at a full bucket is NOT recorded, so if the same
+    * doc id is re-delivered in a later batch it re-emits its candidate
+    * pairs — the downstream per-pair dedupe already covers this)
     * and expired by event-time timeout `stateTtl` past the watermark,
     * so total state is bounded by bucket-diversity inside the TTL
     * horizon, not stream length. A pair sharing m bands is emitted m
@@ -112,11 +117,15 @@ object StreamingQc {
         (bk, events, state: GroupState[BucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            val prior = state.getOption
             val seen = scala.collection.mutable.ArrayBuffer(
-              state.getOption.map(_.ids).getOrElse(Array.empty[Long]): _*)
+              prior.map(_.ids).getOrElse(Array.empty[Long]): _*)
             val evs = events.toSeq.sortBy(e => (e.eventTime.getTime, e.docId))
             val out = scala.collection.mutable.Buffer.empty[CandidatePair]
-            var maxMs = Long.MinValue
+            // seed with the stored max so a late batch carrying only
+            // older (still-valid) events can't pull the expiry earlier
+            // than stateTtl past the newest event already in state
+            var maxMs = prior.map(_.maxEventMs).getOrElse(Long.MinValue)
             evs.foreach { e =>
               maxMs = math.max(maxMs, e.eventTime.getTime)
               if (!seen.contains(e.docId)) {
@@ -127,7 +136,7 @@ object StreamingQc {
                 if (seen.length < maxBucketSize) seen += e.docId
               }
             }
-            state.update(BucketState(seen.toArray))
+            state.update(BucketState(seen.toArray, maxMs))
             if (maxMs != Long.MinValue)
               state.setTimeoutTimestamp(maxMs, stateTtl)
             out.iterator

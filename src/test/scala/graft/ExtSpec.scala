@@ -234,10 +234,23 @@ class ExtSpec extends SparkTestBase {
     assert(r2.getLong(1) == 1 && r2.getDouble(4) == 1.0 && r2.getDouble(5) == 0.0)
   }
 
+  test("repetitionStats fold and relational formulations agree on real docs") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = TextStats.repetitionStatsFold(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val b = TextStats.repetitionStatsRelational(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
+  }
+
   test("per-row minhash signatures equal the shingle-table groupBy aggregation") {
     import spark.implicits._
+    // deterministic predicate, not limit(50): limit picks whichever
+    // partitions answer first, so two separate jobs could compare
+    // different doc sets
     val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
-      .limit(50)
+      .filter(col("doc_id") < 50)
     // historical groupBy formulation (what the oracle SQL still mirrors)
     val sh = Dedup.shinglesHashed(docs, "doc_id", "text", 2)
     val hex = md5(col("sh60").cast("string"))

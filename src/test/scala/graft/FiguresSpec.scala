@@ -58,6 +58,120 @@ class FiguresSpec extends SparkTestBase {
       s"bar heights ${heights.toSeq} != golden-derived ${expected.toSeq}")
   }
 
+  test("coverage heatmap matrix matches the golden seasonal summary") {
+    // Figure CONTENT parity: the DJF/MAM/JJA/SON coverage matrix the
+    // heatmap plots, built from OUR seasonal stats over the golden O2
+    // raw series, must equal the reference's committed
+    // __seasonal_summary.csv coverage_pct values.
+    // same prep as the reference (and GoldenSpec): +01:00 wall time
+    // (seasons bin by LOCAL month), sentinels → delta → 2h gap mask
+    val v = "SurfaceWaterConcentration_O2_mg_L-1"
+    val sspec = SeriesSpec(Seq("station", "variable"))
+    val raw = graft.sources.Ingest.nanToNull(
+      goldenWide.select(lit("st").as("station"), lit(v).as("variable"),
+        timestamp_micros(expr("timestamp div 1000 + 3600000000")).as("ts"),
+        col(s"${v}__raw").as("value")),
+      Seq("value"))
+    val d1 = graft.core.TimeIndex.withDeltaUs(
+      graft.operators.Sentinels.mask(raw, sspec), sspec)
+    val step = graft.core.TimeIndex.inferStep(d1, sspec)
+    val clean = graft.operators.Gaps(d1, sspec, gapHours = 2.0)
+    val seasonal = graft.operators.Seasonal.stats(clean, sspec, step)
+    val matrix = Figures.coverageMatrix(seasonal)
+    val goldCsv = scala.io.Source.fromFile(
+      "/root/reference/scripts/water_qc_output/reports/tables/" +
+        s"Erkenruh_Einruhr/${v}__seasonal_summary.csv").getLines().toSeq
+    val gold = goldCsv.drop(1).map(_.split(",")).map(c => c(0) -> c(1).toDouble).toMap
+    assert(matrix.map(_._1) == Seq("DJF", "MAM", "JJA", "SON"))
+    matrix.foreach { case (season, cov) =>
+      val g = gold(season)
+      // our seasonal stats round to 6 decimals (oracle determinism)
+      assert(math.abs(cov - g) < 5e-7, s"$season: $cov != golden $g")
+    }
+  }
+
+  test("quant-diffs figure series matches golden-derived |diff|") {
+    // The |Δ| y-series the quant_diffs figure plots over the golden O2
+    // clean series vs an independent rollup of the same column (plain
+    // Scala over the collected time-sorted values, pandas diff().abs()
+    // semantics: missing neighbors propagate).
+    val v = "SurfaceWaterConcentration_O2_mg_L-1"
+    val clean = goldenWide
+      .select(lit("st").as("station"), lit(v).as("variable"),
+        timestamp_micros(expr("timestamp div 1000")).as("ts"),
+        col(s"${v}__clean").as("clean"))
+    val cleanN = graft.sources.Ingest.nanToNull(clean, Seq("clean"))
+    val sspec = SeriesSpec(Seq("station", "variable"))
+    val got = Figures.withAbsDiff(cleanN, sspec)
+      .orderBy("ts").select("clean", "absdiff").collect()
+      .map(r => (if (r.isNullAt(0)) Double.NaN else r.getDouble(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+    assert(got.length > 90000)
+    var prev = Double.NaN
+    got.foreach { case (c, d) =>
+      val exp = math.abs(c - prev) // NaN-propagating like pandas diff
+      assert((d.isNaN && exp.isNaN) || d == exp, s"absdiff $d != derived $exp")
+      prev = c
+    }
+    assert(got.count(!_._2.isNaN) > 80000, "diff series unexpectedly sparse")
+  }
+
+  test("sentem band-line data applies the reference's positive filter and gap breaks") {
+    // plot_combined_log_gap (sentemqc.py:118-127): band values <= 0
+    // become NaN, and a point whose time delta to its predecessor
+    // exceeds 10x the inferred (median) base step is NaN'd so the line
+    // breaks. Pinned on a hand-built series with both features plus a
+    // golden-scale smoke check below.
+    val xs = Array(0.0, 60e6, 120e6, 180e6, 1e9, 1e9 + 60e6) // 60s step, one gap
+    val top = Array(1.0, -2.0, 0.0, 3.0, 4.0, 5.0)
+    val line = Figures.bandLine(xs, top)
+    assert(line(0) == 1.0)
+    assert(line(1).isNaN, "non-positive band value must not plot")
+    assert(line(2).isNaN, "zero band value must not plot (log-scale filter)")
+    assert(line(3) == 3.0)
+    assert(line(4).isNaN, "first point after a >10-step gap must break the line")
+    assert(line(5) == 5.0)
+    // golden-scale: bands computed by our SentemQC over the committed
+    // O2 raw series survive the transform with plottable content
+    val v = "SurfaceWaterConcentration_O2_mg_L-1"
+    val raw = goldenSeries(v)
+    val sspec = SeriesSpec(Seq("station", "variable"))
+    val banded = graft.sentem.SentemQc(
+      raw.withColumnRenamed("value", "__smv"), sspec.copy(value = "__smv"),
+      400, graft.sentem.SentemConfig.byCode(400), isNitrate = false)
+      .orderBy("ts").select("ts", "qcband_top", "qcband_bottom").collect()
+    val bxs = banded.map(_.getTimestamp(0).getTime * 1000.0)
+    def nn(i: Int) = banded.map(r =>
+      if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+    val topLine = Figures.bandLine(bxs, nn(1))
+    val botLine = Figures.bandLine(bxs, nn(2))
+    // the golden O2 grid is the 5-sensor UNION grid: 89,042 of its
+    // 94,077 points are 0.0 fills (absent sensor), which the
+    // non-positive pre-mask nulls — so the band is defined around the
+    // 5,035 positive observations only
+    val n = topLine.count(!_.isNaN)
+    assert(n >= 4000 && n <= 5500, s"band line finite-point count off: $n")
+    // where both lines plot, top >= bottom (band geometry)
+    topLine.zip(botLine).foreach { case (t, b) =>
+      if (!t.isNaN && !b.isNaN) assert(t >= b, s"band inverted: $t < $b")
+    }
+  }
+
+  private lazy val goldenWide = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(
+      "/root/reference/scripts/water_qc_output/processed/Erkenruh_Einruhr/" +
+        "Erkenruh_Einruhr__qc_timeseries.parquet")
+  }
+
+  /** One golden variable's raw series in long layout (nan → null). */
+  private def goldenSeries(v: String) =
+    graft.sources.Ingest.nanToNull(
+      goldenWide.select(lit("st").as("station"), lit(v).as("variable"),
+        timestamp_micros(expr("timestamp div 1000")).as("ts"),
+        col(s"${v}__raw").as("value")),
+      Seq("value"))
+
   test("pipeline figures render decodable PNGs with plotted content") {
     // a series with flags, flat runs and gaps so every figure has data
     val df = mkSeries(600, i =>
