@@ -50,9 +50,14 @@ object SpillBench {
     }
     // warm-up (codegen + JIT) on the spill-off shape
     Wrtds.proxy(d, spec, minp = 30).count()
-    val off = run("spill-off", blockRows = 1 << 16, spillAtRows = Int.MaxValue)
+    // default-shape control, then a SAME-blockRows pair so the on/off
+    // ratio isolates the disk round-trip (block size is a separate
+    // axis: small blocks are cache-friendlier for the i×j kernel)
+    val defBlk = run("default", blockRows = 1 << 16, spillAtRows = Int.MaxValue)
+    val off = run("spill-off", blockRows = 2048, spillAtRows = Int.MaxValue)
     val on = run("spill-on", blockRows = 2048, spillAtRows = 0)
-    println(f"[spill-bench] ratio on/off = ${on / off}%.3f")
+    println(f"[spill-bench] ratio on/off (same blockRows) = ${on / off}%.3f; " +
+      f"small-vs-default block = ${off / defBlk}%.3f")
     spark.stop()
   }
 }

