@@ -162,6 +162,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup TTL anchors to the running max event time, not the batch max") {
+    // Regression for the r5 ADVICE finding: a later batch carrying an
+    // OLDER (still-valid) event for a bucket must not pull the bucket's
+    // expiry earlier than stateTtl past the newest event already in
+    // state. Timeline (watermark delay 10 min, TTL 1 h):
+    //   batch 1: doc 1 at 1:00  -> expiry anchored at 2:00
+    //   batch 2: doc 2 at 0:55 (same bucket, older, above watermark)
+    //            buggy anchor: 0:55 + 1h = 1:55; fixed: stays 2:00
+    //   batches 3-4: unrelated docs push the watermark to 1:57-1:58 —
+    //            between the buggy and correct expiries; batch 4 gives
+    //            the bucket a no-data batch in which a buggy timeout
+    //            would fire and drop the state
+    //   batch 5: doc 4 (same bucket, 1:59) must still pair with BOTH
+    //            1 and 2 — state survived only if the anchor held
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDS().toDF("doc_id", "ts", "text")
+      .withWatermark("ts", "10 minutes")
+    val out = StreamingQc.nearDupCandidatesStream(df, "doc_id", "text", "ts",
+      stateTtl = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ndttl")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(min.toLong))
+      val base = "the quick brown fox jumps over the lazy dog near the river bank"
+      input.addData((1L, t(60), base))
+      q.processAllAvailable()
+      input.addData((2L, t(55), base)) // older but above watermark (0:50)
+      q.processAllAvailable()
+      input.addData((3L, t(127), "completely unrelated text about spark plans"))
+      q.processAllAvailable() // watermark -> 1:57
+      input.addData((5L, t(128), "another unrelated filler document entirely"))
+      q.processAllAvailable() // no-data batch for the bucket at wm 1:57
+      input.addData((4L, t(119), base))
+      q.processAllAvailable()
+      val pairs = spark.table("ndttl").select("idA", "idB").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"same-bucket pair missing: $pairs")
+      assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)),
+        s"state expired early — TTL anchored to batch max, not running max: $pairs")
+    } finally q.stop()
+  }
+
   test("stateless flags work unchanged on a stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
