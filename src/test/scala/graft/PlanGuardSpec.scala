@@ -91,6 +91,19 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline timeseries keeps its shuffle budget") {
+    withStaticPlans {
+      try {
+        val df = SparkEntry.queries("q_pipeline")(spark, sfDir)
+        val n = shuffleCount(df)
+        // downstream of the persisted cleaned base the final assembly
+        // plans 2 shuffles; side-band columns (sm_*, qcband_*) must
+        // ride existing joins, never add an exchange
+        assert(n <= 2, s"q_pipeline plans $n shuffles — assembly regressed")
+      } finally graft.core.Caches.unpersistAll()
+    }
+  }
+
   test("ns time-slice predicates reach the parquet scan as pushed filters") {
     withStaticPlans {
       val lo = 1500000000000000L
