@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.SeriesSpec
-import graft.pipeline.{Pipeline, PipelineConfig}
+import graft.pipeline.{Pipeline, PipelineConfig, VariableConfig}
 import graft.report.{Figures, Plot}
 
 /** PNG figure sink: the report layer renders real PNGs headlessly and
@@ -171,6 +171,29 @@ class FiguresSpec extends SparkTestBase {
         timestamp_micros(expr("timestamp div 1000")).as("ts"),
         col(s"${v}__raw").as("value")),
       Seq("value"))
+
+  test("sentem-enabled pipeline draws grey QC band lines in the sentem figure") {
+    // end-to-end cover of the fig-8 band path: pipeline with a sentem
+    // code -> qcband columns ride the timeseries -> forVariable draws
+    // the gap-broken grey lines
+    val df = mkSeries(600, i =>
+      if (i % 97 == 0) None else Some(8.0 + 2 * math.sin(i / 15.0)))
+    val cfg = PipelineConfig(kVariance = 6, kZscore = 8, applySentem = true,
+      variables = Map("v1" -> VariableConfig(sentemCode = Some(400))))
+    val r = Pipeline.run(df, spec, cfg, variableCol = Some("variable"))
+    assert(r.timeseries.columns.contains("qcband_top"))
+    val outDir = java.nio.file.Files.createTempDirectory("figsb").toString
+    val written = Figures.writeAll(r, spec, "variable", outDir, maxPoints = 500)
+    graft.core.Caches.unpersistAll()
+    val sentem = written.find(_.endsWith("sentem.png"))
+    assert(sentem.isDefined, s"sentem figure missing: ${written.map(_.split('/').last)}")
+    val img = javax.imageio.ImageIO.read(new java.io.File(sentem.get))
+    var grey = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      if ((img.getRGB(x, y) & 0xffffff) == (Plot.BandGrey.getRGB & 0xffffff))
+        grey += 1
+    assert(grey > 50, s"band lines not drawn ($grey BandGrey pixels)")
+  }
 
   test("pipeline figures render decodable PNGs with plotted content") {
     // a series with flags, flat runs and gaps so every figure has data
