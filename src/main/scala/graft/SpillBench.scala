@@ -26,11 +26,18 @@ object SpillBench {
     val spark = Sessions.local()
     // ONE worst-case series: the first nRows deduped events
     // (deterministic event-time order) remapped to a single key — the
-    // exact long-series shape the spill path exists for.
-    val d = Tables.eventsSeries(spark, sfDir)
-      .orderBy(col("ts"), col("user_id"))
+    // exact long-series shape the spill path exists for. Timestamps
+    // are deduped AFTER the remap: different users share timestamps,
+    // and duplicate (key, ts) pairs would make proxy's join-back
+    // many-to-many, polluting the timed work with join amplification.
+    val d = graft.core.TimeIndex.dedupKeepFirst(
+        Tables.eventsSeries(spark, sfDir)
+          .select(lit(0L).as("user_id"), col("ts"), col("value"),
+            col("user_id").as("__tb")),
+        Tables.eventsSpec, col("__tb"))
+      .drop("__tb")
+      .orderBy(col("ts"))
       .limit(nRows)
-      .select(lit(0L).as("user_id"), col("ts"), col("value"))
       .coalesce(1)
     d.persist().count() // pin the input so both variants fit identical rows
     val spec = Tables.eventsSpec

@@ -272,18 +272,24 @@ object TextStats {
     val bi = transform(
       slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
       (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))
+    // per-ROW key, not per-id: the fold scores each input row
+    // independently, so a duplicated doc id must yield one output row
+    // per input row, not a merged term-frequency table. The rowid
+    // never leaves this method.
     val terms = df
       .select(col(id), ws.as("__ws"), bi.as("__bi"))
+      .withColumn("__rid", monotonically_increasing_id())
       .filter(size(col("__ws")) > 0)
-      .select(col(id), explode(concat(
+      .select(col(id), col("__rid"), explode(concat(
         transform(col("__ws"), w => struct(lit(0).as("kind"), w.as("term"))),
         transform(col("__bi"), b => struct(lit(1).as("kind"), b.as("term")))))
         .as("t"))
-      .select(col(id), col("t.kind").as("kind"), col("t.term").as("term"))
-    val tf = terms.groupBy(col(id), col("kind"), col("term"))
+      .select(col(id), col("__rid"), col("t.kind").as("kind"),
+        col("t.term").as("term"))
+    val tf = terms.groupBy(col(id), col("__rid"), col("kind"), col("term"))
       .agg(count(lit(1)).as("c"))
     val uni = col("kind") === 0
-    tf.groupBy(col(id))
+    tf.groupBy(col(id), col("__rid"))
       .agg(
         sum(when(uni, col("c"))).as("n_words"),
         count(when(uni, lit(1))).as("n_distinct_words"),

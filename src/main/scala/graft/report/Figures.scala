@@ -87,18 +87,32 @@ object Figures {
   /** QC-band line data exactly as the reference's band plot draws it
     * (`plot_combined_log_gap`, sentemqc.py:118-127): non-positive band
     * values become NaN (the log-scale filter), then any point whose
-    * time delta to the previous point exceeds 10× the inferred base
-    * step (median positive delta; 15 min fallback — sentemqc.py:61-72)
-    * is NaN'd so the line breaks across gaps. `xsUs` must be
-    * time-sorted.
+    * time delta to the previous point exceeds 10× the base step
+    * (median positive delta; 15 min fallback — sentemqc.py:61-72) is
+    * NaN'd so the line breaks across gaps. `xsUs` must be time-sorted.
+    *
+    * Pass `stepUs` measured on the FULL-RESOLUTION series (e.g. via
+    * `TimeIndex.inferStep`) when `xsUs` is downsampled: inferring from
+    * strided xs would inflate the break threshold by the stride, so
+    * outages the reference breaks on would draw connected. When
+    * `stepUs` is NaN the step is inferred from `xsUs` itself
+    * (np.median semantics — even-count deltas average the middle two).
     */
-  def bandLine(xsUs: Array[Double], v: Array[Double]): Array[Double] = {
+  def bandLine(xsUs: Array[Double], v: Array[Double],
+      stepUs: Double = Double.NaN): Array[Double] = {
     val pos = v.map(x => if (x > 0) x else Double.NaN)
     if (xsUs.length <= 1) return pos
     val deltas = xsUs.sliding(2).map(p => p(1) - p(0)).filter(_ > 0).toArray
-    val stepUs = if (xsUs.length < 3 || deltas.isEmpty) 15 * 60 * 1e6
-      else { java.util.Arrays.sort(deltas); deltas(deltas.length / 2) }
-    val gapUs = 10 * stepUs
+    val step =
+      if (!stepUs.isNaN) stepUs
+      else if (xsUs.length < 3 || deltas.isEmpty) 15 * 60 * 1e6
+      else {
+        java.util.Arrays.sort(deltas)
+        val m = deltas.length
+        if (m % 2 == 1) deltas(m / 2)
+        else (deltas(m / 2 - 1) + deltas(m / 2)) / 2.0
+      }
+    val gapUs = 10 * step
     val out = pos.clone()
     var i = 1
     while (i < out.length) {
@@ -127,14 +141,31 @@ object Figures {
     // one bounded collect of the downsampled series feeds 4 figures
     val withDiff = withAbsDiff(series, spec)
     // band columns are plot-only (the reference never persists them);
-    // draw them when the caller's series carries them
+    // draw them when the caller's series carries them. The reference's
+    // band-line transform (positive filter + gap break at 10× the base
+    // step, sentemqc.py:118-127) is applied IN SPARK at full
+    // resolution before downsampling — inferring the step from the
+    // downsampled points would inflate the break threshold by the
+    // stride, hiding multi-hour outages the reference breaks on.
     val hasBand = series.columns.contains("qcband_top") &&
       series.columns.contains("qcband_bottom")
+    val withBand = if (!hasBand) withDiff else {
+      val w = Window.partitionBy(spec.keyCols: _*).orderBy(spec.tsCol)
+      val delta = unix_micros(spec.tsCol) -
+        unix_micros(lag(spec.tsCol, 1).over(w))
+      val gap = coalesce(delta > col("step_us") * 10, lit(false))
+      withDiff.join(graft.core.TimeIndex.inferStep(series, spec), spec.keys)
+        .withColumn("qcband_top",
+          when(!gap && col("qcband_top") > 0, col("qcband_top")))
+        .withColumn("qcband_bottom",
+          when(!gap && col("qcband_bottom") > 0, col("qcband_bottom")))
+        .drop("step_us")
+    }
     val baseCols = Seq(spec.tsCol, col("raw"), col("clean"), col("accepted"),
       col("saqc_flag"), col("sm_masked"), col("sm_flagged"), col("absdiff"))
     val selCols = if (hasBand)
       baseCols ++ Seq(col("qcband_top"), col("qcband_bottom")) else baseCols
-    val ds = downsample(withDiff, spec, maxPoints)
+    val ds = downsample(withBand, spec, maxPoints)
       .select(selCols: _*)
       .orderBy(spec.tsCol)
       .collect()
@@ -221,13 +252,15 @@ object Figures {
       val sm = dbl(ds, 5)
       val sfx = xs.zip(raw).zip(smFlagged).collect { case ((x, y), true) => (x, y) }
       // QC band top/bottom in grey when the series carries the band
-      // columns (plot_combined_log_gap, sentemqc.py:125-127:
-      // positive-filtered, gap-broken, drawn only if any point is left)
+      // columns (plot_combined_log_gap, sentemqc.py:125-127: the
+      // positive filter + gap break were applied in Spark above at
+      // full resolution; NULL → NaN here breaks the plotted line;
+      // drawn only if any point is left on both lines)
       val bandSeries =
         if (!hasBand) Seq.empty
         else {
-          val top = bandLine(xs, dbl(ds, 8))
-          val bot = bandLine(xs, dbl(ds, 9))
+          val top = dbl(ds, 8)
+          val bot = dbl(ds, 9)
           if (top.exists(d => !d.isNaN) && bot.exists(d => !d.isNaN))
             Seq(Plot.Series("QC band top", Plot.BandGrey, xs, top, 0.8f),
               Plot.Series("QC band bottom", Plot.BandGrey, xs, bot, 0.8f))

@@ -67,6 +67,11 @@ object StreamingQc {
     * time observed for the bucket so the TTL is anchored to the
     * newest event EVER seen, not just the current batch's (public for
     * the state encoder).
+    *
+    * NOTE: adding `maxEventMs` changed the stateful operator's state
+    * schema — a query restarted from a checkpoint written before the
+    * change will fail state-schema compatibility and needs a fresh
+    * checkpoint (bucket state rebuilds within one TTL horizon).
     */
   final case class BucketState(ids: Array[Long], maxEventMs: Long)
 

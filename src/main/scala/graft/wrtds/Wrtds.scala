@@ -35,11 +35,12 @@ object Wrtds {
     * a median over all finite q values).
     *
     * Block size default (2048) is measured, not guessed: SpillBench on
-    * a 20,000-row single series (sf0.1 events, median-of-3) ran 16.5%
+    * a 20,000-row single series (sf0.1 events, median-of-3) ran ~11%
     * faster with 2048-row blocks than 65536 (the i-block's flat
-    * normal-equation arrays fit cache), and forcing every block
-    * through the spill file at the same block size cost only 1.7% —
-    * the compute dominates the sequential block reads.
+    * normal-equation arrays fit cache; short series also stop paying
+    * a 3.7 MB fill-array allocation each), and forcing every block
+    * through the spill file at the same block size was free within
+    * noise — the compute dominates the sequential block reads.
     *
     * Numerics are bit-identical to the materialized form: j is scanned
     * ascending within and across blocks (same FP accumulation order),

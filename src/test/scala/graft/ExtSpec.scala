@@ -244,6 +244,20 @@ class ExtSpec extends SparkTestBase {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
   }
 
+  test("repetitionStats formulations score duplicated doc ids per row") {
+    import spark.implicits._
+    // a repeated id (pre-dedup ingestion batch) must yield one output
+    // row per input row in BOTH formulations — the relational form
+    // must not merge term frequencies across the duplicate rows
+    val d = Seq((7L, "a a b"), (7L, "c c c d"), (8L, "x y")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "n_words").collect().toSeq
+    val a = rows(TextStats.repetitionStatsFold(d, "doc_id", "text"))
+    val b = rows(TextStats.repetitionStatsRelational(d, "doc_id", "text"))
+    assert(a.length == 3, s"fold must keep both id-7 rows: $a")
+    assert(a == b, s"formulations diverge on duplicate ids: $a vs $b")
+  }
+
   test("per-row minhash signatures equal the shingle-table groupBy aggregation") {
     import spark.implicits._
     // deterministic predicate, not limit(50): limit picks whichever
