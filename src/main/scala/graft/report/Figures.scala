@@ -84,6 +84,29 @@ object Figures {
     Seq("DJF", "MAM", "JJA", "SON").map(s => s -> cov.getOrElse(s, 0.0))
   }
 
+  /** Spark-side equivalent of [[bandLine]], applied at FULL resolution
+    * before any downsampling: NULLs `qcband_top`/`qcband_bottom` where
+    * the value is non-positive (log-scale filter) or where the time
+    * delta to the previous point exceeds 10× the series' inferred base
+    * step (`TimeIndex.inferStep` — np.median of positive deltas, the
+    * same statistic sentemqc.py:61-72 uses). Distributed and
+    * shuffle-shared with the figure layer's existing series window —
+    * the 100 TB-safe place to do this; FiguresSpec pins it equal to
+    * the driver-side [[bandLine]] on the golden corpus.
+    */
+  def maskBandLines(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    val w = Window.partitionBy(spec.keyCols: _*).orderBy(spec.tsCol)
+    val delta = unix_micros(spec.tsCol) -
+      unix_micros(lag(spec.tsCol, 1).over(w))
+    val gap = coalesce(delta > col("step_us") * 10, lit(false))
+    df.join(graft.core.TimeIndex.inferStep(df, spec), spec.keys)
+      .withColumn("qcband_top",
+        when(!gap && col("qcband_top") > 0, col("qcband_top")))
+      .withColumn("qcband_bottom",
+        when(!gap && col("qcband_bottom") > 0, col("qcband_bottom")))
+      .drop("step_us")
+  }
+
   /** QC-band line data exactly as the reference's band plot draws it
     * (`plot_combined_log_gap`, sentemqc.py:118-127): non-positive band
     * values become NaN (the log-scale filter), then any point whose
@@ -149,18 +172,7 @@ object Figures {
     // stride, hiding multi-hour outages the reference breaks on.
     val hasBand = series.columns.contains("qcband_top") &&
       series.columns.contains("qcband_bottom")
-    val withBand = if (!hasBand) withDiff else {
-      val w = Window.partitionBy(spec.keyCols: _*).orderBy(spec.tsCol)
-      val delta = unix_micros(spec.tsCol) -
-        unix_micros(lag(spec.tsCol, 1).over(w))
-      val gap = coalesce(delta > col("step_us") * 10, lit(false))
-      withDiff.join(graft.core.TimeIndex.inferStep(series, spec), spec.keys)
-        .withColumn("qcband_top",
-          when(!gap && col("qcband_top") > 0, col("qcband_top")))
-        .withColumn("qcband_bottom",
-          when(!gap && col("qcband_bottom") > 0, col("qcband_bottom")))
-        .drop("step_us")
-    }
+    val withBand = if (hasBand) maskBandLines(withDiff, spec) else withDiff
     val baseCols = Seq(spec.tsCol, col("raw"), col("clean"), col("accepted"),
       col("saqc_flag"), col("sm_masked"), col("sm_flagged"), col("absdiff"))
     val selCols = if (hasBand)

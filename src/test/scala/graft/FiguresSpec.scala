@@ -136,9 +136,10 @@ class FiguresSpec extends SparkTestBase {
     val v = "SurfaceWaterConcentration_O2_mg_L-1"
     val raw = goldenSeries(v)
     val sspec = SeriesSpec(Seq("station", "variable"))
-    val banded = graft.sentem.SentemQc(
+    val bandedDf = graft.sentem.SentemQc(
       raw.withColumnRenamed("value", "__smv"), sspec.copy(value = "__smv"),
       400, graft.sentem.SentemConfig.byCode(400), isNitrate = false)
+    val banded = bandedDf
       .orderBy("ts").select("ts", "qcband_top", "qcband_bottom").collect()
     val bxs = banded.map(_.getTimestamp(0).getTime * 1000.0)
     def nn(i: Int) = banded.map(r =>
@@ -154,6 +155,16 @@ class FiguresSpec extends SparkTestBase {
     // where both lines plot, top >= bottom (band geometry)
     topLine.zip(botLine).foreach { case (t, b) =>
       if (!t.isNaN && !b.isNaN) assert(t >= b, s"band inverted: $t < $b")
+    }
+    // the Spark-side full-resolution mask (what forVariable applies
+    // before downsampling) must equal the driver-side transform
+    val masked = Figures.maskBandLines(bandedDf, sspec)
+      .orderBy("ts").select("qcband_top").collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    assert(masked.length == topLine.length)
+    masked.zip(topLine).zipWithIndex.foreach { case ((m, t), i) =>
+      assert((m.isNaN && t.isNaN) || m == t,
+        s"Spark mask diverges from bandLine at $i: $m vs $t")
     }
   }
 
