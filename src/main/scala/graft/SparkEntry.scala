@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextStats}
-import graft.operators.{Diagnostics, Gaps, QcConfig, QcSuite, Resample, RollingStats, Runs, Seasonal, Sentinels, Slope}
+import graft.ext.{Dedup, Layout, Multimodal, Sampling, Sessionize, Similarity, TextStats}
+import graft.operators.{AsOf, Diagnostics, Gaps, IntervalJoin, QcConfig, QcSuite, Resample, RollingStats, Runs, Seasonal, Sentinels, Slope}
 import graft.pipeline.{Pipeline, PipelineConfig, VariableConfig}
 import graft.sentem.{SentemConfig, SentemQc}
 import graft.sources.Tables
@@ -486,6 +486,91 @@ object SparkEntry {
       Multimodal.frameSamplePlan(
         Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id", "n_frames", everyN = 4)),
+
+    // gap-based sessionization of the event log (6h gap): one shuffle
+    // on user_id; the window pass, session grouping and duration all
+    // reuse that partitioning.
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.sessionize(Tables.events(s, dir), "user_id", "ts",
+        gapUs = 6L * 3600000000L)),
+
+    // ordered-step funnel view -> click -> purchase: per-user earliest
+    // strictly-ordered traversal; N steps = N windows, ONE exchange.
+    "q_funnel" -> ((s, dir) =>
+      Sessionize.funnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
+    // co-located fact-fact join through a bucketed layout: both sides
+    // materialized bucketed by the order key, join is exchange-free
+    // (LayoutSpec pins the plan); rollup by priority.
+    "q_bucket_join" -> ((s, dir) =>
+      Layout.bucketedOrdersJoin(s, dir, buckets = 8)),
+
+    // cluster -> corpus decision: one representative per duplicate
+    // cluster (longest text, ties to the smallest id), rest dropped.
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      val clusters = Dedup.dupClusters(docs.select("doc_id"), pairs, "doc_id")
+      Dedup.selectRepresentatives(clusters, docs, "doc_id", col("n_chars"))
+    }),
+
+    // asymmetric containment (inter / min-set): catches short-in-long
+    // embeddings symmetric jaccard dilutes; df-capped candidates.
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 2, threshold = 0.8, maxDf = 20)),
+
+    // bigram top-100: collocation/tokenizer prep, scan-local bigram
+    // assembly + one aggregation shuffle.
+    "q_vocab_bigrams" -> ((s, dir) =>
+      TextStats.bigramFrequencies(Tables.documents(s, dir), "doc_id",
+        "text", k = 100)),
+
+    // AS-OF join: each purchase enriched with the latest view at or
+    // before it, per user — union-merge shape, ONE shuffle, no join
+    // node (AsOfSpec pins both). The view side is pre-aggregated per
+    // (user, ts) so the carried payload is tie-deterministic.
+    "q_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("purchase_us"),
+          round(col("value"), 6).as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("view_us"),
+          col("value"))
+        .groupBy("user_id", "view_us")
+        .agg(round(max("value"), 6).as("view_value"))
+      AsOf.asofJoin(purchases, views, "user_id", "purchase_us", "view_us",
+        Seq("view_value"))
+    }),
+
+    // range join: events against the session intervals they fall in,
+    // via bucket decomposition (equi-join on (user, 6h-bucket) + exact
+    // BETWEEN filter — never a per-key nested loop); rolled up per
+    // interval, which must reproduce each session's event count.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val gap = 6L * 3600000000L
+      val sess = Sessionize.sessionize(ev, "user_id", "ts", gapUs = gap)
+        .select("user_id", "session_idx", "start_us", "end_us")
+      val pts = ev.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      IntervalJoin.pointInInterval(pts, sess, "user_id", "us",
+        "start_us", "end_us", bucketUs = gap)
+        .groupBy("user_id", "session_idx", "start_us", "end_us")
+        .agg(count(lit(1)).as("n_matched"))
+    }),
+
+    // changelog compaction: latest state per (user, event_type) —
+    // upsert/CDC semantics, rank-1 pushed map-side as WindowGroupLimit.
+    "q_latest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          round(col("value"), 6).as("value"))
+      Sessionize.compactLatest(ev, Seq("user_id", "event_type"),
+        "ts_us", "event_id")
+    }),
 
     // §2.4 resample-median: epoch-aligned hourly buckets.
     "q_resample" -> ((s, dir) =>
@@ -1439,6 +1524,169 @@ object SparkEntry {
         |       count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY 1
         |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
+
+    "q_vocab_bigrams" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS i
+        |  FROM d WHERE len(ws) > 0
+        |), bp AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |)
+        |SELECT bigram, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM bp GROUP BY 1
+        |ORDER BY n_occurrences DESC, bigram ASC LIMIT 100""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |), s AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 21600000000
+        |              THEN 1 ELSE 0 END AS opens
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), x AS (
+        |  SELECT user_id, us,
+        |         CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY us
+        |                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+        |           AS session_idx
+        |  FROM s
+        |)
+        |SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us,
+        |       count(*) AS n_events, max(us) - min(us) AS duration_us
+        |FROM x GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |              OVER (PARTITION BY user_id) AS t0 FROM e
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us > t0 THEN us END)
+        |              OVER (PARTITION BY user_id) AS t1 FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t1 THEN us END)
+        |              OVER (PARTITION BY user_id) AS t2 FROM s2
+        |)
+        |SELECT user_id, min(t0) AS t_view_us, min(t1) AS t_click_us,
+        |       min(t2) AS t_purchase_us,
+        |       (CASE WHEN min(t0) IS NOT NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN min(t2) IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS stages_completed
+        |FROM s3 GROUP BY user_id""".stripMargin,
+
+    "q_asof" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS purchase_us,
+        |         round(value, 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts) AS view_us,
+        |         round(max(value), 6) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT l.user_id, l.purchase_us, l.purchase_value,
+        |       r.view_us AS asof_view_us, r.view_value AS asof_view_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.purchase_us >= r.view_us""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |), s AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 21600000000
+        |              THEN 1 ELSE 0 END AS opens
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), x AS (
+        |  SELECT user_id, us,
+        |         CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY us
+        |                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+        |           AS session_idx
+        |  FROM s
+        |), sess AS (
+        |  SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+        |  FROM x GROUP BY user_id, session_idx
+        |)
+        |SELECT sess.user_id, sess.session_idx, sess.start_us, sess.end_us,
+        |       count(*) AS n_matched
+        |FROM sess JOIN e ON e.user_id = sess.user_id
+        |                AND e.us BETWEEN sess.start_us AND sess.end_us
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |         round(value, 6) AS value
+        |  FROM events
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e
+        |)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_containment" ->
+      (shingleCte(2) +
+        """, rare AS (
+          |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
+          |), ix AS (
+          |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle
+          |), cd AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM ix a JOIN ix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |), sz AS (
+          |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          |), iv AS (
+          |  SELECT cd.id_a, cd.id_b, count(*) AS inter
+          |  FROM cd JOIN sh a ON cd.id_a = a.doc_id
+          |          JOIN sh b ON cd.id_b = b.doc_id AND a.shingle = b.shingle
+          |  GROUP BY cd.id_a, cd.id_b
+          |)
+          |SELECT iv.id_a, iv.id_b, iv.inter,
+          |       round(iv.inter * 1.0 / least(sa.n, sb.n), 6) AS containment
+          |FROM iv JOIN sz sa ON iv.id_a = sa.doc_id JOIN sz sb ON iv.id_b = sb.doc_id
+          |WHERE iv.inter * 1.0 / least(sa.n, sb.n) >= 0.8""".stripMargin),
+
+    "q_dedup_keep" ->
+      (s"WITH RECURSIVE $simhashCteBody, pr AS (\n" +
+        """  SELECT id_a, id_b FROM cd WHERE bit_count(xor(ha, hb)) <= 3
+          |), e AS (
+          |  SELECT id_a AS a, id_b AS b FROM pr
+          |  UNION ALL SELECT id_b, id_a FROM pr
+          |), reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+          |), cl AS (
+          |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+          |)
+          |SELECT cl.doc_id, cl.cluster_id,
+          |       count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+          |       (row_number() OVER (PARTITION BY cl.cluster_id
+          |                           ORDER BY d.n_chars DESC, cl.doc_id ASC) = 1)
+          |         AS keep
+          |FROM cl JOIN documents d ON cl.doc_id = d.doc_id""".stripMargin),
 
     "q_media_meta" ->
       """SELECT doc_id,

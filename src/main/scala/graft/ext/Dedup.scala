@@ -64,7 +64,8 @@ object Dedup {
     * left to AQE's runtime size estimate instead of being forced.
     */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame, id: String,
-      threshold: Double, withInter: Boolean): DataFrame = {
+      threshold: Double, withInter: Boolean,
+      containment: Boolean = false): DataFrame = {
     // Only candidate documents' shingle sets participate in the
     // verification — restrict the shingle table FIRST. Without this,
     // the (id_b, sh60) join and the sizes aggregate shuffle the
@@ -112,17 +113,26 @@ object Dedup {
       .join(shC.withColumnRenamed(id, "id_a"), "id_a")
       .join(shC.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // jaccard = inter/union (symmetric); containment = inter/min-set
+    // size (asymmetric — a short doc fully inside a long one scores 1
+    // where jaccard dilutes toward |short|/|long|)
+    val (scoreCol, scoreExpr) =
+      if (containment)
+        ("containment",
+          col("inter") * lit(1.0) / least(col("na"), col("nb")))
+      else
+        ("jaccard",
+          col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
     val scored = inter
       .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
+      .withColumn(scoreCol, scoreExpr)
+      .filter(col(scoreCol) >= threshold)
     if (withInter)
       scored.select(col("id_a"), col("id_b"), col("inter"),
-        round(col("jaccard"), 6).as("jaccard"))
+        round(col(scoreCol), 6).as(scoreCol))
     else
-      scored.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      scored.select(col("id_a"), col("id_b"), round(col(scoreCol), 6).as(scoreCol))
   }
 
   /** Exact pairwise n-gram Jaccard via inverted-index join (only
@@ -169,6 +179,30 @@ object Dedup {
         col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
     verifyJaccard(sh, cands, id, threshold, withInter = true)
+  }
+
+  /** Asymmetric n-gram CONTAINMENT pairs: C = |A∩B| / min(|A|,|B|)
+    * over the same df-capped inverted-index candidates as
+    * [[ngramJaccardCapped]]. Containment is the near-dup signal
+    * symmetric jaccard structurally misses — a short document embedded
+    * verbatim inside a much longer one (quote expansion, boilerplate
+    * wrapping) has jaccard ≈ |short|/|long| → 0 but containment 1.
+    * Same scale shape as the capped jaccard: candidate blowup bounded
+    * by maxDf, exact scores from the full shingle sets.
+    * Output: id_a < id_b, inter, containment (≥ threshold).
+    */
+  def containmentPairs(df: DataFrame, id: String, text: String, k: Int,
+      threshold: Double, maxDf: Int): DataFrame = {
+    val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
+    val rare = sh.groupBy("sh60").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("sh60")
+    val idx = sh.join(rare, "sh60")
+    val cands = idx.as("a")
+      .join(idx.as("b"),
+        col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
+    verifyJaccard(sh, cands, id, threshold, withInter = true,
+      containment = true)
   }
 
   /** Per-row MinHash signature ARRAY — element i is the min over the
@@ -456,5 +490,28 @@ object Dedup {
       .select(col("nid").as(id),
         coalesce(col("__lbl"), col("nid")).as("cluster_id"),
         (col("nid") === coalesce(col("__lbl"), col("nid"))).as("is_keeper"))
+  }
+
+  /** Canonical-representative selection — the decision step after
+    * clustering: keep exactly ONE member per duplicate cluster, the
+    * highest-quality one (ties → smallest id), drop the rest. This is
+    * what turns a cluster assignment into the shipped corpus (keep
+    * rows survive, drop rows are filtered). `clusters` is
+    * [[dupClusters]] output (id, cluster_id, …); `docs` supplies the
+    * quality signal. The window partitions by cluster_id — cluster
+    * sizes are bounded by the dup-family size, never the corpus, so
+    * the per-partition sort is trivially small at any scale.
+    * Output: id, cluster_id, n_members, keep.
+    */
+  def selectRepresentatives(clusters: DataFrame, docs: DataFrame,
+      id: String, quality: Column): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col(id).asc)
+    val wAll = Window.partitionBy(col("cluster_id"))
+    clusters.select(col(id), col("cluster_id"))
+      .join(docs.select(col(id), quality.as("__q")), id)
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(id, "cluster_id", "n_members", "keep")
   }
 }

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log behavioral operators: gap-based sessionization and
+  * ordered-step funnel analysis — the two standard reductions a
+  * clickstream/training-telemetry pipeline runs over a users×events
+  * table. Both are window-shaped: ONE shuffle on the user key, then
+  * every window pass and the final aggregate reuse that partitioning
+  * (Catalyst's EnsureRequirements sees the hash partitioning already
+  * satisfies the grouping), so at 100 TB the cost is a single
+  * repartition of the event log regardless of how many session /
+  * funnel signals are derived.
+  */
+object Sessionize {
+
+  /** Gap-based sessionization: a user's events, ordered by time, are
+    * split into sessions wherever the gap to the previous event
+    * exceeds `gapUs` microseconds. Session boundaries depend only on
+    * the multiset of timestamps (ties carry a zero gap and can never
+    * open a session), so the output is deterministic even with
+    * duplicate event times.
+    *
+    * Output: user, session_idx (0-based, in time order per user),
+    * start_us, end_us, n_events, duration_us.
+    */
+  def sessionize(df: DataFrame, user: String, ts: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive: $gapUs")
+    val w = Window.partitionBy(col(user)).orderBy(col("__us"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("__us"), 1).over(w)
+    val opens = when(prev.isNull || col("__us") - prev > gapUs, 1).otherwise(0)
+    df.select(col(user), unix_micros(col(ts)).as("__us"))
+      .withColumn("session_idx", sum(opens).over(wRun) - 1)
+      .groupBy(col(user), col("session_idx"))
+      .agg(min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** Ordered-step funnel: for each user, the earliest strictly-ordered
+    * traversal of `steps` — t₀ = first event of steps(0), tᵢ = first
+    * event of steps(i) AFTER tᵢ₋₁ (strictly later; a same-microsecond
+    * event does not advance the funnel). Null propagates: once a step
+    * is unreached, all later steps are too.
+    *
+    * Each step is one whole-partition window min over the same user
+    * partitioning — N steps add N Window operators but zero extra
+    * exchanges.
+    *
+    * Output: one row per user — user, t_<step>_us per step (nullable),
+    * stages_completed.
+    */
+  def funnel(df: DataFrame, user: String, ts: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    val w = Window.partitionBy(col(user))
+    val stepCol = steps.map(s => s"t_${s}_us")
+    val base = df.select(col(user), unix_micros(col(ts)).as("__us"),
+      col(typeCol).as("__t"))
+    val staged = steps.zipWithIndex.foldLeft(base) { case (acc, (s, i)) =>
+      val reached = if (i == 0) col("__t") === s
+        else col("__t") === s && col("__us") > col(stepCol(i - 1))
+      acc.withColumn(stepCol(i), min(when(reached, col("__us"))).over(w))
+    }
+    staged.groupBy(col(user))
+      .agg(min(col(stepCol.head)).as(stepCol.head),
+        stepCol.tail.map(c => min(col(c)).as(c)): _*)
+      .withColumn("stages_completed",
+        stepCol.map(c => when(col(c).isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+  }
+
+  /** Changelog compaction: the LATEST row per key tuple by
+    * (ts desc, tiebreak desc) — upsert/CDC semantics (a state table
+    * from an event log). The `tiebreak` column makes the pick
+    * deterministic when a key has several rows at the same timestamp.
+    * One shuffle on the keys; Spark plans the rank-1 filter as
+    * WindowGroupLimit, so each scan task keeps a per-key top-1 heap
+    * BEFORE the exchange — the shuffle moves at most one row per
+    * (task, key), not the log.
+    */
+  def compactLatest(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String): DataFrame = {
+    require(keys.nonEmpty, "compactLatest needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).desc, col(tiebreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

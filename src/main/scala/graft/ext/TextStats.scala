@@ -350,6 +350,30 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("word").asc)
       .limit(k)
 
+  /** Global bigram-frequency top-k — the n-gram extension of
+    * [[wordFrequencies]] (tokenizer-training / collocation-mining
+    * prep). Bigrams are assembled scan-local by zipping the token
+    * array with its own tail — no self-join, no shuffle before the
+    * aggregation — then the same one-shuffle partial-agg +
+    * TakeOrderedAndProject shape as the unigram pass. Deterministic:
+    * the (count desc, bigram asc) order is strict because bigram is
+    * the grouping key. Output: bigram, n_occurrences, n_docs — top k.
+    */
+  def bigramFrequencies(df: DataFrame, id: String, text: String,
+      k: Int = 100): DataFrame = {
+    val ws = filter(split(lower(trim(col(text))), "\\s+"),
+      w => w =!= lit(""))
+    val bi = transform(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))
+    df.select(explode(bi).as("bigram"), col(id))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(id)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Mod-p sampled shingle-hash fingerprint (winnowing-style document
     * signature): 60-bit hashes of k-word shingles, keep those ≡ 0
     * (mod p), fingerprint = md5 of the sorted kept hashes.

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — for every left row, the latest right row with
+  * right.ts <= left.ts on the same key (the canonical time-series
+  * enrichment: price as of trade time, last reading before an event).
+  *
+  * Spark has no native as-of join; the naive formulations are a theta
+  * join (per-key cross product, explodes at scale) or join + argmax
+  * (re-aggregates every candidate match). This is the UNION-MERGE
+  * shape instead: tag both sides, sort within the key by (ts, side —
+  * right first at equal ts, making the match inclusive), and carry the
+  * most recent right payload forward with one running
+  * last-non-null window. ONE shuffle on the key, no join node at all,
+  * cost O(n log n) per key regardless of match fan-in — the same plan
+  * a 1000-executor cluster wants at 100 TB.
+  */
+object AsOf {
+
+  /** `left` keeps all its columns; the matched right row contributes
+    * `rightTs` and `carry`, each prefixed with `prefix` (null when no
+    * right row is at-or-before the left row). `right` must be unique
+    * per (key, rightTs) — pre-aggregate otherwise, or the carried
+    * payload among equal-ts right rows is tie-order dependent.
+    * Timestamps are compared with the column's own ordering (use one
+    * numeric/timestamp type on both sides).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, carry: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lStruct = struct(lCols.map(col): _*)
+    val rStruct = struct((rightTs +: carry).map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val l2 = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lStruct.as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val r2 = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), lit(null).cast(lType).as("__l"),
+      rStruct.as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols =
+      lCols.map(c => col(s"__l.$c").as(c)) ++
+        (rightTs +: carry).map(c => col(s"__rl.$c").as(s"$prefix$c"))
+    l2.unionByName(r2)
+      .withColumn("__rl", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(outCols: _*)
+  }
+}

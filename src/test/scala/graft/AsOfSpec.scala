@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sessionize
+import graft.operators.{AsOf, IntervalJoin}
+
+/** Semantics + plan shape for the as-of join (union-merge), the
+  * bucket-decomposed interval join, and changelog compaction.
+  */
+class AsOfSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def withStaticPlans[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }.size
+
+  // ---- as-of join ----
+
+  private def lr = (
+    Seq((1L, 10L, "p10"), (1L, 5L, "p5"), (1L, 2L, "p2"), (2L, 7L, "q7"))
+      .toDF("k", "lt", "lv"),
+    Seq((1L, 3L, 30.0), (1L, 5L, 50.0), (1L, 9L, 90.0), (3L, 1L, 10.0))
+      .toDF("k", "rt", "rv"))
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val (l, r) = lr
+    val out = AsOf.asofJoin(l, r, "k", "lt", "rt", Seq("rv"))
+      .orderBy("k", "lt")
+      .select("k", "lt", "lv", "asof_rt", "asof_rv")
+      .as[(Long, Long, String, Option[Long], Option[Double])].collect.toSeq
+    assert(out == Seq(
+      // lt=2: before any right row -> null
+      (1L, 2L, "p2", None, None),
+      // lt=5: right row AT 5 matches (inclusive)
+      (1L, 5L, "p5", Some(5L), Some(50.0)),
+      // lt=10: latest of {3,5,9} -> 9
+      (1L, 10L, "p10", Some(9L), Some(90.0)),
+      // key 2 has no right rows at all
+      (2L, 7L, "q7", None, None)))
+  }
+
+  test("asofJoin plans one exchange and no join node") {
+    withStaticPlans {
+      val (l, r) = lr
+      val out = AsOf.asofJoin(l, r, "k", "lt", "rt", Seq("rv"))
+      assert(shuffleCount(out) == 1,
+        s"expected 1 exchange:\n${out.queryExecution.executedPlan}")
+      val joins = out.queryExecution.executedPlan.collect {
+        case j: BaseJoinExec => j
+      }
+      assert(joins.isEmpty, "union-merge as-of must not plan a join")
+    }
+  }
+
+  test("asofJoin against the join+argmax reference on a random fixture") {
+    val l = (0 until 300)
+      .map(i => ((i % 7).toLong, (i * 37 % 101).toLong, i.toLong))
+      .toDF("k", "lt", "lid").distinct()
+    val r = (0 until 150)
+      .map(i => ((i % 9).toLong, (i * 53 % 97).toLong, i * 1.5))
+      .toDF("k", "rt", "rv")
+      .groupBy("k", "rt").agg(max("rv").as("rv"))
+    val fast = AsOf.asofJoin(l, r, "k", "lt", "rt", Seq("rv"))
+      .select("k", "lt", "lid", "asof_rt", "asof_rv")
+    val ref = l.as("l")
+      .join(r.as("r"), col("l.k") === col("r.k") && col("l.lt") >= col("r.rt"),
+        "left")
+      .groupBy(col("l.k").as("k"), col("l.lt").as("lt"), col("l.lid").as("lid"))
+      .agg(max(struct(col("r.rt"), col("r.rv"))).as("m"))
+      .select(col("k"), col("lt"), col("lid"),
+        col("m.rt").as("asof_rt"), col("m.rv").as("asof_rv"))
+    val a = fast.orderBy("k", "lt", "lid").collect.toSeq
+    val b = ref.orderBy("k", "lt", "lid").collect.toSeq
+    assert(a == b)
+  }
+
+  // ---- interval join ----
+
+  test("pointInInterval matches inclusively and only inside the interval") {
+    val pts = Seq((1L, 0L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+      (1L, 21L, "d"), (2L, 10L, "e")).toDF("k", "us", "tag")
+    val ivs = Seq((1L, 10L, 20L, "iv1"), (2L, 0L, 5L, "iv2"))
+      .toDF("k", "lo", "hi", "ivl")
+    val out = IntervalJoin.pointInInterval(pts, ivs, "k", "us", "lo", "hi",
+      bucketUs = 7L)
+      .orderBy("us")
+      .select("k", "us", "tag", "ivl")
+      .as[(Long, Long, String, String)].collect.toSeq
+    // 10 and 20 are inside [10,20] (inclusive both ends); 0, 21 outside;
+    // key 2's point at 10 is outside [0,5]
+    assert(out == Seq((1L, 10L, "b", "iv1"), (1L, 20L, "c", "iv1")))
+  }
+
+  test("pointInInterval emits one row per matching pair across bucket spans") {
+    // interval spans many buckets; every in-range point matches exactly once
+    val pts = (0L to 50L).map(u => (1L, u)).toDF("k", "us")
+    val ivs = Seq((1L, 5L, 45L)).toDF("k", "lo", "hi")
+    val out = IntervalJoin.pointInInterval(pts, ivs, "k", "us", "lo", "hi",
+      bucketUs = 4L)
+    assert(out.count() == 41)
+    assert(out.select("us").distinct.count() == 41)
+  }
+
+  // ---- changelog compaction ----
+
+  test("compactLatest keeps the newest row per key, tiebreak deterministic") {
+    val log = Seq(
+      (1L, "a", 10L, 100L, 1.0), (1L, "a", 20L, 101L, 2.0),
+      (1L, "a", 20L, 102L, 3.0), // same ts, higher event_id wins
+      (1L, "b", 5L, 103L, 4.0), (2L, "a", 1L, 104L, 5.0))
+      .toDF("user_id", "event_type", "ts_us", "event_id", "value")
+    val out = Sessionize.compactLatest(log, Seq("user_id", "event_type"),
+      "ts_us", "event_id")
+      .orderBy("user_id", "event_type")
+      .as[(Long, String, Long, Long, Double)].collect.toSeq
+    assert(out == Seq(
+      (1L, "a", 20L, 102L, 3.0),
+      (1L, "b", 5L, 103L, 4.0),
+      (2L, "a", 1L, 104L, 5.0)))
+  }
+
+  test("compactLatest plans a WindowGroupLimit below the exchange") {
+    withStaticPlans {
+      val log = (0 until 5000)
+        .map(i => ((i % 50).toLong, "t" + (i % 3), i.toLong, i.toLong))
+        .toDF("user_id", "event_type", "ts_us", "event_id")
+      val out = Sessionize.compactLatest(log, Seq("user_id", "event_type"),
+        "ts_us", "event_id")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"rank-1 filter should push a partial group limit:\n$plan")
+    }
+  }
+}
