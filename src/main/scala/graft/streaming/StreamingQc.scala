@@ -149,6 +149,88 @@ object StreamingQc {
       }
   }
 
+  // ---- streaming sessionization ---------------------------------------
+
+  /** Per-event row for the streaming sessionizer: event time kept as a
+    * Timestamp so the watermark column survives into the stateful
+    * operator.
+    */
+  final case class UserEvent(userId: Long, ts: java.sql.Timestamp)
+
+  /** A closed session — matches the batch operator's
+    * (start_us, end_us, n_events) triple per session.
+    */
+  final case class SessionWindow(userId: Long, startUs: Long,
+      endUs: Long, nEvents: Long)
+
+  /** Open-session state per user (public for the state encoder). */
+  final case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+  /** Timestamp → µs without the ms truncation of getTime (the batch
+    * twin compares at µs resolution).
+    */
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  /** Streaming gap-based sessionization — the streaming twin of
+    * [[graft.ext.Sessionize.sessionize]]. A user's open session closes
+    * when (a) an event arrives more than gapUs after the session's
+    * end — emitted immediately, the event opens the next session — or
+    * (b) the event-time watermark passes end + gap with nothing newer
+    * (event-time timeout). State per user: ONE (start, end, n) triple,
+    * bounded by user cardinality, not stream length. Events inside the
+    * watermark may arrive out of order within a session's gap-envelope
+    * (start/end stretch to cover them); ordering violations BEYOND the
+    * gap are the batch operator's ground truth, as with [[gapFlags]].
+    * Requires `withWatermark` on the event-time column upstream.
+    */
+  def sessionStream(df: DataFrame, user: String, eventTimeCol: String,
+      gapUs: Long): Dataset[SessionWindow] = {
+    import df.sparkSession.implicits._
+    require(gapUs > 0, s"gapUs must be positive: $gapUs")
+    val ev = df.select(col(user).as("userId"), col(eventTimeCol).as("ts"))
+      .as[UserEvent]
+    ev.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => SessionWindow(key, s.startUs, s.endUs, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = events.map(e => usOf(e.ts)).toSeq.sorted
+            val out = scala.collection.mutable.Buffer.empty[SessionWindow]
+            var cur = state.getOption
+            sorted.foreach { u =>
+              cur match {
+                case Some(s) if u > s.endUs + gapUs =>
+                  out += SessionWindow(key, s.startUs, s.endUs, s.n)
+                  cur = Some(SessionState(u, u, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(math.min(s.startUs, u),
+                    math.max(s.endUs, u), s.n + 1))
+                case None =>
+                  cur = Some(SessionState(u, u, 1))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // close at end + gap once the watermark reaches it; a
+                // target already behind the watermark must still be
+                // strictly ahead of it for setTimeoutTimestamp
+                val target = s.endUs / 1000L + gapUs / 1000L + 1L
+                state.setTimeoutTimestamp(
+                  math.max(target, state.getCurrentWatermarkMs() + 1L))
+              case None => state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Per-event row for the stateful gap detector. */
   final case class SeriesEvent(skey: String, tsUs: Long, value: java.lang.Double)
 

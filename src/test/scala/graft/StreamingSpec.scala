@@ -64,6 +64,84 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap closes on arrival, watermark closes the tail") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // base offset: an event AT the initial watermark (epoch 0) would
+    // be dropped as late before reaching the stateful operator
+    val base = 1000L
+    def t(minutes: Long) = new java.sql.Timestamp((base + minutes) * 60000L)
+    def bus(minutes: Long) = us(base + minutes)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts").withWatermark("ts", "0 seconds")
+    val q = StreamingQc.sessionStream(df, "user_id", "ts",
+      gapUs = us(30)) // 30-minute gap
+      .writeStream.format("memory").queryName("sessout")
+      .outputMode("append").start()
+    try {
+      // batch 1: open u1's first session
+      input.addData((1L, t(0)), (1L, t(10)))
+      q.processAllAvailable()
+      assert(spark.table("sessout").count() == 0) // still open
+      // batch 2: u1 continues within the gap ACROSS batches, then a
+      // far event closes session 1 on arrival and opens session 2
+      input.addData((1L, t(25)), (1L, t(120)), (2L, t(26)))
+      q.processAllAvailable()
+      // u1's first session closes on ARRIVAL of the far event; u2's
+      // singleton closes by TIMEOUT in the same trigger cycle (the
+      // batch's own watermark advance, base+120, passes 26+gap)
+      val closed = spark.table("sessout").as[StreamingQc.SessionWindow]
+        .collect.toSeq.sortBy(_.userId)
+      assert(closed == Seq(
+        StreamingQc.SessionWindow(1L, bus(0), bus(25), 3L),
+        StreamingQc.SessionWindow(2L, bus(26), bus(26), 1L)))
+      // batch 3: a far-future event advances the watermark past every
+      // open session's end + gap -> timeouts flush them
+      input.addData((99L, t(100000)))
+      q.processAllAvailable()
+      val all = spark.table("sessout").as[StreamingQc.SessionWindow]
+        .collect.toSeq.sortBy(s => (s.userId, s.startUs))
+      assert(all == Seq(
+        StreamingQc.SessionWindow(1L, bus(0), bus(25), 3L),
+        StreamingQc.SessionWindow(1L, bus(120), bus(120), 1L),
+        StreamingQc.SessionWindow(2L, bus(26), bus(26), 1L)),
+        s"got $all")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals the batch operator on a replayed log") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // deterministic irregular log: 4 users, gaps straddling 30 min
+    val log = for (u <- 1L to 4L; i <- 0 until 12)
+      yield (u, (i * i * 7L + u * 3L) % 500L) // minutes
+    def t(minutes: Long) = new java.sql.Timestamp(minutes * 60000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts").withWatermark("ts", "0 seconds")
+    val q = StreamingQc.sessionStream(df, "user_id", "ts", gapUs = us(30))
+      .writeStream.format("memory").queryName("sesseq")
+      .outputMode("append").start()
+    try {
+      // replay in event-time order split across three batches (the
+      // in-order-per-user contract), then flush with a sentinel
+      val ordered = log.sortBy(_._2).map { case (u, m) => (u, t(m)) }
+      ordered.grouped((ordered.size + 2) / 3).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      input.addData((999L, t(1000000L))); q.processAllAvailable()
+      val streamed = spark.table("sesseq").as[StreamingQc.SessionWindow]
+        .collect.toSeq.filter(_.userId != 999L)
+        .map(s => (s.userId, s.startUs, s.endUs, s.nEvents)).sorted
+      val batch = graft.ext.Sessionize.sessionize(
+        log.toDF("user_id", "mins")
+          .select(col("user_id"), timestamp_micros(col("mins") * 60000000L).as("ts")),
+        "user_id", "ts", gapUs = us(30))
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect.toSeq.sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("windowed coverage counts observed vs finite per hour window") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
