@@ -13,6 +13,13 @@ object Verify {
     // invocation) runs everything.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd/empty selection: an empty oracle map would
+    // make the downstream compare pass vacuously
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY selects no known query (unknown: ${unknown.mkString(",")})")
+    }
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -171,14 +171,25 @@ object Dedup {
   def ngramJaccardCapped(df: DataFrame, id: String, text: String, k: Int,
       threshold: Double, maxDf: Int): DataFrame = {
     val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
+    verifyJaccard(sh, dfCappedCandidates(sh, id, maxDf), id, threshold,
+      withInter = true)
+  }
+
+  /** df-capped inverted-index candidate generation, shared by the
+    * capped-jaccard and containment scorers (one definition so the
+    * cap/pairing semantics can't drift): shingles with df ≤ maxDf form
+    * the index, candidates are distinct pairs sharing ≥ 1 indexed
+    * shingle, id_a < id_b.
+    */
+  private def dfCappedCandidates(sh: DataFrame, id: String,
+      maxDf: Int): DataFrame = {
     val rare = sh.groupBy("sh60").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("sh60")
     val idx = sh.join(rare, "sh60")
-    val cands = idx.as("a")
+    idx.as("a")
       .join(idx.as("b"),
         col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
-    verifyJaccard(sh, cands, id, threshold, withInter = true)
   }
 
   /** Asymmetric n-gram CONTAINMENT pairs: C = |A∩B| / min(|A|,|B|)
@@ -194,15 +205,8 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: String, text: String, k: Int,
       threshold: Double, maxDf: Int): DataFrame = {
     val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
-    val rare = sh.groupBy("sh60").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("sh60")
-    val idx = sh.join(rare, "sh60")
-    val cands = idx.as("a")
-      .join(idx.as("b"),
-        col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
-    verifyJaccard(sh, cands, id, threshold, withInter = true,
-      containment = true)
+    verifyJaccard(sh, dfCappedCandidates(sh, id, maxDf), id, threshold,
+      withInter = true, containment = true)
   }
 
   /** Per-row MinHash signature ARRAY — element i is the min over the

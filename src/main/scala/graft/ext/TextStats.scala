@@ -217,6 +217,27 @@ object TextStats {
       case _ => repetitionStatsFold(df, id, text)
     }
 
+  /** Lowercased whitespace tokens with empties dropped — the shared
+    * tokenizer of the repetition/bigram family (one definition, three
+    * call sites, so the tokenization contract can't drift).
+    */
+  private def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
+
+  /** Adjacent-pair bigrams of a BOUND token-array column. The argument
+    * must be a materialized attribute (select the token array into a
+    * column first): HOF lambdas evaluate interpreted with no CSE, so
+    * handing an inline tokenize expression here makes `element_at`
+    * re-tokenize the document once per element — O(tokens²) per doc
+    * (measured: q_vocab_bigrams 3.4 s inline vs the bound form; the
+    * caller projections keep the alias because it is referenced three
+    * times, which stops CollapseProject from inlining it back).
+    */
+  private def bigramsOf(ws: Column): Column =
+    transform(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))
+
   /** Shuffle-free formulation: per-doc sorted-array folds. NOTE: the
     * `aggregate` lambdas evaluate INTERPRETED (higher-order-function
     * lambdas sit outside whole-stage codegen — measured in COVERAGE.md
@@ -224,8 +245,6 @@ object TextStats {
     */
   private[graft] def repetitionStatsFold(df: DataFrame, id: String,
       text: String): DataFrame = {
-    val ws = filter(split(lower(trim(col(text))), "\\s+"),
-      w => w =!= lit(""))
     // longest run of equal adjacent elements in the sorted array ==
     // max term frequency; one fold (interpreted — see method doc),
     // long arithmetic only
@@ -239,13 +258,10 @@ object TextStats {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val bi = transform(
-      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-      (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))
-    val n = size(ws).cast("long")
-    val nd = size(array_distinct(ws)).cast("long")
-    df.select(col(id), ws.as("__ws"), bi.as("__bi"),
-        n.as("n_words"), nd.as("n_distinct_words"))
+    df.select(col(id), tokens(col(text)).as("__ws"))
+      .select(col(id), col("__ws"), bigramsOf(col("__ws")).as("__bi"),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(array_distinct(col("__ws"))).cast("long").as("n_distinct_words"))
       .filter(col("n_words") > 0)
       .select(col(id), col("n_words"), col("n_distinct_words"),
         round(lit(1.0) - col("n_distinct_words") * lit(1.0) / col("n_words"), 6)
@@ -267,17 +283,13 @@ object TextStats {
     */
   private[graft] def repetitionStatsRelational(df: DataFrame, id: String,
       text: String): DataFrame = {
-    val ws = filter(split(lower(trim(col(text))), "\\s+"),
-      w => w =!= lit(""))
-    val bi = transform(
-      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-      (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))
     // per-ROW key, not per-id: the fold scores each input row
     // independently, so a duplicated doc id must yield one output row
     // per input row, not a merged term-frequency table. The rowid
     // never leaves this method.
     val terms = df
-      .select(col(id), ws.as("__ws"), bi.as("__bi"))
+      .select(col(id), tokens(col(text)).as("__ws"))
+      .select(col(id), col("__ws"), bigramsOf(col("__ws")).as("__bi"))
       .withColumn("__rid", monotonically_increasing_id())
       .filter(size(col("__ws")) > 0)
       .select(col(id), col("__rid"), explode(concat(
@@ -361,12 +373,8 @@ object TextStats {
     */
   def bigramFrequencies(df: DataFrame, id: String, text: String,
       k: Int = 100): DataFrame = {
-    val ws = filter(split(lower(trim(col(text))), "\\s+"),
-      w => w =!= lit(""))
-    val bi = transform(
-      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-      (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))
-    df.select(explode(bi).as("bigram"), col(id))
+    df.select(col(id), tokens(col(text)).as("__ws"))
+      .select(explode(bigramsOf(col("__ws"))).as("bigram"), col(id))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col(id)).as("n_docs"))

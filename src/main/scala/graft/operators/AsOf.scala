@@ -39,9 +39,13 @@ object AsOf {
     val l2 = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
       lit(1).as("__side"), lStruct.as("__l"),
       lit(null).cast(rType).as("__r"))
-    val r2 = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
-      lit(0).as("__side"), lit(null).cast(lType).as("__l"),
-      rStruct.as("__r"))
+    // SQL join semantics: a NULL key matches nothing — drop null-key
+    // right rows (they could otherwise enrich null-key left rows,
+    // which the window partitioning groups together)
+    val r2 = right.filter(col(key).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__ts"),
+        lit(0).as("__side"), lit(null).cast(lType).as("__l"),
+        rStruct.as("__r"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

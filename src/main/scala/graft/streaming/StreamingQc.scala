@@ -170,7 +170,9 @@ object StreamingQc {
     * twin compares at µs resolution).
     */
   private def usOf(t: java.sql.Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    // floorDiv, not /: getNanos is always non-negative, so truncating
+    // division would shift pre-epoch timestamps by up to a second
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming gap-based sessionization — the streaming twin of
     * [[graft.ext.Sessionize.sessionize]]. A user's open session closes

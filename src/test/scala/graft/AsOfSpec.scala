@@ -85,6 +85,19 @@ class AsOfSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("asofJoin: null keys match nothing, as in SQL join semantics") {
+    val l = Seq((Some(1L), 10L, "a"), (None, 10L, "b"))
+      .toDF("k", "lt", "lv")
+    val r = Seq((Some(1L), 5L, 1.0), (None, 5L, 9.0))
+      .toDF("k", "rt", "rv")
+    val out = AsOf.asofJoin(l, r, "k", "lt", "rt", Seq("rv"))
+      .orderBy("lv")
+      .select("lv", "asof_rt", "asof_rv")
+      .as[(String, Option[Long], Option[Double])].collect.toSeq
+    // the null-key left row passes through unenriched
+    assert(out == Seq(("a", Some(5L), Some(1.0)), ("b", None, None)))
+  }
+
   // ---- interval join ----
 
   test("pointInInterval matches inclusively and only inside the interval") {
