@@ -272,6 +272,25 @@ object SparkEntry {
         saltOn = col("event_id"), nSalts = 32)
     }),
 
+    // salted replicated JOIN on the (5-value, maximally skewed)
+    // event_type key: big side salted, 5-row dim replicated 8x, join
+    // on (key, salt) — row set identical to the plain join.
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.select("event_type").distinct()
+        .withColumn("type_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
+      graft.core.Salt.skewJoin(ev.select(col("event_id"), col("event_type")),
+        dim, Seq("event_type"), saltOn = col("event_id"), nSalts = 8)
+        .select("event_id", "event_type", "type_rank")
+    }),
+
+    // fixed-budget deterministic sampling: exactly k=20 docs per
+    // language by hash rank (WindowGroupLimit keeps k per task).
+    "q_sample_fixed" -> ((s, dir) =>
+      Sampling.fixedSizeSample(Tables.documents(s, dir), "doc_id",
+        "lang", k = 20)),
+
     // Bounded-support kernel local regression (the SQL-expressible
     // WRTDS-family member): range self-join + decimal-quantized kernel
     // sums -> order-free, hence oracle-checkable unlike the full proxy.
@@ -1065,6 +1084,25 @@ object SparkEntry {
           |       round(iv.inter * 1.0 / (sa.n + sb.n - iv.inter), 6) AS jaccard
           |FROM iv JOIN sz sa ON iv.id_a = sa.doc_id JOIN sz sb ON iv.id_b = sb.doc_id
           |WHERE iv.inter * 1.0 / (sa.n + sb.n - iv.inter) >= 0.5""".stripMargin),
+
+    "q_salted_join" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(row_number() OVER (ORDER BY event_type) AS INT) AS type_rank
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |)
+        |SELECT e.event_id, e.event_type, d.type_rank
+        |FROM events e JOIN d ON e.event_type = d.event_type""".stripMargin,
+
+    "q_sample_fixed" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang AS stratum,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        |                    doc_id ASC) AS INT) AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, stratum, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, count(value) AS n,

@@ -49,4 +49,25 @@ object Salt {
         min(col("__mn")).as("min_val"),
         max(col("__mx")).as("max_val"))
   }
+
+  /** Salted replicated JOIN for a skewed equi-join key — the join-side
+    * twin of [[skewAgg]]. The BIG side gets a row-level salt; the
+    * SMALL side is replicated nSalts× (one explode); the join runs on
+    * (keys, salt), so a hot key's rows spread over nSalts reducers
+    * instead of serializing through one. The row set is identical to
+    * the plain inner equi-join: every big row matches exactly the one
+    * replica carrying its salt. Use when the small side is too large
+    * to broadcast but cheap to replicate nSalts×, and AQE's runtime
+    * skew split doesn't apply (e.g. the partitioning is pinned by an
+    * upstream stage or the skew is in a single unsplittable key
+    * group). `small` must not already contain a `__salt` column.
+    */
+  def skewJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltOn: Column, nSalts: Int = 32): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive: $nSalts")
+    val salted = big.withColumn("__salt", saltFrom(saltOn, nSalts))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

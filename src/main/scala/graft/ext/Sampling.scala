@@ -34,6 +34,27 @@ object Sampling {
       .withColumn("kept", col("bucket") < rate)
   }
 
+  /** EXACT-size deterministic sample: k rows per stratum, chosen by
+    * the id's 60-bit hash order (uniform over the stratum, ties broken
+    * by id). Unlike [[stratifiedSample]]'s rate-based buckets —
+    * superset-stable but approximate in count — this delivers exactly
+    * min(k, |stratum|) rows, the fixed-budget shape (eval slices,
+    * per-language quotas). Deterministic across reruns on the same
+    * corpus; membership shifts when the population changes (rank-based
+    * by construction). Spark plans the rank filter as WindowGroupLimit
+    * so each scan task keeps a k-heap before the exchange.
+    * Output: id, stratum, sample_rank (1-based) — kept rows only.
+    */
+  def fixedSizeSample(df: DataFrame, id: String, stratum: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(Dedup.hash60(col(id).cast("string")).asc, col(id).asc)
+    df.select(col(id), col(stratum).as("stratum"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Top-k rows per stratum by a metric (desc, ties to the smaller
     * id) — e.g. the k highest-quality documents per language. Spark
     * plans the rank filter as WindowGroupLimit: each partition keeps a

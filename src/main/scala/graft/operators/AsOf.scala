@@ -30,7 +30,8 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, carry: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      toleranceUs: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val lStruct = struct(lCols.map(col): _*)
     val rStruct = struct((rightTs +: carry).map(col): _*)
@@ -52,8 +53,17 @@ object AsOf {
     val outCols =
       lCols.map(c => col(s"__l.$c").as(c)) ++
         (rightTs +: carry).map(c => col(s"__rl.$c").as(s"$prefix$c"))
-    l2.unionByName(r2)
+    val carried = l2.unionByName(r2)
       .withColumn("__rl", last(col("__r"), ignoreNulls = true).over(w))
+    // bounded staleness (merge_asof tolerance): a match older than
+    // toleranceUs behind the left row is discarded, not carried.
+    // Requires a numeric ts column (the subtraction).
+    val bounded = toleranceUs match {
+      case Some(tol) => carried.withColumn("__rl",
+        when(col("__ts") - col(s"__rl.$rightTs") <= tol, col("__rl")))
+      case None => carried
+    }
+    bounded
       .filter(col("__side") === 1)
       .select(outCols: _*)
   }

@@ -85,6 +85,20 @@ class AsOfSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("asofJoin tolerance discards matches staler than the bound") {
+    val (l, r) = lr
+    val out = AsOf.asofJoin(l, r, "k", "lt", "rt", Seq("rv"),
+      toleranceUs = Some(1L))
+      .orderBy("k", "lt")
+      .select("k", "lt", "asof_rt", "asof_rv")
+      .as[(Long, Long, Option[Long], Option[Double])].collect.toSeq
+    assert(out == Seq(
+      (1L, 2L, None, None),           // no match at all
+      (1L, 5L, Some(5L), Some(50.0)), // exact-time match, staleness 0
+      (1L, 10L, Some(9L), Some(90.0)), // staleness 1 == tolerance
+      (2L, 7L, None, None)))
+  }
+
   test("asofJoin: null keys match nothing, as in SQL join semantics") {
     val l = Seq((Some(1L), 10L, "a"), (None, 10L, "b"))
       .toDF("k", "lt", "lv")

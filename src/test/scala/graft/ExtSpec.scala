@@ -471,6 +471,26 @@ class ExtSpec extends SparkTestBase {
       sameElements again.filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).sorted)
   }
 
+  test("fixedSizeSample delivers exactly k per stratum, partition-independent") {
+    import spark.implicits._
+    val d = (1L to 900L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.fixedSizeSample(d, "doc_id", "lang", k = 25)
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 25L, "de" -> 25L, "fr" -> 25L))
+    // small stratum: capped at its size
+    val small = Sampling.fixedSizeSample(d.filter(col("doc_id") <= 10),
+      "doc_id", "lang", k = 25)
+    assert(small.count() == 10)
+    // rerun on a different layout -> identical membership AND ranks
+    val again = Sampling.fixedSizeSample(d.repartition(7), "doc_id", "lang",
+      k = 25)
+    assert(out.orderBy("stratum", "sample_rank").collect.toSeq ==
+      again.orderBy("stratum", "sample_rank").collect.toSeq)
+  }
+
   test("topKPerStratum keeps k best per stratum with stable ties") {
     import spark.implicits._
     val d = (1L to 30L).map(i => (i, if (i <= 15) "a" else "b", (i % 5).toDouble))

@@ -37,6 +37,20 @@ class SaltSpec extends SparkTestBase {
     }
   }
 
+  test("salted replicated join equals the plain equi-join row set") {
+    import spark.implicits._
+    val big = (0 until 4000).map { i =>
+      (if (i % 10 < 9) "hot" else "cold", i.toLong) // 90% one key
+    }.toDF("k", "rid")
+    val dim = Seq(("hot", 1), ("cold", 2), ("absent", 3)).toDF("k", "attr")
+    val salted = Salt.skewJoin(big, dim, Seq("k"), col("rid"), nSalts = 8)
+      .select("k", "rid", "attr")
+    val plain = big.join(dim, Seq("k")).select("k", "rid", "attr")
+    assert(salted.orderBy("rid").collect.toSeq ==
+      plain.orderBy("rid").collect.toSeq)
+    assert(salted.count() == 4000) // inner join, every big row matched
+  }
+
   test("salt spreads a hot key over the requested sub-groups") {
     import spark.implicits._
     val df = (0 until 1000).map(i => ("hot", i.toLong, 1.0)).toDF("k", "rid", "v")
