@@ -291,6 +291,17 @@ object SparkEntry {
       Sampling.fixedSizeSample(Tables.documents(s, dir), "doc_id",
         "lang", k = 20)),
 
+    // multi-level corpus scorecard in ONE pass: ROLLUP emits
+    // (source, lang), per-source and grand-total rows from a single
+    // expand+aggregate — no N-query subtotal fan-out; grouping_id
+    // disambiguates subtotal NULLs from data NULLs.
+    "q_rollup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .rollup("source", "lang")
+        .agg(grouping_id().cast("int").as("grp"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
+
     // Bounded-support kernel local regression (the SQL-expressible
     // WRTDS-family member): range self-join + decimal-quantized kernel
     // sums -> order-free, hence oracle-checkable unlike the full proxy.
@@ -1103,6 +1114,11 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, stratum, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT source, lang, CAST(GROUPING(source, lang) AS INT) AS grp,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, count(value) AS n,

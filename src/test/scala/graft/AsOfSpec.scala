@@ -157,7 +157,7 @@ class AsOfSpec extends SparkTestBase {
       (2L, "a", 1L, 104L, 5.0)))
   }
 
-  test("compactLatest plans a WindowGroupLimit below the exchange") {
+  test("compactLatest plans a partial-combining aggregate, one exchange") {
     withStaticPlans {
       val log = (0 until 5000)
         .map(i => ((i % 50).toLong, "t" + (i % 3), i.toLong, i.toLong))
@@ -165,8 +165,13 @@ class AsOfSpec extends SparkTestBase {
       val out = Sessionize.compactLatest(log, Seq("user_id", "event_type"),
         "ts_us", "event_id")
       val plan = out.queryExecution.executedPlan.toString
-      assert(plan.contains("WindowGroupLimit"),
-        s"rank-1 filter should push a partial group limit:\n$plan")
+      // the load-bearing property: a PARTIAL max_by below the exchange
+      // (map-side combine to one candidate per key — the shuffle moves
+      // O(keys)), no Window operator anywhere
+      assert(plan.contains("partial_max_by"),
+        s"expected map-side partial max_by:\n$plan")
+      assert(!plan.contains("Window"), s"window shape regressed:\n$plan")
+      assert(shuffleCount(out) == 1)
     }
   }
 }
