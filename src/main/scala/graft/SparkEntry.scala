@@ -302,6 +302,107 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))),
 
+    // TF-IDF-family distinctive terms: top-5 per doc by the
+    // integer-exact (tf desc, df asc, term asc) comparator — the
+    // ranking tf·idf induces, without a transcendental score column.
+    "q_tfidf" -> ((s, dir) =>
+      TextStats.distinctiveTerms(Tables.documents(s, dir), "doc_id",
+        "text", k = 5)),
+
+    // document-frequency vocabulary cut: drop df<2 (noise) and df>250
+    // (corpus stopwords at this SF), report per-doc retained mass.
+    "q_vocab_prune" -> ((s, dir) =>
+      TextStats.pruneVocabulary(Tables.documents(s, dir), "doc_id",
+        "text", minDf = 2L, maxDf = 250L)),
+
+    // cleanText's masking path under oracle: the synthetic corpus
+    // carries no markup/emails/URLs, so q_text_clean's oracle only
+    // ever pins the identity path. This query plants a deterministic
+    // contact line (tag + email + URL) on 2/3 of the docs
+    // (doc_id % 3 != 0) IDENTICALLY on both sides, so the redaction
+    // regexes are compared cross-engine on text that actually matches;
+    // the untouched third keeps pinning the identity path.
+    "q_clean_seeded" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" <b>contact</b> user"),
+            col("doc_id"), lit("@example.com or https://ex.org/d/"),
+            col("doc_id"))))
+      TextStats.cleanText(seeded, "doc_id", "text")
+    }),
+
+    // CDC merge: reduce the event log to its live state table —
+    // latest row per user wins, and a latest-'error' row is a
+    // tombstone that removes the user entirely (resurrected only by a
+    // later non-error event). Distinct from q_latest, which keeps the
+    // latest row per (user, type) with no delete semantics.
+    "q_cdc_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+      Sessionize.applyChangelog(ev, Seq("user_id"), "ts_us", "event_id",
+        "event_type", deleteOp = "error")
+    }),
+
+    // fixed-bin value histogram per event type: the distribution
+    // monitor a data pipeline runs per batch; the heavy tail beyond
+    // hi=200 clamps into the last bin (counts must sum to n).
+    "q_histogram" -> ((s, dir) =>
+      Diagnostics.valueHistogram(Tables.events(s, dir), "event_type",
+        "value", lo = 0.0, hi = 200.0, nBins = 20)),
+
+    // PIVOT: per-user activity matrix — long event log to one wide
+    // row per user with a column per event type. Explicit value list,
+    // so no distinct-scan planning job; absent cells filled 0.
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // incremental-ingestion dedup: flag batch docs (doc_id % 5 == 0)
+    // whose normalized text already exists in the known corpus — the
+    // append-only pipeline check that never re-dedups the corpus.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupAgainstKnown(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text")
+    }),
+
+    // hopping-window event rates: 2-hour windows sliding every hour
+    // (each event lands in exactly 2 windows), counted per type —
+    // the batch form of the standard streaming rate monitor.
+    "q_hop_windows" -> ((s, dir) =>
+      Sessionize.hoppingCounts(Tables.events(s, dir), "ts",
+        "2 hours", "1 hour", Seq("event_type"))),
+
+    // SCD type-2 history: the changelog intervalized — every event
+    // version carries [valid_from, valid_to) with valid_to = the next
+    // version's ts (NULL while current); the is_current row per user
+    // is exactly the row q_cdc_merge/q_latest keep.
+    "q_scd2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value"), 6).as("value"))
+      Sessionize.scdIntervals(ev, Seq("user_id"), "ts_us", "event_id")
+    }),
+
+    // exact grouped percentiles (p50/p90/p99 latency-style summary):
+    // Spark's exact percentile aggregate, linear interpolation —
+    // same definition as the oracle's quantile_cont.
+    "q_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(col("value")).as("n"))),
+
     // Bounded-support kernel local regression (the SQL-expressible
     // WRTDS-family member): range self-join + decimal-quantized kernel
     // sums -> order-free, hence oracle-checkable unlike the full proxy.
@@ -1119,6 +1220,150 @@ object SparkEntry {
       """SELECT source, lang, CAST(GROUPING(source, lang) AS INT) AS grp,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+        |), r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf DESC, dfq.df_docs ASC, tf.term ASC) AS rn
+        |  FROM tf JOIN dfq USING (term)
+        |)
+        |SELECT doc_id, term, tf, df_docs, CAST(rn AS INT) AS term_rank
+        |FROM r WHERE rn <= 5""".stripMargin,
+
+    "q_vocab_prune" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+        |), band AS (
+        |  SELECT term FROM tf GROUP BY term
+        |  HAVING count(*) >= 2 AND count(*) <= 250
+        |), kept AS (
+        |  SELECT doc_id, count(*) AS n_terms_kept,
+        |         CAST(sum(tf) AS BIGINT) AS n_tokens_kept
+        |  FROM tf JOIN band USING (term) GROUP BY 1
+        |)
+        |SELECT t.doc_id, count(*) AS n_terms_total,
+        |       CAST(sum(t.tf) AS BIGINT) AS n_tokens_total,
+        |       coalesce(any_value(k.n_terms_kept), 0) AS n_terms_kept,
+        |       coalesce(any_value(k.n_tokens_kept), 0) AS n_tokens_kept
+        |FROM tf t LEFT JOIN kept k USING (doc_id)
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "q_clean_seeded" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text
+        |              ELSE text || ' <b>contact</b> user' || doc_id ||
+        |                   '@example.com or https://ex.org/d/' || doc_id
+        |         END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |           '<[^>]*>', ' ', 'g'),
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |           'https?://[^\s]+', '<URL>', 'g'),
+        |           '\s+', ' ', 'g')) AS clean_text
+        |  FROM d
+        |)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_chars_clean,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls
+        |FROM c""".stripMargin,
+
+    "q_cdc_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         round(value, 6) AS value
+        |  FROM events
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e
+        |)
+        |SELECT user_id, ts_us, event_id, event_type, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         least(greatest(CAST(floor((value - 0.0) / 10.0) AS BIGINT),
+        |                        0), 19) AS bin
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, bin, round(0.0 + bin * 10.0, 6) AS bin_lo,
+        |       count(*) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS "click",
+        |       count(*) FILTER (WHERE event_type = 'error') AS "error",
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |       count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |       count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH known AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS text_hash
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), b AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS text_hash
+        |  FROM documents WHERE doc_id % 5 = 0
+        |)
+        |SELECT b.doc_id, b.text_hash,
+        |       (k.text_hash IS NOT NULL) AS is_known
+        |FROM b LEFT JOIN known k USING (text_hash)""".stripMargin,
+
+    "q_hop_windows" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type FROM events
+        |), h AS (
+        |  SELECT (us // 3600000000) * 3600000000 AS w_start_us, event_type
+        |  FROM e
+        |  UNION ALL
+        |  SELECT ((us // 3600000000) - 1) * 3600000000 AS w_start_us, event_type
+        |  FROM e
+        |)
+        |SELECT w_start_us, w_start_us + 7200000000 AS w_end_us,
+        |       event_type, count(*) AS n
+        |FROM h GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         round(value, 6) AS value
+        |  FROM events
+        |)
+        |SELECT user_id, ts_us, event_id, value,
+        |       ts_us AS valid_from_us,
+        |       lead(ts_us) OVER w AS valid_to_us,
+        |       (lead(ts_us) OVER w IS NULL) AS is_current
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99,
+        |       count(value) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, count(value) AS n,

@@ -32,6 +32,27 @@ object Dedup {
       .select(id, "text_hash", "keeper_id", "is_duplicate")
   }
 
+  /** Incremental-ingestion exact dedup: flag each incoming document
+    * whose normalized text already exists in the known corpus — the
+    * batch-N-against-corpus check an append-only pipeline runs, where
+    * re-deduplicating the whole corpus per batch is the scale
+    * anti-pattern. Only HASHES of the known side move (distinct
+    * md5 per text, an 16-byte column — the persistable index shape);
+    * the equi-join on text_hash carries the small new batch to it,
+    * which AQE broadcasts when the batch fits.
+    * Output: id, text_hash, is_known.
+    */
+  def dedupAgainstKnown(newDocs: DataFrame, known: DataFrame, id: String,
+      text: String): DataFrame = {
+    val h = md5(lower(trim(col(text))))
+    val index = known.select(h.as("text_hash")).distinct()
+      .withColumn("__k", lit(true))
+    newDocs.select(col(id), h.as("text_hash"))
+      .join(index, Seq("text_hash"), "left")
+      .select(col(id), col("text_hash"),
+        coalesce(col("__k"), lit(false)).as("is_known"))
+  }
+
   /** Distinct k-word shingles per document (lowercased, whitespace
     * tokenized) as 60-bit hashes — the single shingle construction and
     * the join/shuffle currency of the jaccard family: dedup,

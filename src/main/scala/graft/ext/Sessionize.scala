@@ -102,4 +102,64 @@ object Sessionize {
       .agg(max_by(payload, ord).as("__m"))
       .select(allCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** CDC changelog application: reduce an insert/update/delete event
+    * log to the live state table it describes. The LATEST row per key
+    * (by ts, tiebreak — same comparator as [[compactLatest]]) decides
+    * the key's fate: if its `op` equals `deleteOp` the key is a
+    * tombstone and is absent from the output; otherwise the latest
+    * row's full payload survives. A delete followed by a later upsert
+    * resurrects the key — last-writer-wins, the lakehouse MERGE /
+    * compacted-topic contract.
+    *
+    * Same one-exchange max_by shape as [[compactLatest]]; the
+    * tombstone filter runs post-aggregate on O(keys) rows, so deletes
+    * cost nothing extra over compaction.
+    */
+  def applyChangelog(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String, op: String, deleteOp: String): DataFrame =
+    compactLatest(df, keys, ts, tiebreak)
+      .filter(col(op) =!= deleteOp)
+
+  /** SCD type-2 intervalization: turn a changelog into a slowly-
+    * changing-dimension history table — each version row carries its
+    * validity interval [valid_from_us, valid_to_us) with valid_to_us =
+    * the next version's timestamp (NULL while current) and an
+    * is_current flag. The (ts, tiebreak) order matches
+    * [[compactLatest]], so the single is_current row per key is
+    * exactly the row compactLatest keeps. One shuffle on the keys;
+    * the lead() pass and the flag share the same window partitioning,
+    * so N versions per key cost one per-key sort regardless of N.
+    * Output: input columns + valid_from_us, valid_to_us, is_current.
+    */
+  def scdIntervals(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String): DataFrame = {
+    require(keys.nonEmpty, "scdIntervals needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(tiebreak).asc)
+    df.withColumn("valid_from_us", col(ts))
+      .withColumn("valid_to_us", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** Hopping (sliding tumbling) time-window counts over dimension
+    * columns, via Spark's native `window()` generator: every event
+    * lands in size/slide consecutive windows (epoch-aligned starts at
+    * multiples of `slide`), then ONE map-side-combining aggregate
+    * counts per (window, dims). `size` must be a whole multiple of
+    * `slide` so the replication factor is integral and windows tile
+    * exactly. The same expression is streaming-ready — `window()` over
+    * a watermarked stream is the standard rate-monitor shape.
+    * Output: w_start_us, w_end_us, dims*, n.
+    */
+  def hoppingCounts(df: DataFrame, ts: String, size: String,
+      slide: String, dims: Seq[String]): DataFrame = {
+    val w = window(col(ts), size, slide)
+    df.select((w.as("__w") +: dims.map(col)): _*)
+      .groupBy((col("__w") +: dims.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((Seq(unix_micros(col("__w.start")).as("w_start_us"),
+        unix_micros(col("__w.end")).as("w_end_us")) ++
+        dims.map(col) :+ col("n")): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: token counts,
@@ -397,4 +398,76 @@ object TextStats {
       md5(array_join(array_sort(collect_list(col("__h").cast("string"))), ","))
         .as("fingerprint"))
   }
+
+  /** Per-document distinctive terms — the TF-IDF family ranking with an
+    * integer-exact comparator: each document's top-k terms ordered by
+    * (term frequency DESC, document frequency ASC, term ASC). For any
+    * strictly decreasing idf this lexicographic order agrees with
+    * tf·idf whenever tf ranks differ and refines its df tiebreak when
+    * they don't, so the ranking is TF-IDF-shaped while every output
+    * column stays an integer — exactly reproducible cross-engine (a
+    * transcendental idf score would defeat hash-exact comparison).
+    *
+    * Shape: one shuffle for the (doc, term) tf aggregate; document
+    * frequency re-aggregates that table on term (pre-reduced, so a
+    * corpus-wide stopword arrives as one row per partition, not one
+    * per occurrence); equi-join back on term (AQE broadcasts the vocab
+    * when it fits); the per-doc rank filter plans as WindowGroupLimit,
+    * a k-heap per task before the exchange.
+    * Output: id, term, tf, df_docs, term_rank.
+    */
+  def distinctiveTerms(df: DataFrame, id: String, text: String,
+      k: Int = 5): DataFrame = {
+    val tf = df
+      .select(col(id), explode(split(lower(trim(col(text))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("tf").desc, col("df_docs").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(id), col("term"), col("tf"), col("df_docs"),
+        col("term_rank"))
+  }
+
+  /** Document-frequency vocabulary pruning: drop terms occurring in
+    * fewer than `minDf` documents (typos/noise) or more than `maxDf`
+    * (corpus-wide stopwords), then report how much of each document
+    * survives — the standard pre-tokenizer vocabulary cut. Documents
+    * none of whose terms survive still appear (zero kept counts).
+    *
+    * Shape: the same pre-reduced tf → df aggregation pair as
+    * [[distinctiveTerms]]; the df-band term list joins back by term
+    * (equi-join; never a broadcast of the raw corpus), and both
+    * per-doc reductions reuse the tf table so the text is tokenized
+    * exactly once. Output: id, n_terms_total, n_tokens_total,
+    * n_terms_kept, n_tokens_kept.
+    */
+  def pruneVocabulary(df: DataFrame, id: String, text: String,
+      minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf <= maxDf, s"empty df band: [$minDf, $maxDf]")
+    val tf = df
+      .select(col(id), explode(split(lower(trim(col(text))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val band = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
+      .select("term")
+    val kept = tf.join(band, "term")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_terms_kept"),
+        sum(col("tf")).as("n_tokens_kept"))
+    tf.groupBy(col(id))
+      .agg(count(lit(1)).as("n_terms_total"),
+        sum(col("tf")).as("n_tokens_total"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_terms_total"), col("n_tokens_total"),
+        coalesce(col("n_terms_kept"), lit(0L)).as("n_terms_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
 }

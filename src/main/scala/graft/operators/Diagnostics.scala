@@ -107,4 +107,28 @@ object Diagnostics {
       when(best > 0.7, round(bestCand, 6)).as("quant_step") :+
       (best > 0.7).as("is_quantized")): _*)
   }
+
+  /** Fixed-bin value histogram per group: bin i covers
+    * [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/nBins; values outside
+    * [lo, hi) clamp into the first/last bin (so counts always sum to
+    * the group's row count — the distribution-monitoring contract,
+    * where a stray outlier must not vanish). NULL values are skipped.
+    * The bin index is pure arithmetic (floor of a single IEEE
+    * division) — deterministic across engines. Empty bins are not
+    * densified: one map-side-combining aggregate, output rows ≤
+    * groups × nBins regardless of input size.
+    * Output: group, bin, bin_lo, n.
+    */
+  def valueHistogram(df: DataFrame, group: String, value: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"bad histogram spec [$lo,$hi)/$nBins")
+    val w = (hi - lo) / nBins
+    val raw = floor((col(value) - lit(lo)) / lit(w)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(nBins - 1L))
+    df.filter(col(value).isNotNull)
+      .groupBy(col(group), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * lit(w), 6))
+      .select(col(group), col("bin"), col("bin_lo"), col("n"))
+  }
 }

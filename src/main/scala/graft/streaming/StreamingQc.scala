@@ -39,6 +39,56 @@ object StreamingQc {
       .select((spec.keyCols :+ col("win.start").as("window_start") :+
         col("n_obs") :+ col("n_finite")): _*)
 
+  /** Streaming hopping-window rates — the streaming face of
+    * [[graft.ext.Sessionize.hoppingCounts]]: the identical `window()`
+    * expression over a watermarked stream, so every event lands in
+    * size/slide consecutive windows and a window's count finalizes
+    * (append mode) once the watermark passes its end. State is
+    * bounded by open windows × dims, not stream length.
+    * Output matches the batch operator: w_start_us, w_end_us,
+    * dims*, n.
+    */
+  def hoppingCountsStream(df: DataFrame, eventTimeCol: String,
+      size: String, slide: String, dims: Seq[String],
+      watermark: String = "2 hours"): DataFrame = {
+    val w = window(col(eventTimeCol), size, slide)
+    df.withWatermark(eventTimeCol, watermark)
+      .groupBy((w.as("__w") +: dims.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((Seq(unix_micros(col("__w.start")).as("w_start_us"),
+        unix_micros(col("__w.end")).as("w_end_us")) ++
+        dims.map(col) :+ col("n")): _*)
+  }
+
+  /** One upsert row for the streaming keep-latest state (public for
+    * the encoder).
+    */
+  final case class UpsertRow(userId: Long, tsUs: Long, eventId: Long,
+      value: Double)
+
+  /** Streaming changelog compaction — the streaming face of
+    * [[graft.ext.Sessionize.compactLatest]]: ONE state row per key,
+    * the (ts, tiebreak)-max row seen so far; each batch re-emits the
+    * current latest for every key that received rows (a late arrival
+    * that loses to the state re-emits the unchanged winner —
+    * Update-mode sink semantics). State is O(keys) regardless of
+    * stream length; the comparator matches the batch operator
+    * exactly, so after any replay the last emission per key equals
+    * the batch compaction — pinned in StreamingSpec.
+    */
+  def latestStateStream(ds: Dataset[UpsertRow]): Dataset[UpsertRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .mapGroupsWithState[UpsertRow, UpsertRow](
+        GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[UpsertRow]) =>
+          val best = (state.getOption.iterator ++ rows)
+            .maxBy(r => (r.tsUs, r.eventId))
+          state.update(best)
+          best
+      }
+  }
+
   /** Streaming exact dedup over a document stream — the streaming
     * face of `ext.Dedup.exact`: a document whose normalized-text hash
     * was already seen (within the watermark's state-retention bound)

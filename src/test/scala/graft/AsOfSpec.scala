@@ -174,4 +174,77 @@ class AsOfSpec extends SparkTestBase {
       assert(shuffleCount(out) == 1)
     }
   }
+
+  test("applyChangelog: latest tombstone deletes, later upsert resurrects") {
+    val log = Seq(
+      // key 1: upsert then delete -> absent
+      (1L, 10L, 100L, "U", 1.0), (1L, 20L, 101L, "D", 0.0),
+      // key 2: delete then later upsert -> resurrected with the upsert
+      (2L, 10L, 102L, "D", 0.0), (2L, 30L, 103L, "U", 2.0),
+      // key 3: same-ts tie -> higher event_id wins; it is a delete
+      (3L, 10L, 104L, "U", 3.0), (3L, 10L, 105L, "D", 0.0),
+      // key 4: plain upsert survives
+      (4L, 5L, 106L, "U", 4.0))
+      .toDF("user_id", "ts_us", "event_id", "op", "value")
+    val out = Sessionize.applyChangelog(log, Seq("user_id"), "ts_us",
+      "event_id", "op", deleteOp = "D")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, String, Double)].collect.toSeq
+    assert(out == Seq(
+      (2L, 30L, 103L, "U", 2.0),
+      (4L, 5L, 106L, "U", 4.0)))
+  }
+
+  test("scdIntervals: validity chain, zero-width ties, current = compactLatest") {
+    val log = Seq(
+      (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (1L, 20L, 102L, 3.0),
+      (2L, 5L, 103L, 4.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val out = Sessionize.scdIntervals(log, Seq("user_id"), "ts_us",
+        "event_id")
+      .orderBy("user_id", "valid_from_us", "event_id")
+      .select("user_id", "event_id", "valid_from_us", "valid_to_us",
+        "is_current")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 10L, Some(20L), false),
+      (1L, 101L, 20L, Some(20L), false), // same-ts tie: zero-width version
+      (1L, 102L, 20L, None, true),
+      (2L, 103L, 5L, None, true)))
+    // the current row per key is exactly what compactLatest keeps
+    val current = Sessionize.scdIntervals(log, Seq("user_id"), "ts_us",
+        "event_id")
+      .filter(col("is_current"))
+      .select("user_id", "ts_us", "event_id", "value")
+      .orderBy("user_id").collect().toSeq
+    val compacted = Sessionize.compactLatest(log, Seq("user_id"), "ts_us",
+        "event_id")
+      .orderBy("user_id").collect().toSeq
+    assert(current == compacted)
+  }
+
+  test("hoppingCounts: each event lands in size/slide windows, tiled") {
+    // 2s windows sliding 1s; events at 0.5s, 1.5s, 1.9s
+    val ev = Seq((500000L, "x"), (1500000L, "x"), (1900000L, "y"))
+      .toDF("us", "t")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Sessionize.hoppingCounts(ev, "ts", "2 seconds", "1 second",
+        Seq("t"))
+      .orderBy("w_start_us", "t")
+      .as[(Long, Long, String, Long)].collect.toSeq
+    // event at 0.5s -> windows [-1,1) and [0,2); 1.5s -> [0,2),[1,3); 1.9s same
+    assert(out == Seq(
+      (-1000000L, 1000000L, "x", 1L),
+      (0L, 2000000L, "x", 2L),
+      (0L, 2000000L, "y", 1L),
+      (1000000L, 3000000L, "x", 1L),
+      (1000000L, 3000000L, "y", 1L)))
+    // every window is exactly size long and total row-slots = events * 2
+    assert(out.forall(w => w._2 - w._1 == 2000000L))
+    assert(out.map(_._4).sum == 6L)
+  }
 }

@@ -78,4 +78,29 @@ class DiagnosticsSpec extends SparkTestBase {
     assert(!r2.getAs[Boolean]("is_quantized"))
     assert(r2.isNullAt(r2.fieldIndex("quant_step")))
   }
+
+  test("valueHistogram: bin edges, outlier clamping, null skip, counts sum") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", Some(-5.0)),  // below lo -> bin 0
+      ("a", Some(0.0)),   // bin 0
+      ("a", Some(9.999)), // bin 0 (right-open edge)
+      ("a", Some(10.0)),  // bin 1
+      ("a", Some(99.9)),  // bin 9
+      ("a", Some(100.0)), // at hi -> clamps into bin 9
+      ("a", Some(250.0)), // above hi -> bin 9
+      ("a", None),        // skipped
+      ("b", Some(55.0)))  // bin 5
+      .toDF("g", "v")
+    val out = Diagnostics.valueHistogram(d, "g", "v", lo = 0.0, hi = 100.0,
+        nBins = 10)
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("bin"),
+        r.getAs[Double]("bin_lo"), r.getAs[Long]("n")))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 0.0, 3L), ("a", 1L, 10.0, 1L), ("a", 9L, 90.0, 3L),
+      ("b", 5L, 50.0, 1L)))
+    // counts sum to the non-null row count
+    assert(out.filter(_._1 == "a").map(_._4).sum == 7L)
+  }
 }

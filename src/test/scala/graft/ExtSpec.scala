@@ -297,6 +297,61 @@ class ExtSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("a", 2L, 2L), ("b", 2L, 1L)))
   }
 
+  test("distinctiveTerms: tf-desc, df-asc, term-asc ranking by hand") {
+    // doc 1: rare=2 (df 1), shared=2 (df 3), common=1 (df 3)
+    // -> rank1 rare (tf 2, df 1), rank2 shared (tf 2, df 3), rank3 common
+    val d = docs(
+      (1L, "rare rare shared shared common"),
+      (2L, "shared common other"),
+      (3L, "shared common"))
+    val out = TextStats.distinctiveTerms(d, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("term_rank").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df_docs"), r.getAs[Int]("term_rank")))
+    assert(out.toSeq == Seq(("rare", 2L, 1L, 1), ("shared", 2L, 3L, 2)))
+    // every doc gets at most k rows, ranks are 1..k
+    val all = TextStats.distinctiveTerms(d, "doc_id", "text", k = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("term_rank").as("m"))
+      .collect()
+    assert(all.forall(r => r.getAs[Long]("n") <= 2 &&
+      r.getAs[Int]("m") <= 2))
+    // the rank<=k filter must plan as WindowGroupLimit (per-task k-heap
+    // before the exchange), not a full sort + post-filter
+    val plan = TextStats.distinctiveTerms(d, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter should push a partial group limit:\n$plan")
+  }
+
+  test("dedupAgainstKnown flags normalized matches, passes novel docs") {
+    val known = docs((1L, "Hello World"), (2L, "old news"))
+    val batch = docs((10L, "  hello world "), // case/trim dup of 1
+      (11L, "old news"), (12L, "fresh content"))
+    val out = Dedup.dedupAgainstKnown(batch, known, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_known")))
+    assert(out.toSeq == Seq((10L, true), (11L, true), (12L, false)))
+  }
+
+  test("pruneVocabulary: df band cut, zero-kept docs survive") {
+    // df: a=3, b=2, unique1/unique2/unique3=1 each
+    // band [2, 2]: keeps b only (a is too common, uniques too rare)
+    val d = docs(
+      (1L, "a b unique1"),
+      (2L, "a b b unique2"),
+      (3L, "a unique3"))
+    val out = TextStats.pruneVocabulary(d, "doc_id", "text",
+        minDf = 2L, maxDf = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_total"),
+        r.getAs[Long]("n_tokens_total"), r.getAs[Long]("n_terms_kept"),
+        r.getAs[Long]("n_tokens_kept")))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 1L, 1L),   // b kept once
+      (2L, 3L, 4L, 1L, 2L),   // b kept twice (tf mass, not term count)
+      (3L, 2L, 2L, 0L, 0L))) // nothing in band — doc still present
+  }
+
   test("chunkDocs: stride/overlap boundaries and short tail") {
     import spark.implicits._
     val d = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.core.SeriesSpec
+import graft.ext.Sessionize
 import graft.streaming.StreamingQc
 import graft.streaming.StreamingQc.SeriesEvent
 
@@ -402,6 +403,62 @@ class StreamingSpec extends SparkTestBase {
       assert(!times.contains(us(15L * 5 + 1)), "late event not re-emitted")
       // the in-window insert is evaluated once its own lookahead fills
       assert(times.contains(us(15L * 18 + 1)))
+    } finally q.stop()
+  }
+
+  test("streaming hopping counts equal the batch operator on a replayed log") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // seconds-scale log across two types, replayed in two batches
+    val log = for (i <- 0 until 40)
+      yield (i.toLong, (i * i * 731L) % 9500L, if (i % 3 == 0) "a" else "b")
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("id", "ts", "t")
+    val q = StreamingQc.hoppingCountsStream(df, "ts", "2 seconds",
+        "1 second", Seq("t"), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hopeq")
+      .outputMode("complete").start()
+    try {
+      log.grouped(20).foreach { b =>
+        input.addData(b.map { case (id, ms, ty) => (id, t(ms), ty) }: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("hopeq")
+        .as[(Long, Long, String, Long)].collect.toSeq.sorted
+      val batch = graft.ext.Sessionize.hoppingCounts(
+        log.toDF("id", "ms", "t")
+          .select(col("t"), timestamp_micros(col("ms") * 1000L).as("ts")),
+        "ts", "2 seconds", "1 second", Seq("t"))
+        .as[(Long, Long, String, Long)].collect.toSeq.sorted
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming keep-latest state equals batch compactLatest after replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val log = for (i <- 0 until 60)
+      yield StreamingQc.UpsertRow((i % 7).toLong, (i * 37L) % 50L,
+        i.toLong, i * 1.5)
+    val input = MemoryStream[StreamingQc.UpsertRow]
+    val q = StreamingQc.latestStateStream(input.toDS())
+      .writeStream.format("memory").queryName("lateststate")
+      .outputMode("update").start()
+    try {
+      log.grouped(20).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      // every emission is a comparator-monotone candidate, so the max
+      // over emissions per key == the final state == batch compaction
+      val streamed = Sessionize.compactLatest(spark.table("lateststate"),
+          Seq("userId"), "tsUs", "eventId")
+        .as[StreamingQc.UpsertRow].collect.toSeq.sortBy(_.userId)
+      val batch = Sessionize.compactLatest(
+          log.toDF("userId", "tsUs", "eventId", "value"),
+          Seq("userId"), "tsUs", "eventId")
+        .as[StreamingQc.UpsertRow].collect.toSeq.sortBy(_.userId)
+      assert(streamed == batch && streamed.size == 7)
     } finally q.stop()
   }
 }
