@@ -408,12 +408,14 @@ object TextStats {
     * column stays an integer — exactly reproducible cross-engine (a
     * transcendental idf score would defeat hash-exact comparison).
     *
-    * Shape: one shuffle for the (doc, term) tf aggregate; document
-    * frequency re-aggregates that table on term (pre-reduced, so a
-    * corpus-wide stopword arrives as one row per partition, not one
-    * per occurrence); equi-join back on term (AQE broadcasts the vocab
+    * Shape: two token passes (the tf probe side and the df index —
+    * the standard tf/df pair; column pruning defeats exchange reuse
+    * between them, verified in the physical plan). Document frequency
+    * aggregates (doc,term)-distinct rows, so a corpus-wide stopword
+    * arrives pre-reduced, one row per doc rather than one per
+    * occurrence; equi-join back on term (AQE broadcasts the vocab
     * when it fits); the per-doc rank filter plans as WindowGroupLimit,
-    * a k-heap per task before the exchange.
+    * a k-heap per task before the exchange (spec-pinned).
     * Output: id, term, tf, df_docs, term_rank.
     */
   def distinctiveTerms(df: DataFrame, id: String, text: String,
@@ -439,12 +441,15 @@ object TextStats {
     * survives — the standard pre-tokenizer vocabulary cut. Documents
     * none of whose terms survive still appear (zero kept counts).
     *
-    * Shape: the same pre-reduced tf → df aggregation pair as
-    * [[distinctiveTerms]]; the df-band term list joins back by term
-    * (equi-join; never a broadcast of the raw corpus), and both
-    * per-doc reductions reuse the tf table so the text is tokenized
-    * exactly once. Output: id, n_terms_total, n_tokens_total,
-    * n_terms_kept, n_tokens_kept.
+    * Shape: two token passes — the tf probe side and the df index —
+    * the same pre-reduced pair as [[distinctiveTerms]] (a third pass
+    * for the totals is folded into ONE conditional aggregate after
+    * the left join, kept/total computed together; verified in the
+    * physical plan — an earlier totals⨝kept formulation tokenized the
+    * corpus three times because column pruning defeats exchange
+    * reuse). The df-band term list joins back by term (equi-join,
+    * never a broadcast of the raw corpus). Output: id, n_terms_total,
+    * n_tokens_total, n_terms_kept, n_tokens_kept.
     */
   def pruneVocabulary(df: DataFrame, id: String, text: String,
       minDf: Long, maxDf: Long): DataFrame = {
@@ -456,18 +461,13 @@ object TextStats {
       .agg(count(lit(1)).as("tf"))
     val band = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
       .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
-      .select("term")
-    val kept = tf.join(band, "term")
+      .select(col("term"), lit(true).as("__kept"))
+    tf.join(band, Seq("term"), "left")
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_terms_kept"),
-        sum(col("tf")).as("n_tokens_kept"))
-    tf.groupBy(col(id))
       .agg(count(lit(1)).as("n_terms_total"),
-        sum(col("tf")).as("n_tokens_total"))
-      .join(kept, Seq(id), "left")
-      .select(col(id), col("n_terms_total"), col("n_tokens_total"),
-        coalesce(col("n_terms_kept"), lit(0L)).as("n_terms_kept"),
-        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+        sum(col("tf")).as("n_tokens_total"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_terms_kept"),
+        sum(when(col("__kept"), col("tf")).otherwise(0L)).as("n_tokens_kept"))
   }
 
 }
