@@ -52,7 +52,18 @@ object EventsScaleBench {
         Sessionize.compactLatest(
           ev.select(col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("ts_us"), col("event_id")),
-          Seq("user_id", "event_type"), "ts_us", "event_id").count()))
+          Seq("user_id", "event_type"), "ts_us", "event_id").count()),
+      "scd2" -> (() =>
+        Sessionize.scdIntervals(
+          ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")),
+          Seq("user_id"), "ts_us", "event_id").count()),
+      // hop windows key on TIME, not user, so replication widens rows
+      // per (window, type) cell rather than cell count — the map-side
+      // combine must absorb the extra volume for wall time to stay flat
+      "hop" -> (() =>
+        Sessionize.hoppingCounts(ev, "ts", "2 hours", "1 hour",
+          Seq("event_type")).count()))
 
     for (n <- Seq(1, 8, 32)) {
       val ev = replicated(n)

@@ -302,6 +302,28 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))),
 
+    // CUBE: the full grouping-sets lattice — (source,lang), source,
+    // lang, grand total — from one expand+aggregate pass; the lang-
+    // only subtotal is what ROLLUP can't emit.
+    "q_cube" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .cube("source", "lang")
+        .agg(grouping_id().cast("int").as("grp"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
+
+    // HLL approximate distinct: the sketch a 100 TB pipeline uses
+    // where exact count-distinct would shuffle every key — fixed-size
+    // state per group, map-side mergeable. Approximate by definition,
+    // so rows-only at the oracle; the 5% error bound vs the exact
+    // count is pinned in ExtSpec.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.01)
+          .as("approx_users"),
+          count(lit(1)).as("n"))),
+
     // TF-IDF-family distinctive terms: top-5 per doc by the
     // integer-exact (tf desc, df asc, term asc) comparator — the
     // ranking tf·idf induces, without a transcendental score column.
@@ -1220,6 +1242,11 @@ object SparkEntry {
       """SELECT source, lang, CAST(GROUPING(source, lang) AS INT) AS grp,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT source, lang, CAST(GROUPING(source, lang) AS INT) AS grp,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
 
     "q_tfidf" ->
       """WITH w AS (

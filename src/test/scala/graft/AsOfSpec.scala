@@ -247,4 +247,26 @@ class AsOfSpec extends SparkTestBase {
     assert(out.forall(w => w._2 - w._1 == 2000000L))
     assert(out.map(_._4).sum == 6L)
   }
+
+  test("scdIntervals and hoppingCounts each plan exactly one exchange") {
+    withStaticPlans {
+      val log = (0 until 2000)
+        .map(i => ((i % 40).toLong, i.toLong, i.toLong, i * 0.5))
+        .toDF("user_id", "ts_us", "event_id", "value")
+      assert(shuffleCount(Sessionize.scdIntervals(log, Seq("user_id"),
+        "ts_us", "event_id")) == 1)
+      val ev = (0 until 2000)
+        .map(i => (new java.sql.Timestamp(i * 977L), "t" + (i % 3)))
+        .toDF("ts", "t")
+      val hop = Sessionize.hoppingCounts(ev, "ts", "2 seconds",
+        "1 second", Seq("t"))
+      assert(shuffleCount(hop) == 1)
+      // the window replication (expand) must sit BELOW the partial
+      // aggregate so the exchange moves combined (window, dim) cells,
+      // not per-event rows
+      val plan = hop.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count") || plan.contains("Partial"),
+        s"expected a map-side partial aggregate:\n$plan")
+    }
+  }
 }

@@ -323,6 +323,22 @@ class ExtSpec extends SparkTestBase {
       s"rank filter should push a partial group limit:\n$plan")
   }
 
+  test("approx_count_distinct at rsd=0.01 stays within 4% of exact") {
+    import spark.implicits._
+    val d = (0 until 20000).map(i => ((i % 5).toString, (i * 7919L) % 3700L))
+      .toDF("t", "user_id")
+    val got = d.groupBy("t").agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val a = r.getAs[Long]("approx").toDouble
+      val e = r.getAs[Long]("exact").toDouble
+      assert(math.abs(a - e) / e < 0.04, s"hll error too big: $a vs $e")
+    }
+  }
+
   test("dedupAgainstKnown flags normalized matches, passes novel docs") {
     val known = docs((1L, "Hello World"), (2L, "old news"))
     val batch = docs((10L, "  hello world "), // case/trim dup of 1
