@@ -315,7 +315,7 @@ object SparkEntry {
     // HLL approximate distinct: the sketch a 100 TB pipeline uses
     // where exact count-distinct would shuffle every key — fixed-size
     // state per group, map-side mergeable. Approximate by definition,
-    // so rows-only at the oracle; the 5% error bound vs the exact
+    // so rows-only at the oracle; the 4% error bound vs the exact
     // count is pinned in ExtSpec.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -383,7 +383,10 @@ object SparkEntry {
         .pivot("event_type",
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)),
+        // fill ONLY the pivot cells: a bare fill(0L) would also
+        // rewrite a NULL user_id group key, diverging from GROUP BY
+        .na.fill(0L,
+          Seq("click", "error", "purchase", "signup", "view"))),
 
     // incremental-ingestion dedup: flag batch docs (doc_id % 5 == 0)
     // whose normalized text already exists in the known corpus — the

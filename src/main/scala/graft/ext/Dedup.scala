@@ -23,8 +23,16 @@ object Dedup {
     * md5(lower(trimmed)); the smallest id is the keeper.
     * Output: id, text_hash, keeper_id, is_duplicate.
     */
+  /** The normalized-text content hash — THE cross-engine dedup
+    * currency (mirrored verbatim as `md5(lower(trim(text)))` in every
+    * dedup oracle). One definition; exact/incremental/streaming dedup
+    * and the curation filter all call this, so the normalization can
+    * never drift between batch and corpus sides.
+    */
+  def normHash(text: Column): Column = md5(lower(trim(text)))
+
   def exact(df: DataFrame, id: String, text: String): DataFrame = {
-    val h = md5(lower(trim(col(text))))
+    val h = normHash(col(text))
     val w = Window.partitionBy(col("text_hash"))
     df.withColumn("text_hash", h)
       .withColumn("keeper_id", min(col(id)).over(w))
@@ -44,7 +52,7 @@ object Dedup {
     */
   def dedupAgainstKnown(newDocs: DataFrame, known: DataFrame, id: String,
       text: String): DataFrame = {
-    val h = md5(lower(trim(col(text))))
+    val h = normHash(col(text))
     val index = known.select(h.as("text_hash")).distinct()
       .withColumn("__k", lit(true))
     newDocs.select(col(id), h.as("text_hash"))

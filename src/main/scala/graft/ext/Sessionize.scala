@@ -100,7 +100,9 @@ object Sessionize {
     val ord = struct(col(ts), col(tiebreak))
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("__m"))
-      .select(allCols.map(c => col(s"__m.$c").as(c)): _*)
+      // getField, not col("__m.name"): a column name containing a dot
+      // would otherwise be parsed as a nested-field path
+      .select(allCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 
   /** CDC changelog application: reduce an insert/update/delete event
@@ -119,7 +121,9 @@ object Sessionize {
   def applyChangelog(df: DataFrame, keys: Seq[String], ts: String,
       tiebreak: String, op: String, deleteOp: String): DataFrame =
     compactLatest(df, keys, ts, tiebreak)
-      .filter(col(op) =!= deleteOp)
+      // null-safe: a NULL op is NOT a tombstone (plain =!= would
+      // evaluate to NULL and silently drop the key)
+      .filter(!(col(op) <=> lit(deleteOp)))
 
   /** SCD type-2 intervalization: turn a changelog into a slowly-
     * changing-dimension history table — each version row carries its
@@ -154,6 +158,15 @@ object Sessionize {
     */
   def hoppingCounts(df: DataFrame, ts: String, size: String,
       slide: String, dims: Seq[String]): DataFrame = {
+    def us(s: String): Long = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(iv.months == 0, s"calendar-month hops are not fixed-width: $s")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    require(us(size) > 0 && us(size) % us(slide) == 0,
+      s"size must be a whole multiple of slide for tiling windows: " +
+        s"$size / $slide")
     val w = window(col(ts), size, slide)
     df.select((w.as("__w") +: dims.map(col)): _*)
       .groupBy((col("__w") +: dims.map(col)): _*)

@@ -160,7 +160,7 @@ object TextStats {
   def sourceStats(df: DataFrame, source: String, text: String,
       lang: String): DataFrame =
     df.select(col(source),
-        md5(lower(trim(col(text)))).as("__h"),
+        Dedup.normHash(col(text)).as("__h"),
         length(col(text)).cast("long").as("__len"),
         (col(lang) === "en").cast("int").as("__en"))
       .groupBy(col(source))

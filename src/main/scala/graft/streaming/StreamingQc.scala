@@ -103,7 +103,7 @@ object StreamingQc {
     */
   def dedupExactStream(df: DataFrame, text: String, eventTimeCol: String,
       watermark: String = "1 hour"): DataFrame =
-    df.withColumn("text_hash", md5(lower(trim(col(text)))))
+    df.withColumn("text_hash", graft.ext.Dedup.normHash(col(text)))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 

@@ -178,21 +178,24 @@ class AsOfSpec extends SparkTestBase {
   test("applyChangelog: latest tombstone deletes, later upsert resurrects") {
     val log = Seq(
       // key 1: upsert then delete -> absent
-      (1L, 10L, 100L, "U", 1.0), (1L, 20L, 101L, "D", 0.0),
+      (1L, 10L, 100L, Some("U"), 1.0), (1L, 20L, 101L, Some("D"), 0.0),
       // key 2: delete then later upsert -> resurrected with the upsert
-      (2L, 10L, 102L, "D", 0.0), (2L, 30L, 103L, "U", 2.0),
+      (2L, 10L, 102L, Some("D"), 0.0), (2L, 30L, 103L, Some("U"), 2.0),
       // key 3: same-ts tie -> higher event_id wins; it is a delete
-      (3L, 10L, 104L, "U", 3.0), (3L, 10L, 105L, "D", 0.0),
+      (3L, 10L, 104L, Some("U"), 3.0), (3L, 10L, 105L, Some("D"), 0.0),
       // key 4: plain upsert survives
-      (4L, 5L, 106L, "U", 4.0))
+      (4L, 5L, 106L, Some("U"), 4.0),
+      // key 5: NULL op is NOT a tombstone -> the key survives
+      (5L, 7L, 107L, None, 5.0))
       .toDF("user_id", "ts_us", "event_id", "op", "value")
     val out = Sessionize.applyChangelog(log, Seq("user_id"), "ts_us",
       "event_id", "op", deleteOp = "D")
       .orderBy("user_id")
-      .as[(Long, Long, Long, String, Double)].collect.toSeq
+      .as[(Long, Long, Long, Option[String], Double)].collect.toSeq
     assert(out == Seq(
-      (2L, 30L, 103L, "U", 2.0),
-      (4L, 5L, 106L, "U", 4.0)))
+      (2L, 30L, 103L, Some("U"), 2.0),
+      (4L, 5L, 106L, Some("U"), 4.0),
+      (5L, 7L, 107L, None, 5.0)))
   }
 
   test("scdIntervals: validity chain, zero-width ties, current = compactLatest") {
