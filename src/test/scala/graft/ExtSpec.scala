@@ -349,6 +349,21 @@ class ExtSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, true), (11L, true), (12L, false)))
   }
 
+  test("tf-family plans tokenize the corpus at most twice") {
+    // column pruning defeats exchange reuse, so every consumer of the
+    // tf table costs a full tokenize pass: pin the pass count so a
+    // refactor can't silently reintroduce the 3-pass shape
+    val d = docs((1L, "a b c"), (2L, "a b"), (3L, "a x"))
+    def tokenizePasses(plan: String): Int =
+      "Generate explode".r.findAllIn(plan).length
+    val prune = TextStats.pruneVocabulary(d, "doc_id", "text", 2L, 2L)
+      .queryExecution.executedPlan.toString
+    assert(tokenizePasses(prune) == 2, s"pruneVocabulary plan:\n$prune")
+    val tfidf = TextStats.distinctiveTerms(d, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(tokenizePasses(tfidf) == 2, s"distinctiveTerms plan:\n$tfidf")
+  }
+
   test("pruneVocabulary: df band cut, zero-kept docs survive") {
     // df: a=3, b=2, unique1/unique2/unique3=1 each
     // band [2, 2]: keeps b only (a is too common, uniques too rare)
