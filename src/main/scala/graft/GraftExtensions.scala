@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SlidingMedian}
+import graft.functions.{DotProduct, HeavyHitters, SlidingMedian}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL (`SELECT graft_dot(a, b)`)
@@ -37,6 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children(1).foldable,
           "graft_sliding_median min_periods must be a literal")
         SlidingMedian(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_heavy_hitters takes (item, capacity)")
+        require(children(1).foldable,
+          "graft_heavy_hitters capacity must be a literal")
+        HeavyHitters(children(0),
           children(1).eval().asInstanceOf[Number].intValue())
       }))
   }

@@ -466,6 +466,18 @@ object SparkEntry {
       Dedup.ngramJaccardCapped(Tables.documents(s, dir), "doc_id", "text",
         k = 2, threshold = 0.5, maxDf = 20)),
 
+    // prefix-filtered EXACT jaccard: same answer as the exact
+    // inverted-index closure at the same threshold (lossless candidate
+    // pruning — prefixes of true pairs must collide), but the index
+    // holds only each doc's rarest n-⌈t·n⌉+1 shingles. t=0.8 (the
+    // near-dup band: every true pair in this corpus scores >= 0.82)
+    // keeps the prefix at ~n/5 — on THIS corpus's degenerate
+    // 31-word vocabulary every bigram is hot, so prefix size, not
+    // rarity, is what bounds the candidate join.
+    "q_dedup_ngram_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefix(Tables.documents(s, dir), "doc_id", "text",
+        k = 2, threshold = 0.8)),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
         k = 2, numHashes = 12, bands = 6, threshold = 0.5)),
@@ -609,6 +621,15 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextStats.wordFrequencies(Tables.documents(s, dir), "doc_id", "text",
         k = 100)),
+
+    // exact 1%-heavy-hitter tokens with BOUNDED state end to end:
+    // Misra-Gries sketch (native TypedImperativeAggregate, O(capacity)
+    // per task, mergeable) -> <= 127 candidates -> broadcast semi-join
+    // exact re-count -> integer threshold. Exact answer, no
+    // full-vocabulary shuffle anywhere.
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextStats.heavyHitterTokens(Tables.documents(s, dir), "doc_id", "text",
+        capacity = 127, supportPpm = 10000L)),
 
     // train/test decontamination: training docs sharing >= 2 distinct
     // 3-shingles with any benchmark doc (deterministic mod-29 split
@@ -1199,6 +1220,16 @@ object SparkEntry {
           |       round(pr.inter * 1.0 / (sa.n + sb.n - pr.inter), 6) AS jaccard
           |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id
           |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.5""".stripMargin),
+
+    // identical by construction to the exact inverted-index closure at
+    // t=0.8 — the prefix filter is lossless at its own threshold
+    "q_dedup_ngram_prefix" ->
+      (shingleCte(2) + jaccardTail +
+        """
+          |SELECT pr.id_a, pr.id_b, pr.inter,
+          |       round(pr.inter * 1.0 / (sa.n + sb.n - pr.inter), 6) AS jaccard
+          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id
+          |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.8""".stripMargin),
 
     "q_dedup_ngram_capped" ->
       (shingleCte(2) +
@@ -1853,6 +1884,19 @@ object SparkEntry {
         |       count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY 1
         |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
+
+    // exact phi-heavy-hitters: the sketch pass is lossless for the
+    // threshold (supportPpm > 1e6/(capacity+1)), so plain exact SQL is
+    // the oracle; the integer comparison avoids float phi arithmetic
+    "q_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents
+        |), t AS (SELECT count(*) AS total FROM w)
+        |SELECT token, count(*) AS n_occurrences
+        |FROM w, t GROUP BY token, t.total
+        |HAVING count(*) * 1000000 >= t.total * 10000""".stripMargin,
 
     "q_vocab_bigrams" ->
       """WITH d AS (

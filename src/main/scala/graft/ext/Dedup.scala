@@ -221,6 +221,65 @@ object Dedup {
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
   }
 
+  /** Prefix-filtered EXACT n-gram Jaccard — identical output to
+    * [[ngramJaccard]] (every pair with J ≥ threshold, exact scores)
+    * with subquadratic candidate generation, the classic All-Pairs /
+    * PPJoin shape (Bayardo et al., WWW'07; Xiao et al., WWW'08).
+    *
+    * Every document's shingles are ranked by one GLOBAL total order
+    * (document frequency asc, hash asc — rarest first) and only its
+    * PREFIX of length n − ⌈t·n⌉ + 1 enters the inverted index:
+    * if J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), so removing the
+    * ⌈t·n⌉ − 1 most-common shingles from each side cannot erase the
+    * whole intersection — prefixes of true pairs MUST collide
+    * (no recall loss, unlike the df-cap which drops hot pairs).
+    * A length filter (min/max ≥ t, relaxed by 1e-9 so float rounding
+    * can only ADD candidates, never drop a true pair) prunes the
+    * rest before the exact verify tail scores full shingle sets.
+    *
+    * Scale shape: the index holds ~(1−t) of each doc's shingles,
+    * ordered so the HOT shingles are exactly the ones excluded first —
+    * candidate volume is driven by rare-shingle collisions, not the
+    * df² blowup of the full inverted index. Still worst-case
+    * quadratic on a corpus of near-identical docs (as is the answer
+    * itself); positional filtering is the known further refinement.
+    * Output: id_a < id_b, inter, jaccard (≥ threshold).
+    */
+  def ngramJaccardPrefix(df: DataFrame, id: String, text: String, k: Int,
+      threshold: Double): DataFrame = {
+    val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
+    val dfreq = sh.groupBy("sh60").agg(count(lit(1)).as("__df"))
+    val byDoc = Window.partitionBy(col(id))
+    val ranked = sh.join(dfreq, "sh60")
+      .withColumn("__rn",
+        row_number().over(byDoc.orderBy(col("__df"), col("sh60"))))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+    // prefix length n − ⌈t·n⌉ + 1; the −1e-9 inside ceil biases float
+    // rounding toward a LONGER prefix (extra candidates, never lost ones)
+    val prefix = ranked
+      .filter(col("__rn") <=
+        col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1)
+      .select(col(id), col("sh60"), col("__n"), col("__rn"))
+    // join-time pruning, both relaxed by 1e-9 so float rounding can only
+    // ADD candidates: (a) length filter — J ≥ t forces min/max ≥ t;
+    // (b) PPJoin positional filter — a match at global-order positions
+    // (ia, ib) bounds the overlap by 1 + min(na−ia, nb−ib), which must
+    // reach ⌈t·(na+nb)/(1+t)⌉ (the equivalent-overlap form of J ≥ t).
+    // On corpora where every shingle is hot (prefixes prune little),
+    // (b) is what collapses the candidate set: both docs must match
+    // EARLY in their prefixes, not merely somewhere inside them.
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh60") === col("b.sh60") && col(s"a.$id") < col(s"b.$id") &&
+          least(col("a.__n"), col("b.__n")) * lit(1.0) /
+            greatest(col("a.__n"), col("b.__n")) >= lit(threshold - 1e-9) &&
+          (lit(1) + least(col("a.__n") - col("a.__rn"),
+            col("b.__n") - col("b.__rn"))) * lit(1.0 + threshold) >=
+            (col("a.__n") + col("b.__n")) * lit(threshold) - lit(1e-9))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
+    verifyJaccard(sh, cands, id, threshold, withInter = true)
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: C = |A∩B| / min(|A|,|B|)
     * over the same df-capped inverted-index candidates as
     * [[ngramJaccardCapped]]. Containment is the near-dup signal

@@ -363,6 +363,44 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("word").asc)
       .limit(k)
 
+  /** EXACT corpus heavy hitters with BOUNDED state end to end — the
+    * scale-safe replacement for "group by token, having count ≥ φ·N"
+    * whose exact form shuffles the ENTIRE vocabulary (web-scale
+    * corpora have billions of distinct tokens; the aggregate state is
+    * unbounded). Two passes, both fixed-memory:
+    *   1. one global `graft_heavy_hitters` Misra-Gries sketch
+    *      (O(capacity) state per task, mergeable) yields ≤ capacity
+    *      candidate tokens — guaranteed to contain EVERY token with
+    *      frequency > N/(capacity+1), for any partition layout;
+    *   2. the corpus is re-scanned counting ONLY candidate tokens
+    *      (broadcast semi-join on ≤ capacity keys — the shuffle moves
+    *      ≤ capacity partial counts per task), then the exact
+    *      φ-threshold filter runs on true counts.
+    * Requiring φ > 1/(capacity+1) makes pass 1 lossless for the
+    * pass-2 threshold, so the output is EXACTLY the φ-heavy-hitter
+    * set — sketch candidates that fall short are discarded by the
+    * exact re-count. The φ comparison is pure integer arithmetic
+    * (n·10⁶ ≥ N·ppm), bit-portable across engines.
+    * Output: token, n_occurrences (φ = supportPpm/10⁶ of all tokens).
+    */
+  def heavyHitterTokens(df: DataFrame, id: String, text: String,
+      capacity: Int, supportPpm: Long): DataFrame = {
+    require((capacity + 1).toLong * supportPpm > 1000000L,
+      "MG containment guarantee needs supportPpm > 1e6/(capacity+1)")
+    val toks = df.select(explode(tokens(col(text))).as("token"))
+    val cands = toks
+      .agg(call_function("graft_heavy_hitters", col("token"),
+        lit(capacity)).as("__mg"))
+      .select(explode(map_keys(col("__mg"))).as("token"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    toks.join(broadcast(cands), "token")
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(total)
+      .filter(col("n_occurrences") * lit(1000000L) >=
+        col("__total") * lit(supportPpm))
+      .select(col("token"), col("n_occurrences"))
+  }
+
   /** Global bigram-frequency top-k — the n-gram extension of
     * [[wordFrequencies]] (tokenizer-training / collocation-mining
     * prep). Bigrams are assembled scan-local by zipping the token

@@ -483,6 +483,44 @@ class ExtSpec extends SparkTestBase {
     assert(exact.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L))
   }
 
+  test("prefix-filtered jaccard equals the exact inverted-index baseline") {
+    // real corpus slice: the lossless-prefix claim must hold on
+    // arbitrary text, not a constructed example
+    val d = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 400)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.ngramJaccard(d, "doc_id", "text", k = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("jaccard"))).toSet
+      val prefix = Dedup.ngramJaccardPrefix(d, "doc_id", "text", k = 2,
+        threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(prefix == exact, s"prefix-filter lost or invented pairs at t=$t")
+      assert(exact.nonEmpty || t > 0.5) // the low thresholds must exercise pairs
+    }
+  }
+
+  test("prefix index is smaller than the full inverted index") {
+    // the prefix table must actually prune: at t=0.5 each doc
+    // contributes ~n/2+1 of its n shingles
+    val d = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i x"),
+      (3L, "p q r s t u v w y z"))
+    val sh = Dedup.shinglesHashed(d, "doc_id", "text", 2)
+    val full = sh.count()
+    // mirror the operator's internal prefix selection
+    val dfreq = sh.groupBy("sh60").agg(count(lit(1)).as("__df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefixRows = sh.join(dfreq, "sh60")
+      .withColumn("__rn", row_number().over(byDoc.orderBy(col("__df"), col("sh60"))))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .filter(col("__rn") <= col("__n") - ceil(col("__n") * lit(0.5) - lit(1e-9)) + 1)
+      .count()
+    assert(prefixRows < full && prefixRows >= full / 2)
+  }
+
   test("cleanText strips markup, masks emails/urls, collapses whitespace") {
     val d = docs(
       (1L, "Hello <b>world</b>   contact bob@example.com or https://x.io/a?b=1 now"),
