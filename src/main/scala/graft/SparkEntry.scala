@@ -374,6 +374,16 @@ object SparkEntry {
       Diagnostics.valueHistogram(Tables.events(s, dir), "event_type",
         "value", lo = 0.0, hi = 200.0, nBins = 20)),
 
+    // per-group closed-form OLS (price vs quantity): trend monitoring
+    // as ONE map-side-combined pass; all five moments are exact
+    // integer sums over quantized values (decimal(38,0)), so the fit
+    // is order-free and bit-portable — the one double division per
+    // group happens on exact integers.
+    "q_linear_fit" -> ((s, dir) =>
+      Diagnostics.groupedLinearFit(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"),
+        "l_quantity", "l_extendedprice")),
+
     // PIVOT: per-user activity matrix — long event log to one wide
     // row per user with a column per event type. Explicit value list,
     // so no distinct-scan planning job; absent cells filled 0.
@@ -1369,6 +1379,41 @@ object SparkEntry {
         |SELECT event_type, bin, round(0.0 + bin * 10.0, 6) AS bin_lo,
         |       count(*) AS n
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // mirrors groupedLinearFit's exact-integer moments: HUGEINT sums
+    // ≡ Spark's decimal(38,0) sums for all in-range values, and the
+    // final double expressions share the identical operation tree
+    "q_linear_fit" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_quantity * 100) AS HUGEINT) AS xq,
+        |         CAST(round(l_extendedprice * 100) AS HUGEINT) AS yq
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), m AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         sum(xq) AS sx, sum(yq) AS sy,
+        |         sum(xq * xq) AS sxx, sum(xq * yq) AS sxy,
+        |         sum(yq * yq) AS syy
+        |  FROM q GROUP BY 1, 2
+        |)
+        |SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0 THEN
+        |         round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |               / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope,
+        |       CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0 THEN
+        |         round(CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100)
+        |               - (CAST(n*sxy - sx*sy AS DOUBLE)
+        |                  / CAST(n*sxx - sx*sx AS DOUBLE))
+        |                 * (CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100)), 6)
+        |       END AS intercept,
+        |       CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0
+        |                 AND CAST(n*syy - sy*sy AS DOUBLE) <> 0 THEN
+        |         round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+        |               / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |       END AS r2
+        |FROM m""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

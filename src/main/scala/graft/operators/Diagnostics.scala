@@ -131,4 +131,56 @@ object Diagnostics {
       .withColumn("bin_lo", round(lit(lo) + col("bin") * lit(w), 6))
       .select(col(group), col("bin"), col("bin_lo"), col("n"))
   }
+
+  /** Per-group closed-form OLS fit (y = slope·x + intercept, plus r²)
+    * with ORDER-FREE exact aggregation — the trend/drift monitor shape
+    * (one map-side-combined pass, output one row per group).
+    *
+    * Cross-engine determinism: doubles are quantized to scaled longs
+    * (round(v·scale)) and every moment (Σx, Σy, Σx², Σxy, Σy²) is an
+    * exact integer sum in DECIMAL(38,0) — no float sum-order
+    * sensitivity anywhere. The closed-form combination
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) happens once per group on those
+    * exact integers, with ONE double division at the very end; the
+    * quantization scale cancels in the slope, and the intercept
+    * rescales by 1/scale. Rows with a NULL x or y are excluded (the
+    * pairwise-complete contract). Constant-x groups → NULL fit.
+    * Output: group*, n, slope, intercept, r2 (rounded 6).
+    */
+  def groupedLinearFit(df: DataFrame, groupCols: Seq[String],
+      x: String, y: String, scale: Long = 100L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val xq = round(col(x) * scale).cast("long")
+    val yq = round(col(y) * scale).cast("long")
+    val m = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .select(groupCols.map(col) :+ xq.as("__x") :+ yq.as("__y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        // cast the FACTORS, not the product: long·long overflows
+        // silently for quantized magnitudes past 2^31.5, decimal
+        // multiply stays exact to 1e38
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val deny = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val slope = num / den
+    val nd = col("__n").cast("double")
+    m.select(groupCols.map(col) ++ Seq(
+      col("__n").cast("long").as("n"),
+      when(den =!= 0.0, round(slope, 6)).as("slope"),
+      when(den =!= 0.0,
+        round(col("__sy").cast("double") / (nd * scale) -
+          slope * (col("__sx").cast("double") / (nd * scale)), 6))
+        .as("intercept"),
+      when(den =!= 0.0 && deny =!= 0.0,
+        round(num * num / (den * deny), 6)).as("r2")): _*)
+  }
 }

