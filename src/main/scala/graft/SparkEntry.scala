@@ -438,6 +438,20 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 6).as("p99"),
           count(col("value")).as("n"))),
 
+    // approximate grouped percentiles: the sketch twin of
+    // q_percentiles — approx_percentile keeps fixed-size mergeable
+    // state per group where the exact aggregate buffers every value
+    // (unbounded at 100 TB). Rows-only like the HLL distinct (an
+    // approximation has no SQL-exact oracle); rank-error vs the exact
+    // percentiles is bound-pinned in ExtSpec.
+    "q_approx_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("approx_percentile(value, 0.5, 1000)"), 6).as("ap50"),
+          round(expr("approx_percentile(value, 0.9, 1000)"), 6).as("ap90"),
+          round(expr("approx_percentile(value, 0.99, 1000)"), 6).as("ap99"),
+          count(col("value")).as("n"))),
+
     // Bounded-support kernel local regression (the SQL-expressible
     // WRTDS-family member): range self-join + decimal-quantized kernel
     // sums -> order-free, hence oracle-checkable unlike the full proxy.
@@ -631,6 +645,16 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextStats.wordFrequencies(Tables.documents(s, dir), "doc_id", "text",
         k = 100)),
+
+    // BPE tokenizer training: 12 merge rounds learned from the
+    // distinct-word frequency table (corpus-size-independent after the
+    // first tokenize+count pass). Deterministic total tie order; one
+    // driver row per round. Rows-only: iterative argmax training is
+    // not SQL-expressible — BpeSpec pins the merge sequence against a
+    // literal reference implementation on the same corpus.
+    "q_bpe_train" -> ((s, dir) =>
+      TextStats.trainBpe(Tables.documents(s, dir), "doc_id", "text",
+        numMerges = 12)),
 
     // exact 1%-heavy-hitter tokens with BOUNDED state end to end:
     // Misra-Gries sketch (native TypedImperativeAggregate, O(capacity)

@@ -401,6 +401,73 @@ object TextStats {
       .select(col("token"), col("n_occurrences"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al., ACL'16) — learn
+    * `numMerges` byte-pair merges from the corpus. Runs on the
+    * DISTINCT-WORD frequency table, not the raw corpus: one corpus
+    * tokenize+count up front, then every merge round touches a table
+    * whose size is the VOCABULARY (millions of rows at web scale, vs
+    * trillions of corpus tokens) — the standard trick that makes BPE
+    * training corpus-size-independent after the first pass.
+    *
+    * Per round: adjacent symbol pairs explode from each word (weighted
+    * by word count), one map-side-combined aggregation finds the
+    * heaviest pair (ties: weight desc, left asc, right asc — total
+    * order, so training is deterministic on any cluster layout), and
+    * the pair is merged left-to-right inside every word's symbol array
+    * (greedy, non-overlapping — "aaa" + (a,a) → ["aa","a"]). The only
+    * driver-side data movement is ONE (left,right,weight) row per
+    * round — the same bounded-training contract as the PQ codebook
+    * step. Stops early when no pair repeats.
+    *
+    * Output: rank (1-based merge order), left, right, merged, weight.
+    */
+  def trainBpe(df: DataFrame, id: String, text: String,
+      numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(tokens(col(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wt"))
+      .withColumn("sym", split(col("word"), ""))
+      .select("sym", "wt")
+    var cur = words.cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    var r = 1
+    while (r <= numMerges && !done) {
+      val top = cur
+        .select(col("wt"), explode(zip_with(
+          slice(col("sym"), lit(1), greatest(size(col("sym")) - 1, lit(0))),
+          slice(col("sym"), lit(2), greatest(size(col("sym")) - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wt")).as("w"))
+        .filter(col("w") >= 2) // a pair seen once compresses nothing
+        .orderBy(col("w").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, l + rr, w))
+        // greedy left-to-right merge of (l, rr) in every symbol array;
+        // the fold's interpreted cost is O(len²) per WORD, bounded by
+        // word length — never corpus length
+        val mergedSym = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(rr),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
+            .otherwise(concat(acc, array(x))))
+        val next = cur.select(mergedSym.as("sym"), col("wt")).cache()
+        cur.unpersist()
+        cur = next
+      }
+      r += 1
+    }
+    cur.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "weight")
+  }
+
   /** Global bigram-frequency top-k — the n-gram extension of
     * [[wordFrequencies]] (tokenizer-training / collocation-mining
     * prep). Bigrams are assembled scan-local by zipping the token

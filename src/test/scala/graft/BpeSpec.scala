@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextStats
+
+/** BPE training: the distributed trainer must reproduce, merge for
+  * merge, a literal single-threaded reference implementation of
+  * Sennrich-style BPE over the same word-frequency table (same
+  * pair-weight argmax, same total tie order, same greedy
+  * left-to-right merge).
+  */
+class BpeSpec extends SparkTestBase {
+
+  /** Reference BPE on a word→count map: plain Scala, no Spark. */
+  private def refBpe(wordCounts: Map[String, Long],
+      numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => (w.split("").toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= numMerges && !stop) {
+      val pairWeights = words.toSeq
+        .flatMap { case (sym, c) => sym.zip(sym.tail).map(p => (p, c)) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+        .filter(_._2 >= 2L)
+      if (pairWeights.isEmpty) stop = true
+      else {
+        val ((l, rr), w) = pairWeights.minBy { case ((l, rr), w) => (-w, l, rr) }
+        out += ((r, l, rr, l + rr, w))
+        words = words.toSeq.map { case (sym, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- sym) {
+            if (acc.nonEmpty && acc.last == l && x == rr)
+              acc(acc.size - 1) = l + rr
+            else acc += x
+          }
+          (acc.toVector, c)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("trainBpe matches the reference trainer on the classic toy corpus") {
+    import spark.implicits._
+    // Sennrich's canonical example shape: shared suffixes dominate
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest widest")
+    ).toDF("doc_id", "text")
+    val got = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 8)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(got == refBpe(wc, 8))
+    // the canonical first merges: 'es' then 'est' (weight 9)
+    assert(got.take(2).map(_._4) == Seq("es", "est"))
+  }
+
+  test("trainBpe matches the reference trainer on the real sf0.001 corpus") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val wc = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == refBpe(wc, 12))
+    assert(got.size == 12) // corpus is rich enough for all 12 merges
+  }
+
+  test("trainBpe stops early when no pair repeats") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    val got = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 5)
+    assert(got.count() == 0) // every pair has weight 1
+  }
+}

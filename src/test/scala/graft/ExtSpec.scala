@@ -339,6 +339,26 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("approx_percentile at accuracy 1000 stays inside the rank-error band") {
+    // GK sketch contract: rank error <= n/accuracy. Pin each
+    // approximate quantile between the exact quantiles at p +- 0.005
+    // (5x the guaranteed 1/1000 band — slack for interpolation).
+    val ev = sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = ev.groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 1000)").as("ap"),
+        expr("percentile(value, 0.495)").as("lo"),
+        expr("percentile(value, 0.505)").as("hi"),
+        count(col("value")).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (ap, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(ap >= lo && ap <= hi,
+        s"${r.getString(0)}: approx p50 $ap outside exact [$lo, $hi]")
+    }
+  }
+
   test("dedupAgainstKnown flags normalized matches, passes novel docs") {
     val known = docs((1L, "Hello World"), (2L, "old news"))
     val batch = docs((10L, "  hello world "), // case/trim dup of 1
