@@ -104,6 +104,38 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("groupedLinearFit plans exactly one exchange with map-side partials") {
+    withStaticPlans {
+      val df = graft.operators.Diagnostics.groupedLinearFit(
+        Tables.lineitem(spark, sfDir),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity", "l_extendedprice")
+      assert(shuffleCount(df) == 1,
+        "OLS moments must aggregate in one shuffle")
+      // partial aggregation must sit BELOW the exchange so the shuffle
+      // moves O(groups) moment rows per task, not raw rows
+      val plan = df.queryExecution.executedPlan.toString
+      val exchangeIdx = plan.indexOf("Exchange")
+      val partialIdx = plan.indexOf("partial_")
+      assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+        s"no map-side partial aggregation below the exchange:\n$plan")
+    }
+  }
+
+  test("heavy-hitter re-count broadcasts the candidate side only") {
+    withStaticPlans {
+      val df = graft.ext.TextStats.heavyHitterTokens(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        capacity = 127, supportPpm = 10000L)
+      val bcasts = broadcastChildren(df)
+      assert(bcasts.nonEmpty, "expected the candidate tokens broadcast")
+      bcasts.foreach { c =>
+        assert(c.contains("graft_heavy_hitters") || c.contains("__mg") ||
+          c.contains("Aggregate") || c.contains("Generate"),
+          s"broadcast subtree is not the sketch-candidate side:\n$c")
+      }
+    }
+  }
+
   test("ns time-slice predicates reach the parquet scan as pushed filters") {
     withStaticPlans {
       val lo = 1500000000000000L
