@@ -493,14 +493,16 @@ object SparkEntry {
     // prefix-filtered EXACT jaccard: same answer as the exact
     // inverted-index closure at the same threshold (lossless candidate
     // pruning — prefixes of true pairs must collide), but the index
-    // holds only each doc's rarest n-⌈t·n⌉+1 shingles. t=0.8 (the
-    // near-dup band: every true pair in this corpus scores >= 0.82)
-    // keeps the prefix at ~n/5 — on THIS corpus's degenerate
-    // 31-word vocabulary every bigram is hot, so prefix size, not
-    // rarity, is what bounds the candidate join.
+    // holds only each doc's rarest n-⌈t·n⌉+1 shingles. t=0.9 is the
+    // operator's intended regime — tight thresholds make the prefix
+    // (~n/10) and the positional filter bite: on this corpus's
+    // degenerate 31-word vocabulary every bigram is hot, and 0.9 cuts
+    // candidates 667k→181k vs 0.8 while near-dup scores cluster >=0.9
+    // (254 of the 256 pairs at 0.8 survive). Looser bands are the
+    // df-capped/MinHash queries' territory.
     "q_dedup_ngram_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPrefix(Tables.documents(s, dir), "doc_id", "text",
-        k = 2, threshold = 0.8)),
+        k = 2, threshold = 0.9)),
 
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
@@ -1256,14 +1258,14 @@ object SparkEntry {
           |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.5""".stripMargin),
 
     // identical by construction to the exact inverted-index closure at
-    // t=0.8 — the prefix filter is lossless at its own threshold
+    // t=0.9 — the prefix filter is lossless at its own threshold
     "q_dedup_ngram_prefix" ->
       (shingleCte(2) + jaccardTail +
         """
           |SELECT pr.id_a, pr.id_b, pr.inter,
           |       round(pr.inter * 1.0 / (sa.n + sb.n - pr.inter), 6) AS jaccard
           |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id
-          |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.8""".stripMargin),
+          |WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.9""".stripMargin),
 
     "q_dedup_ngram_capped" ->
       (shingleCte(2) +
