@@ -648,6 +648,14 @@ object SparkEntry {
       TextStats.wordFrequencies(Tables.documents(s, dir), "doc_id", "text",
         k = 100)),
 
+    // LINE-level exact dedup (C4/RefinedWeb boilerplate pass): every
+    // repeated 10-word segment keeps only its first occurrence
+    // (min doc id, then position); docs reassemble from survivors.
+    // Scan-local segmentation, one hash shuffle, one doc regroup.
+    "q_dedup_lines" -> ((s, dir) =>
+      TextStats.lineDedup(Tables.documents(s, dir), "doc_id", "text",
+        segWords = 10)),
+
     // BPE tokenizer training: 12 merge rounds learned from the
     // distinct-word frequency table (corpus-size-independent after the
     // first tokenize+count pass). Deterministic total tie order; one

@@ -575,4 +575,47 @@ object TextStats {
         sum(when(col("__kept"), col("tf")).otherwise(0L)).as("n_tokens_kept"))
   }
 
+  /** LINE-level exact dedup — the C4/RefinedWeb boilerplate pass:
+    * every repeated line across the whole corpus is kept only at its
+    * FIRST occurrence (smallest doc id, then earliest position) and
+    * dropped everywhere else, then each document is reassembled from
+    * its surviving lines. This corpus's documents are single-line
+    * word streams, so "lines" are fixed `segWords`-word segments —
+    * the plumbing (segment → global hash group → keep-first →
+    * in-order reassembly) is exactly the line-dedup shape.
+    *
+    * Scale shape: segmentation is scan-local (token array → slices →
+    * posexplode, no shuffle); the keep-first decision is ONE shuffle
+    * on the 128-bit segment hash (never the segment text of hot
+    * boilerplate — the window sorts only within a hash's occurrence
+    * list); reassembly is one shuffle back on the doc id with the
+    * per-doc sort bounded by the doc's own segment count. Nothing is
+    * quadratic in segment df.
+    * Output: id, n_segs, n_kept, text_dedup (kept segments in
+    * original order, space-joined; "" when every segment was dropped).
+    */
+  def lineDedup(df: DataFrame, id: String, text: String,
+      segWords: Int = 10): DataFrame = {
+    require(segWords > 0, s"segWords must be positive: $segWords")
+    val segs = df
+      .select(col(id), tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(id), posexplode(transform(
+        sequence(lit(0), floor((size(col("__toks")) - 1) / segWords).cast("int")),
+        i => array_join(slice(col("__toks"), i * segWords + 1, segWords), " ")))
+        .as(Seq("seg_id", "seg_text")))
+    val w = Window.partitionBy(col("__h"))
+      .orderBy(col(id).asc, col("seg_id").asc)
+    segs
+      .withColumn("__h", md5(col("seg_text")))
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_id"), col("seg_text"))))),
+          s => s.getField("seg_text")), " ").as("text_dedup"))
+  }
+
 }
