@@ -602,7 +602,7 @@ object TextStats {
       .filter(size(col("__toks")) > 0)
       .select(col(id), posexplode(transform(
         sequence(lit(0), floor((size(col("__toks")) - 1) / segWords).cast("int")),
-        i => array_join(slice(col("__toks"), i * segWords + 1, segWords), " ")))
+        i => array_join(slice(col("__toks"), i * segWords + 1, lit(segWords)), " ")))
         .as(Seq("seg_id", "seg_text")))
     val w = Window.partitionBy(col("__h"))
       .orderBy(col(id).asc, col("seg_id").asc)
