@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import graft.core.{SeriesSpec, TimeIndex}
 
 /** Readers for the driver testdata plus the canonical long-form series
@@ -10,30 +11,53 @@ import graft.core.{SeriesSpec, TimeIndex}
   */
 object Tables {
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which the
-    * Spark vectorized reader rejects; with
-    * spark.sql.legacy.parquet.nanosAsLong=true it reads as Long ns.
-    * Canonicalize to a µs TimestampType via integer division — this is
-    * the same truncation DuckDB applies when it loads ns parquet into
-    * its µs TIMESTAMP, so both engines agree bit-for-bit.
+  /** events.parquet: the canonical reader is schema-adaptive because the
+    * driver has shipped `ts` under three parquet physical contracts over
+    * time — TIMESTAMP(NANOS) (reads as Long ns under
+    * spark.sql.legacy.parquet.nanosAsLong=true), TIMESTAMP(MICROS,
+    * adjusted=false) (reads as TimestampNTZ), and TIMESTAMP(MICROS,
+    * adjusted=true) (reads as Timestamp). All three canonicalize to a µs
+    * TimestampType under the UTC session timezone, matching DuckDB's µs
+    * TIMESTAMP bit-for-bit.
+    *
+    * Time-slices are expressed against the RAW column type so Catalyst
+    * pushes them into the scan (row-group/page pruning at scale); a
+    * filter on a derived/cast column cannot push through the conversion.
     */
   def events(spark: SparkSession, dir: String,
       sliceUs: Option[(Long, Long)] = None): DataFrame = {
-    // The flag must be set at SparkSession construction (Bench/Verify/
-    // EntrySmoke/tests all do) — setting it here would mutate reader
-    // behavior session-wide as a hidden side effect of building a query.
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true when building the SparkSession")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // Time-slices must hit the RAW ns column so Catalyst pushes them
-    // into the scan (row-group pruning at scale); a filter on the
-    // derived µs timestamp cannot push through the conversion. For
-    // positive epochs, ts_us >= lo ⟺ ts_ns >= lo·1000 exactly.
-    val sliced = sliceUs match {
-      case Some((lo, hi)) => raw.filter(col("ts") >= lo * 1000 && col("ts") < hi * 1000)
+
+    def sliced(loLit: Long => Column): DataFrame = sliceUs match {
+      case Some((lo, hi)) =>
+        raw.filter(col("ts") >= loLit(lo) && col("ts") < loLit(hi))
       case None => raw
     }
-    sliced.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Legacy ns-as-Long path. For positive epochs,
+        // ts_us >= lo ⟺ ts_ns >= lo·1000 exactly; `div` truncation
+        // matches DuckDB's ns→µs load truncation.
+        sliced(us => lit(us * 1000))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // µs naive timestamps: compare against an NTZ literal (pushes to
+        // the scan), then reinterpret as UTC-instant TimestampType —
+        // micros-exact because the session timezone is pinned to UTC.
+        sliced { us =>
+          lit(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
+        }.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        // timestamp_micros(lit) constant-folds, so the predicate still
+        // reaches the scan as a pushed filter.
+        sliced(us => timestamp_micros(lit(us)))
+      case other =>
+        sys.error(s"events.parquet: unsupported ts type $other")
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
