@@ -314,15 +314,21 @@ object SparkEntry {
 
     // HLL approximate distinct: the sketch a 100 TB pipeline uses
     // where exact count-distinct would shuffle every key — fixed-size
-    // state per group, map-side mergeable. Approximate by definition,
-    // so rows-only at the oracle; the 4% error bound vs the exact
-    // count is pinned in ExtSpec.
+    // state per group, map-side mergeable. The sketch value itself has
+    // no SQL-exact oracle, so the query emits the error-bound ASSERTION
+    // (|hll − exact|/exact ≤ 4%, generous vs rsd=0.01) alongside the
+    // exact count; the oracle expects the bound column to be TRUE, so a
+    // drifting sketch hash-mismatches. ExtSpec pins the same bound.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), rsd = 0.01)
-          .as("approx_users"),
-          count(lit(1)).as("n"))),
+          .as("__approx"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("__approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.04).as("approx_within_4pct"))),
 
     // TF-IDF-family distinctive terms: top-5 per doc by the
     // integer-exact (tf desc, df asc, term asc) comparator — the
@@ -441,16 +447,33 @@ object SparkEntry {
     // approximate grouped percentiles: the sketch twin of
     // q_percentiles — approx_percentile keeps fixed-size mergeable
     // state per group where the exact aggregate buffers every value
-    // (unbounded at 100 TB). Rows-only like the HLL distinct (an
-    // approximation has no SQL-exact oracle); rank-error vs the exact
-    // percentiles is bound-pinned in ExtSpec.
+    // (unbounded at 100 TB). Like the HLL distinct, the sketch value
+    // has no SQL-exact oracle, so the query asserts the documented
+    // rank-error contract in-band: accuracy=1000 bounds rank error by
+    // n/1000, so each approx percentile must land between the exact
+    // percentiles at p ± 0.002 (2× margin). The oracle expects TRUE
+    // per band plus the exact rounded percentiles.
     "q_approx_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(round(expr("approx_percentile(value, 0.5, 1000)"), 6).as("ap50"),
-          round(expr("approx_percentile(value, 0.9, 1000)"), 6).as("ap90"),
-          round(expr("approx_percentile(value, 0.99, 1000)"), 6).as("ap99"),
-          count(col("value")).as("n"))),
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("__a50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("__a90"),
+          expr("approx_percentile(value, 0.99, 1000)").as("__a99"),
+          expr("percentile(value, 0.498)").as("__lo50"),
+          expr("percentile(value, 0.502)").as("__hi50"),
+          expr("percentile(value, 0.898)").as("__lo90"),
+          expr("percentile(value, 0.902)").as("__hi90"),
+          expr("percentile(value, 0.988)").as("__lo99"),
+          expr("percentile(value, 0.992)").as("__hi99"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99_exact"),
+          count(col("value")).as("n"))
+        .select(col("event_type"), col("n"),
+          col("p50_exact"), col("p90_exact"), col("p99_exact"),
+          col("__a50").between(col("__lo50"), col("__hi50")).as("p50_in_band"),
+          col("__a90").between(col("__lo90"), col("__hi90")).as("p90_in_band"),
+          col("__a99").between(col("__lo99"), col("__hi99")).as("p99_in_band"))),
 
     // Bounded-support kernel local regression (the SQL-expressible
     // WRTDS-family member): range self-join + decimal-quantized kernel
@@ -1296,6 +1319,52 @@ object SparkEntry {
           |       round(iv.inter * 1.0 / (sa.n + sb.n - iv.inter), 6) AS jaccard
           |FROM iv JOIN sz sa ON iv.id_a = sa.doc_id JOIN sz sb ON iv.id_b = sb.doc_id
           |WHERE iv.inter * 1.0 / (sa.n + sb.n - iv.inter) >= 0.5""".stripMargin),
+
+    // keep-first is total-ordered (doc_id, seg_id), so the window
+    // form is the exact oracle; grouping by seg_text ≡ grouping by
+    // md5(seg_text) on the Spark side.
+    "q_dedup_lines" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     w -> w <> '') AS ws
+        |  FROM documents
+        |), segs AS (
+        |  SELECT doc_id, g.i AS seg_id,
+        |         array_to_string(ws[g.i*10+1 : g.i*10+10], ' ') AS seg_text
+        |  FROM tk, unnest(range(0, ((len(ws)-1)//10)+1)) AS g(i)
+        |  WHERE len(ws) > 0
+        |), k AS (
+        |  SELECT doc_id, seg_id, seg_text,
+        |         row_number() OVER (PARTITION BY seg_text
+        |           ORDER BY doc_id, seg_id) = 1 AS kept
+        |  FROM segs
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' '
+        |           ORDER BY seg_id), '') AS text_dedup
+        |  FROM k GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(a.n_segs, 0) AS BIGINT) AS n_segs,
+        |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(a.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       count(*) AS n, TRUE AS approx_within_4pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_approx_percentiles" ->
+      """SELECT event_type, count(value) AS n,
+        |       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |       round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |       round(quantile_cont(value, 0.99), 6) AS p99_exact,
+        |       TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_salted_join" ->
       """WITH d AS (

@@ -593,6 +593,8 @@ object TextStats {
     * quadratic in segment df.
     * Output: id, n_segs, n_kept, text_dedup (kept segments in
     * original order, space-joined; "" when every segment was dropped).
+    * Every input id appears exactly once — a doc whose text tokenizes
+    * to zero tokens comes back as (n_segs=0, n_kept=0, text_dedup="").
     */
   def lineDedup(df: DataFrame, id: String, text: String,
       segWords: Int = 10): DataFrame = {
@@ -606,16 +608,23 @@ object TextStats {
         .as(Seq("seg_id", "seg_text")))
     val w = Window.partitionBy(col("__h"))
       .orderBy(col(id).asc, col("seg_id").asc)
-    segs
+    val agged = segs
       .withColumn("__h", md5(col("seg_text")))
       .withColumn("kept", row_number().over(w) === 1)
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_segs"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      .agg(count(lit(1)).as("__n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("__n_kept"),
         array_join(transform(
           array_sort(collect_list(when(col("kept"),
             struct(col("seg_id"), col("seg_text"))))),
-          s => s.getField("seg_text")), " ").as("text_dedup"))
+          s => s.getField("seg_text")), " ").as("__text_dedup"))
+    // Tokenless docs never reach segmentation; restore them so the
+    // output keys exactly the input ids (row-count-stable contract).
+    df.select(col(id)).join(agged, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__text_dedup"), lit("")).as("text_dedup"))
   }
 
 }
