@@ -390,6 +390,16 @@ object SparkEntry {
         Seq("l_returnflag", "l_linestatus"),
         "l_quantity", "l_extendedprice")),
 
+    // Huber one-step IRLS on the same moment base: pilot OLS →
+    // median-|residual| scale → quantized Huber weights → exact
+    // decimal weighted refit. Three map-side-combined passes, group
+    // tables broadcast back — order-free and engine-portable like the
+    // OLS fit.
+    "q_robust_fit" -> ((s, dir) =>
+      Diagnostics.groupedRobustFit(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"),
+        "l_quantity", "l_extendedprice")),
+
     // PIVOT: per-user activity matrix — long event log to one wide
     // row per user with a column per event type. Explicit value list,
     // so no distinct-scan planning job; absent cells filled 0.
@@ -567,6 +577,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // two-stage retrieve→rerank: exact retrieval over-fetches 20
+    // candidates, the deterministic cross-encoder stand-in re-scores
+    // only those pairs down to 5 — the serving shape where the heavy
+    // scorer never touches the corpus axis.
+    "q_ann_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rerankTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", kRetrieve = 20, kFinal = 5)
+    }),
+
     // multi-probe LSH: query probes its bucket + all 1-bit flips —
     // recall repair without corpus replication.
     "q_ann_lsh_probe" -> ((s, dir) => {
@@ -630,6 +650,13 @@ object SparkEntry {
     "q_pack_batches" -> ((s, dir) =>
       TextStats.packBatches(Tables.documents(s, dir), "doc_id", "text",
         budgetTokens = 2048, nShards = 16)),
+
+    // length-homogeneous packing: equi-depth ntile length classes per
+    // shard, then the greedy fill per (shard, bucket) — the padding
+    // efficiency upgrade, one exchange for both windows.
+    "q_pack_bucketed" -> ((s, dir) =>
+      TextStats.packBatchesBucketed(Tables.documents(s, dir), "doc_id",
+        "text", budgetTokens = 2048, nShards = 16, nBuckets = 4)),
 
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),
@@ -1226,6 +1253,86 @@ object SparkEntry {
       |  GROUP BY a.doc_id, b.doc_id
       |)""".stripMargin
 
+  /** DuckDB mirror of Diagnostics.groupedRobustFit on lineitem
+    * (returnflag/linestatus, quantity→extendedprice, scale 100,
+    * c=3.0): generates the pilot-fit CTE plus one
+    * (residuals → scale → weights → weighted moments → fit) block per
+    * IRLS round, so Spark and DuckDB replay the identical trajectory
+    * of 6-dp-rounded coefficients.
+    */
+  private def robustFitSql(iters: Int): String = {
+    val gk = "l_returnflag, l_linestatus"
+    def fitBody(src: String, n: String, sx: String, sy: String,
+        sxx: String, sxy: String): String =
+      s"""  SELECT $gk,
+         |       CASE WHEN CAST($n*$sxx - $sx*$sx AS DOUBLE) <> 0 THEN
+         |         round(CAST($n*$sxy - $sx*$sy AS DOUBLE)
+         |               / CAST($n*$sxx - $sx*$sx AS DOUBLE), 6) END AS b1,
+         |       CASE WHEN CAST($n*$sxx - $sx*$sx AS DOUBLE) <> 0 THEN
+         |         round(CAST($sy AS DOUBLE) / (CAST($n AS DOUBLE) * 100)
+         |               - (CAST($n*$sxy - $sx*$sy AS DOUBLE)
+         |                  / CAST($n*$sxx - $sx*$sx AS DOUBLE))
+         |                 * (CAST($sx AS DOUBLE) / (CAST($n AS DOUBLE) * 100)), 6)
+         |       END AS b0
+         |  FROM $src""".stripMargin
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH q AS (
+         |  SELECT $gk,
+         |         l_quantity AS xr, l_extendedprice AS yr,
+         |         CAST(round(l_quantity * 100) AS HUGEINT) AS xq,
+         |         CAST(round(l_extendedprice * 100) AS HUGEINT) AS yq
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |), m AS (
+         |  SELECT $gk,
+         |         CAST(count(*) AS HUGEINT) AS n,
+         |         sum(xq) AS sx, sum(yq) AS sy,
+         |         sum(xq * xq) AS sxx, sum(xq * yq) AS sxy
+         |  FROM q GROUP BY 1, 2
+         |), fit0 AS (
+         |${fitBody("m", "n", "sx", "sy", "sxx", "sxy")}
+         |)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++=
+        s""", r$k AS (
+           |  SELECT q.*, f.b1, q.yr - (f.b1 * q.xr + f.b0) AS r
+           |  FROM q JOIN fit${k - 1} f USING ($gk)
+           |), sca$k AS (
+           |  SELECT $gk, quantile_cont(abs(r), 0.5) AS s
+           |  FROM r$k GROUP BY 1, 2
+           |), wr$k AS (
+           |  SELECT r$k.*,
+           |         CASE WHEN r$k.b1 IS NULL THEN NULL
+           |              WHEN sca$k.s = 0 OR abs(r$k.r) <= 3.0 * sca$k.s
+           |                THEN CAST(1000000 AS HUGEINT)
+           |              ELSE CAST(round(3.0 * sca$k.s / abs(r$k.r) * 1000000) AS HUGEINT)
+           |         END AS w
+           |  FROM r$k JOIN sca$k USING ($gk)
+           |), wm$k AS (
+           |  SELECT $gk,
+           |         CAST(count(*) AS BIGINT) AS n,
+           |         sum(w) AS sw, sum(w * xq) AS swx, sum(w * yq) AS swy,
+           |         sum(w * xq * xq) AS swxx, sum(w * xq * yq) AS swxy,
+           |         CAST(sum(CASE WHEN w < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS n_downweighted
+           |  FROM wr$k GROUP BY 1, 2
+           |), fit$k AS (
+           |${fitBody(s"wm$k", "sw", "swx", "swy", "swxx", "swxy")}
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT f0.l_returnflag, f0.l_linestatus,
+         |       f0.b1 AS slope_ols, f0.b0 AS intercept_ols,
+         |       fN.b1 AS slope_robust, fN.b0 AS intercept_robust,
+         |       wmN.n, wmN.n_downweighted
+         |FROM fit0 f0
+         |JOIN fit$iters fN USING ($gk)
+         |JOIN wm$iters wmN USING ($gk)""".stripMargin
+    sb.toString
+  }
+
   /** embeddings with norms CTE (n); dot(a,b) helper inlined. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -1518,6 +1625,14 @@ object SparkEntry {
         |       END AS r2
         |FROM m""".stripMargin,
 
+    // mirrors groupedRobustFit round for round: the pilot fit is the
+    // q_linear_fit expression tree (rounded 6), each IRLS round
+    // recomputes residuals against the previous ROUNDED fit, the
+    // scale is the exact median |r|, weights land on the same 1e-6
+    // grid, and the weighted moments are HUGEINT ≡ Spark's
+    // decimal(38,0); the CTE chain is generated for the same iters=3
+    "q_robust_fit" -> robustFitSql(iters = 3),
+
     "q_pivot" ->
       """SELECT user_id,
         |       count(*) FILTER (WHERE event_type = 'click') AS "click",
@@ -1731,6 +1846,36 @@ object SparkEntry {
            |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
            |FROM r WHERE rk <= 5""".stripMargin),
 
+    // retrieval stage ≡ q_ann_brute at k=20; rerank score mirrors the
+    // Spark expression tree: round6(cos)·0.8 + (max single-dim
+    // interaction / norms)·0.2, re-ranked (score desc, vec_id asc)
+    "q_ann_rerank" ->
+      (normCte +
+        s""", p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
+           |), cand AS (
+           |  SELECT query_id, vec_id, round(cos0, 6) AS retrieval_cosine
+           |  FROM r WHERE rk <= 20
+           |), sc AS (
+           |  SELECT cand.query_id, cand.vec_id, cand.retrieval_cosine,
+           |         cand.retrieval_cosine * 0.8 +
+           |         list_max(list_transform(generate_series(1, len(q.embedding)),
+           |           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           |           / (q.nrm * c.nrm) * 0.2 AS score
+           |  FROM cand JOIN n q ON cand.query_id = q.vec_id
+           |            JOIN n c ON cand.vec_id = c.vec_id
+           |), rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk FROM sc
+           |)
+           |SELECT query_id, vec_id, retrieval_cosine,
+           |       round(score, 6) AS rerank_score, CAST(rk AS INT) AS rank
+           |FROM rr WHERE rk <= 5""".stripMargin),
+
     "q_ann_lsh" ->
       (normCte +
         s""", nb AS (
@@ -1846,6 +1991,24 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, shard, n_tokens,
+        |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS batch
+        |FROM c""".stripMargin,
+
+    "q_pack_bucketed" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 16 AS shard,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT *, CAST(ntile(4) OVER (PARTITION BY shard
+        |           ORDER BY n_tokens, doc_id) AS INT) AS len_bucket
+        |  FROM t
+        |), c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard, len_bucket
+        |           ORDER BY n_tokens, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b
+        |)
+        |SELECT doc_id, shard, len_bucket, n_tokens,
         |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS batch
         |FROM c""".stripMargin,
 

@@ -111,6 +111,49 @@ object Similarity {
         col("rank"))
   }
 
+  /** Retrieve-then-rerank — the two-stage ANN serving shape every
+    * embedding search deploys: a cheap retriever over-fetches
+    * `kRetrieve` candidates per query, then a heavier scorer re-ranks
+    * ONLY those |queries|·kRetrieve pairs down to `kFinal` (the
+    * cross-encoder slot; at 100 TB the expensive model never touches
+    * the corpus axis, only the candidate table). Retrieval here is the
+    * exact brute-force baseline so the contract is deterministic and
+    * oracle-checkable; [[lshTopKMultiProbe]] drops in for the scale
+    * path (same candidate schema). The container has no model runtime,
+    * so the rerank scorer is a deterministic stand-in — retrieval
+    * cosine blended with the strongest single-dimension interaction
+    * (a late-interaction-style signal) — while the plumbing (candidate
+    * join back to both vector sides, per-pair scoring, re-rank window)
+    * is the real shape a model UDF would ride.
+    * Output: query_id, vec_id, retrieval_cosine, rerank_score, rank.
+    */
+  def rerankTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, kRetrieve: Int = 20, kFinal: Int = 5): DataFrame = {
+    val cands = bruteForceTopK(queries, corpus, id, vec, kRetrieve)
+      .select(col("query_id"), col("vec_id"),
+        col("cosine").as("retrieval_cosine"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+      norm(col(vec)).as("__qn"))
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
+      norm(col(vec)).as("__cn"))
+    // queries stay broadcast; the corpus-side join keys on the
+    // candidate table's vec_ids (k·|queries| rows), never the corpus.
+    val paired = cands.join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("vec_id"))
+    val inter = array_max(zip_with(col("__qv"), col("__cv"),
+      (a, b) => a.cast("double") * b.cast("double"))) /
+      (col("__qn") * col("__cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score").desc, col("vec_id").asc)
+    paired
+      .withColumn("__score",
+        col("retrieval_cosine") * 0.8 + inter * 0.2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kFinal)
+      .select(col("query_id"), col("vec_id"), col("retrieval_cosine"),
+        round(col("__score"), 6).as("rerank_score"), col("rank"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * (MLlib, seeded) assigns every corpus vector to its nearest of
     * `nlist` centroid cells; a query scans only its `nprobe` closest

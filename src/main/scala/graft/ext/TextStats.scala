@@ -197,6 +197,41 @@ object TextStats {
       .drop("__cum")
   }
 
+  /** Quantile-bucketed sequence packing — [[packBatches]] upgraded
+    * with length-homogeneous batches, the padding-efficiency trick a
+    * training pipeline runs before batching: within each shard, docs
+    * are ntile'd into `nBuckets` length classes (equi-depth quantile
+    * buckets over the token count, total-ordered by (n_tokens, id) so
+    * the assignment is deterministic and engine-portable), then the
+    * greedy budget fill runs per (shard, bucket). Batches therefore
+    * mix only similar-length docs, so per-batch padding to the max
+    * length wastes ~1/nBuckets of the tail instead of the whole
+    * spread.
+    *
+    * Scale shape: ONE exchange on shard; both windows (the ntile and
+    * the running sum) sort within the shard partition, and the
+    * second window's (shard, bucket) partitioning is a prefix
+    * refinement of the first, so Catalyst reuses the exchange.
+    * Output: id, shard, len_bucket, n_tokens, batch.
+    */
+  def packBatchesBucketed(df: DataFrame, id: String, text: String,
+      budgetTokens: Long = 2048, nShards: Int = 16,
+      nBuckets: Int = 4): DataFrame = {
+    val tokens = size(split(trim(col(text)), "\\s+"))
+    val shard = pmod(col(id), lit(nShards))
+    val wb = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens").asc, col(id).asc)
+    val wp = Window.partitionBy(col("shard"), col("len_bucket"))
+      .orderBy(col("n_tokens").asc, col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(id), shard.as("shard"), tokens.cast("long").as("n_tokens"))
+      .withColumn("len_bucket", ntile(nBuckets).over(wb))
+      .withColumn("__cum", sum(col("n_tokens")).over(wp))
+      .withColumn("batch",
+        floor((col("__cum") - col("n_tokens")) / budgetTokens).cast("long"))
+      .drop("__cum")
+  }
+
   /** Gopher-style repetition signals — the word-level repetition
     * filters a pre-training curation pass runs per document: duplicate
     * word fraction (1 − distinct/total), top-unigram fraction, and

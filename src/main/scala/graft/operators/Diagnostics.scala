@@ -183,4 +183,96 @@ object Diagnostics {
       when(den =!= 0.0 && deny =!= 0.0,
         round(num * num / (den * deny), 6)).as("r2")): _*)
   }
+
+  /** Per-group ROBUST linear fit — Huber IRLS on the
+    * [[groupedLinearFit]] moment machinery: a pilot OLS fit, then
+    * `iters` reweighting rounds, each computing per-row residuals
+    * against the previous fit, a robust scale s = median|r| per
+    * group, Huber weights w = 1 for |r| ≤ c·s else c·s/|r| quantized
+    * to a 1e-6 grid, and a weighted least-squares refit via exact
+    * DECIMAL(38,0) integer moments (weights and values both on fixed
+    * grids, so every sum is order-free and engine-portable; each
+    * round's coefficients are rounded to 6 dp before feeding the next
+    * round — the same determinism contract as the OLS fit, so DuckDB
+    * replays the identical iteration trajectory). Multiple rounds
+    * matter: one step cannot neutralize a high-leverage outlier,
+    * because the tilted pilot inflates every residual.
+    *
+    * Scale shape: 1 + 2·iters linear passes over the data (pilot
+    * moments, then a residual-scale aggregate and a weighted-moment
+    * aggregate per round), each map-side-combined; the per-group
+    * fit/scale tables are broadcast back, so nothing ever shuffles on
+    * the data axis. The residual-scale pass buffers each group's
+    * residuals for the exact median — swap in approx_percentile at
+    * the 100 TB tier the same way q_percentiles ↔
+    * q_approx_percentiles trade.
+    *
+    * Groups whose pilot fit is degenerate (constant x) emit NULL
+    * robust coefficients. Output: group*, n, slope_ols,
+    * intercept_ols, slope_robust, intercept_robust, n_downweighted
+    * (from the final round; rounded 6).
+    */
+  def groupedRobustFit(df: DataFrame, groupCols: Seq[String],
+      x: String, y: String, scale: Long = 100L,
+      c: Double = 3.0, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be positive: $iters")
+    val dec = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val base = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .select(g :+ col(x).as("__xr") :+ col(y).as("__yr"): _*)
+    val pilot = groupedLinearFit(df, groupCols, x, y, scale)
+      .select(g :+ col("slope").as("__b1") :+
+        col("intercept").as("__b0"): _*)
+    var fit = pilot
+    var stats: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rows = base.join(broadcast(fit), groupCols)
+        .withColumn("__r",
+          col("__yr") - (col("__b1") * col("__xr") + col("__b0")))
+      val scaleTab = rows.groupBy(g: _*)
+        .agg(expr("percentile(abs(__r), 0.5)").as("__s"))
+      val wq = when(col("__b1").isNull, lit(null))
+        .when(col("__s") === 0.0 || abs(col("__r")) <= lit(c) * col("__s"),
+          lit(1000000L))
+        .otherwise(round(lit(c) * col("__s") / abs(col("__r")) * 1000000L)
+          .cast("long"))
+      val weighted = rows.join(broadcast(scaleTab), groupCols)
+        .withColumn("__w", wq)
+        .withColumn("__xq", round(col("__xr") * scale).cast("long"))
+        .withColumn("__yq", round(col("__yr") * scale).cast("long"))
+        .groupBy(g: _*)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("__w").cast(dec)).as("__sw"),
+          sum(col("__w").cast(dec) * col("__xq").cast(dec)).as("__swx"),
+          sum(col("__w").cast(dec) * col("__yq").cast(dec)).as("__swy"),
+          sum(col("__w").cast(dec) * col("__xq").cast(dec) *
+            col("__xq").cast(dec)).as("__swxx"),
+          sum(col("__w").cast(dec) * col("__xq").cast(dec) *
+            col("__yq").cast(dec)).as("__swxy"),
+          sum(when(col("__w") < 1000000L, 1L).otherwise(0L))
+            .as("n_downweighted"))
+      val num = (col("__sw") * col("__swxy") - col("__swx") * col("__swy"))
+        .cast("double")
+      val den = (col("__sw") * col("__swxx") - col("__swx") * col("__swx"))
+        .cast("double")
+      val slopeR = num / den
+      val swd = col("__sw").cast("double")
+      stats = weighted
+      fit = weighted.select(g ++ Seq(
+        when(den =!= 0.0, round(slopeR, 6)).as("__b1"),
+        when(den =!= 0.0,
+          round(col("__swy").cast("double") / (swd * scale) -
+            slopeR * (col("__swx").cast("double") / (swd * scale)), 6))
+          .as("__b0")): _*)
+    }
+    // three tiny per-group tables: pilot coefficients, final robust
+    // coefficients, final-round counters
+    pilot.select(g :+ col("__b1").as("slope_ols") :+
+        col("__b0").as("intercept_ols"): _*)
+      .join(broadcast(fit.select(g :+ col("__b1").as("slope_robust") :+
+        col("__b0").as("intercept_robust"): _*)), groupCols)
+      .join(broadcast(stats.select(g :+ col("n") :+
+        col("n_downweighted"): _*)), groupCols)
+  }
 }

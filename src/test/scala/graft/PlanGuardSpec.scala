@@ -5,7 +5,8 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleEx
 import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, Similarity, TextStats}
+import graft.operators.Diagnostics
 import graft.sources.Tables
 
 /** Plan guards: lock in the scale-critical physical-plan properties so
@@ -136,7 +137,52 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
-  test("ns time-slice predicates reach the parquet scan as pushed filters") {
+  test("bucketed packing reuses the shard exchange for both windows") {
+    withStaticPlans {
+      val df = TextStats.packBatchesBucketed(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        budgetTokens = 2048, nShards = 16, nBuckets = 4)
+      // ntile partitions by shard; the running sum by (shard, bucket) —
+      // a refinement the shard hash already satisfies, so ONE shuffle.
+      assert(shuffleCount(df) === 1,
+        s"expected a single shard exchange:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("rerank adds only equi-joins on top of the declared retrieval scan") {
+    withStaticPlans {
+      val emb = Tables.embeddings(spark, sfDir)
+      val df = Similarity.rerankTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        kRetrieve = 10, kFinal = 3)
+      val nested = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      // exactly the brute-force retrieval pair loop — the rerank joins
+      // (candidates back to both vector sides) must all be equi-joins
+      assert(nested.size === 1,
+        s"rerank stage introduced a non-equi join:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("robust fit broadcasts the per-group pilot and scale tables") {
+    withStaticPlans {
+      val df = Diagnostics.groupedRobustFit(
+        Tables.lineitem(spark, sfDir),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity", "l_extendedprice")
+      assert(broadcastChildren(df).size >= 6,
+        s"fit/scale group tables must broadcast back to the data axis:\n${df.queryExecution.executedPlan}")
+      // data-axis shuffles: the pilot moment aggregation plus a
+      // residual-scale and a weighted-moment aggregation per IRLS
+      // round (iters=3), plus the final counter join — repeated
+      // broadcast lineages collapse under exchange reuse
+      assert(shuffleCount(df) <= 8,
+        s"unexpected data-axis shuffles:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("time-slice predicates reach the parquet scan as pushed filters") {
     withStaticPlans {
       val lo = 1500000000000000L
       val hi = 1600000000000000L
