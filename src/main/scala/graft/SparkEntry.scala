@@ -460,21 +460,24 @@ object SparkEntry {
     // (unbounded at 100 TB). Like the HLL distinct, the sketch value
     // has no SQL-exact oracle, so the query asserts the documented
     // rank-error contract in-band: accuracy=1000 bounds rank error by
-    // n/1000, so each approx percentile must land between the exact
-    // percentiles at p ± 0.002 (2× margin). The oracle expects TRUE
-    // per band plus the exact rounded percentiles.
+    // n/1000, and the sketch returns a RAW data value while the exact
+    // percentile interpolates, which shifts up to one more rank
+    // (≈1/n). A p ± 0.02 band absorbs both for groups ≥ ~55 rows
+    // (every event_type at every SF) while still catching gross
+    // sketch drift. The oracle expects TRUE per band plus the exact
+    // rounded percentiles.
     "q_approx_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(expr("approx_percentile(value, 0.5, 1000)").as("__a50"),
           expr("approx_percentile(value, 0.9, 1000)").as("__a90"),
           expr("approx_percentile(value, 0.99, 1000)").as("__a99"),
-          expr("percentile(value, 0.498)").as("__lo50"),
-          expr("percentile(value, 0.502)").as("__hi50"),
-          expr("percentile(value, 0.898)").as("__lo90"),
-          expr("percentile(value, 0.902)").as("__hi90"),
-          expr("percentile(value, 0.988)").as("__lo99"),
-          expr("percentile(value, 0.992)").as("__hi99"),
+          expr("percentile(value, 0.48)").as("__lo50"),
+          expr("percentile(value, 0.52)").as("__hi50"),
+          expr("percentile(value, 0.88)").as("__lo90"),
+          expr("percentile(value, 0.92)").as("__hi90"),
+          expr("percentile(value, 0.97)").as("__lo99"),
+          expr("percentile(value, 1.0)").as("__hi99"),
           round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
           round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
           round(expr("percentile(value, 0.99)"), 6).as("p99_exact"),
