@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Similarity, TextStats}
+import graft.operators.Diagnostics
+
+/** Scale-evidence microbench for the round-7 operators, each
+  * replicated along its own parallelism axis (the EventsScaleBench /
+  * GoldenBench methodology: per-unit work identical across N, only
+  * unit count widens; median of 3 after one warmup):
+  *
+  * - robust_fit: lineitem replicated across N synthetic group
+  *   populations (group axis = the aggregation key). The 1+2·iters
+  *   passes are all map-side-combined hash aggregates, so wall time
+  *   should track data volume, not group count.
+  * - rerank: the corpus replicated N× with remapped vec_ids (corpus
+  *   axis = the retrieval scan); the query set stays fixed at 10, so
+  *   the candidate table stays |q|·k rows and only the
+  *   scan+retrieval stage widens — rerank cost must stay flat.
+  * - pack_bucketed: documents replicated N× across fresh shards
+  *   (shard axis = the single exchange's partition key).
+  */
+object OpsScaleBench {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def bench(name: String, n: Int, inRows: Long)(run: () => Long): Unit = {
+      run() // warmup: codegen + JIT
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val med = times(1)
+      println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
+        f"median=$med%7.3f s thru=${inRows / med / 1e6}%6.2f Mrows/s")
+    }
+
+    val li0 = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val emb0 = graft.sources.Tables.embeddings(spark, dir)
+    val docs0 = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val nVecs = emb0.count()
+    val nDocs = docs0.count()
+
+    for (n <- Seq(1, 8, 32)) {
+      val li = if (n <= 1) li0 else li0
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("l_returnflag",
+          concat(col("l_returnflag"), lit("#"), col("__r")))
+        .drop("__r")
+      val liRows = li.count()
+      bench("robust_fit", n, liRows)(() =>
+        Diagnostics.groupedRobustFit(li,
+          Seq("l_returnflag", "l_linestatus"),
+          "l_quantity", "l_extendedprice").count())
+
+      val corpus = if (n <= 1) emb0 else emb0
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("vec_id", col("vec_id") + col("__r") * 10000000L)
+        .drop("__r")
+      bench("rerank", n, nVecs * n)(() =>
+        Similarity.rerankTopK(emb0.filter(col("vec_id") < 10), corpus,
+          "vec_id", "embedding", kRetrieve = 20, kFinal = 5).count())
+
+      val docs = if (n <= 1) docs0 else docs0
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("doc_id", col("doc_id") + col("__r") * 10000000L)
+        .drop("__r")
+      bench("pack_bucketed", n, nDocs * n)(() =>
+        TextStats.packBatchesBucketed(docs, "doc_id", "text",
+          budgetTokens = 2048, nShards = 16, nBuckets = 4).count())
+    }
+    spark.stop()
+  }
+}
