@@ -291,6 +291,18 @@ object SparkEntry {
       Sampling.fixedSizeSample(Tables.documents(s, dir), "doc_id",
         "lang", k = 20)),
 
+    // superset-stable 90/5/5 train/val/test split by hash bucket —
+    // zero shuffle, assignment independent of the rest of the corpus.
+    "q_split" -> ((s, dir) =>
+      Sampling.trainValTestSplit(Tables.documents(s, dir), "doc_id",
+        trainBps = 9000, valBps = 500)),
+
+    // target-mixture rebalancing: per-source quotas in id-hash order
+    // (src0 capped at 15, src1 at 10, src2 at 5, everything else 3).
+    "q_source_mix" -> ((s, dir) =>
+      Sampling.mixByQuota(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 15, "src1" -> 10, "src2" -> 5), defaultQuota = 3)),
+
     // multi-level corpus scorecard in ONE pass: ROLLUP emits
     // (source, lang), per-source and grand-total rows from a single
     // expand+aggregate — no N-query subtotal fan-out; grouping_id
@@ -1494,6 +1506,31 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, stratum, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
+
+    "q_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |              % 10000 AS INT) AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 9000 THEN 'train'
+        |            WHEN bucket < 9500 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        |                    doc_id ASC) AS INT) AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, sample_rank FROM r
+        |WHERE sample_rank <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
+        |                                 WHEN 'src2' THEN 5 ELSE 3 END""".stripMargin,
 
     "q_rollup" ->
       """SELECT source, lang, CAST(GROUPING(source, lang) AS INT) AS grp,

@@ -55,6 +55,52 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic train/val/test split — the corpus partition every
+    * training run needs: each id's uniform hash bucket (basis points)
+    * lands in [0, trainBps) → train, [trainBps, trainBps+valBps) →
+    * val, else test. Superset-stable: an id's assignment never changes
+    * when other rows are added or removed (no RNG, no rank), which is
+    * what keeps eval sets uncontaminated across incremental corpus
+    * builds. Scan-local (zero shuffle).
+    * Output: id, bucket, split.
+    */
+  def trainValTestSplit(df: DataFrame, id: String,
+      trainBps: Int = 9000, valBps: Int = 500): DataFrame = {
+    require(trainBps > 0 && valBps >= 0 && trainBps + valBps < 10000,
+      s"invalid split: train=$trainBps val=$valBps")
+    df.select(col(id), bucketBps(col(id)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainBps, "train")
+          .when(col("bucket") < trainBps + valBps, "val")
+          .otherwise("test"))
+  }
+
+  /** Source mixing to per-source quotas — the rebalancing step that
+    * hits a target corpus mixture (e.g. upweight wiki, cap web): each
+    * source keeps its quota of rows in the id-hash order (uniform
+    * within the source, ties to the smaller id; sources not in the map
+    * keep `defaultQuota`). The rank filter first applies the LITERAL
+    * max quota so Spark plans WindowGroupLimit — every scan task keeps
+    * a max-quota heap before the exchange moves O(sources·maxQuota)
+    * rows — then the per-source quota refines post-window.
+    * Output: id, source, sample_rank (kept rows only).
+    */
+  def mixByQuota(df: DataFrame, id: String, source: String,
+      quotas: Map[String, Int], defaultQuota: Int = 0): DataFrame = {
+    require(quotas.values.forall(_ >= 0) && defaultQuota >= 0,
+      "quotas must be non-negative")
+    val maxQ = (quotas.values.toSeq :+ defaultQuota).max
+    val q = quotas.foldLeft(lit(defaultQuota)) { case (acc, (s, n)) =>
+      when(col("source") === s, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Dedup.hash60(col(id).cast("string")).asc, col(id).asc)
+    df.select(col(id), col(source).as("source"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= maxQ)
+      .filter(col("sample_rank") <= q)
+  }
+
   /** Top-k rows per stratum by a metric (desc, ties to the smaller
     * id) — e.g. the k highest-quality documents per language. Spark
     * plans the rank filter as WindowGroupLimit: each partition keeps a

@@ -635,6 +635,49 @@ class ExtSpec extends SparkTestBase {
       again.orderBy("stratum", "sample_rank").collect.toSeq)
   }
 
+  test("trainValTestSplit is superset-stable and partitions the corpus") {
+    import spark.implicits._
+    val d = (1L to 2000L).toDF("doc_id")
+    val out = Sampling.trainValTestSplit(d, "doc_id",
+      trainBps = 9000, valBps = 500)
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    // ~90/5/5 within hash tolerance on 2000 ids
+    assert(counts("train") > 1700 && counts("train") < 1900, counts)
+    assert(counts("val") > 50 && counts("val") < 170, counts)
+    assert(counts("test") > 50 && counts("test") < 170, counts)
+    // superset stability: dropping half the corpus never reassigns a doc
+    val half = Sampling.trainValTestSplit(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", 9000, 500)
+    val full = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.collect().foreach(r =>
+      assert(full(r.getLong(0)) == r.getString(2), s"reassigned: $r"))
+  }
+
+  test("mixByQuota hits per-source quotas with hash-rank membership") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = Sampling.mixByQuota(d, "doc_id", "source",
+      Map("src0" -> 7, "src1" -> 4), defaultQuota = 2)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("src0" -> 7L, "src1" -> 4L, "src2" -> 2L))
+    // quota larger than the stratum: capped at its size
+    val tiny = Sampling.mixByQuota(d.filter(col("doc_id") <= 3), "doc_id",
+      "source", Map("src0" -> 10), defaultQuota = 10)
+    assert(tiny.count() == 3)
+    // membership is the hash-rank prefix: same rows as fixedSizeSample
+    // at the same k for a uniform quota
+    val uniform = Sampling.mixByQuota(d, "doc_id", "source",
+      Map.empty, defaultQuota = 5)
+    val fixed = Sampling.fixedSizeSample(d, "doc_id", "source", k = 5)
+    assert(uniform.orderBy("source", "sample_rank").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      fixed.orderBy("stratum", "sample_rank").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2))).toSeq)
+  }
+
   test("topKPerStratum keeps k best per stratum with stable ties") {
     import spark.implicits._
     val d = (1L to 30L).map(i => (i, if (i <= 15) "a" else "b", (i % 5).toDouble))
