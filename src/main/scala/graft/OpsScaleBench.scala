@@ -65,9 +65,12 @@ object OpsScaleBench {
         Similarity.rerankTopK(emb0.filter(col("vec_id") < 10), corpus,
           "vec_id", "embedding", kRetrieve = 20, kFinal = 5).count())
 
+      // offset must NOT be divisible by nShards=16, or every replica
+      // lands back on its original shard (10^7 is 2^7·5^7) and the
+      // bench would measure per-shard volume, not the shard axis
       val docs = if (n <= 1) docs0 else docs0
         .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("doc_id", col("doc_id") + col("__r") * 10000000L)
+        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
         .drop("__r")
       bench("pack_bucketed", n, nDocs * n)(() =>
         TextStats.packBatchesBucketed(docs, "doc_id", "text",

@@ -339,8 +339,11 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
-          (abs(col("__approx") - col("exact_users")).cast("double") /
-            col("exact_users") <= 0.04).as("approx_within_4pct"))),
+          // the 0-distinct edge (all-NULL user_ids) divides by zero →
+          // NULL; a 0-vs-0 sketch is trivially in-bound
+          ((col("exact_users") === 0 && col("__approx") === 0) ||
+            abs(col("__approx") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.04).as("approx_within_4pct"))),
 
     // TF-IDF-family distinctive terms: top-5 per doc by the
     // integer-exact (tf desc, df asc, term asc) comparator — the
@@ -496,9 +499,14 @@ object SparkEntry {
           count(col("value")).as("n"))
         .select(col("event_type"), col("n"),
           col("p50_exact"), col("p90_exact"), col("p99_exact"),
-          col("__a50").between(col("__lo50"), col("__hi50")).as("p50_in_band"),
-          col("__a90").between(col("__lo90"), col("__hi90")).as("p90_in_band"),
-          col("__a99").between(col("__lo99"), col("__hi99")).as("p99_in_band"))),
+          // n=0 (all-NULL values) makes every percentile NULL; an
+          // empty group is trivially in-band
+          (col("n") === 0 || col("__a50").between(col("__lo50"), col("__hi50")))
+            .as("p50_in_band"),
+          (col("n") === 0 || col("__a90").between(col("__lo90"), col("__hi90")))
+            .as("p90_in_band"),
+          (col("n") === 0 || col("__a99").between(col("__lo99"), col("__hi99")))
+            .as("p99_in_band"))),
 
     // Bounded-support kernel local regression (the SQL-expressible
     // WRTDS-family member): range self-join + decimal-quantized kernel

@@ -136,9 +136,13 @@ object Similarity {
       norm(col(vec)).as("__qn"))
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
       norm(col(vec)).as("__cn"))
-    // queries stay broadcast; the corpus-side join keys on the
-    // candidate table's vec_ids (k·|queries| rows), never the corpus.
-    val paired = cands.join(broadcast(q), Seq("query_id"))
+    // queries stay broadcast, and the candidate table (k·|queries|
+    // rows by construction) broadcasts against the corpus side — the
+    // corpus is probed as a pure scan, never shuffled. Without the
+    // hint, the candidates' size ESTIMATE inherits the brute-force
+    // pair loop's |q|·|corpus| bound and static planning would
+    // sort-merge-shuffle the whole corpus by vec_id.
+    val paired = broadcast(cands.join(broadcast(q), Seq("query_id")))
       .join(c, Seq("vec_id"))
     val inter = array_max(zip_with(col("__qv"), col("__cv"),
       (a, b) => a.cast("double") * b.cast("double"))) /

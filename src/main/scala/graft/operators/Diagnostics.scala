@@ -208,9 +208,9 @@ object Diagnostics {
     * q_approx_percentiles trade.
     *
     * Groups whose pilot fit is degenerate (constant x) emit NULL
-    * robust coefficients. Output: group*, n, slope_ols,
-    * intercept_ols, slope_robust, intercept_robust, n_downweighted
-    * (from the final round; rounded 6).
+    * robust coefficients. Output: group*, slope_ols, intercept_ols,
+    * slope_robust, intercept_robust, n, n_downweighted (counters from
+    * the final round; coefficients rounded 6).
     */
   def groupedRobustFit(df: DataFrame, groupCols: Seq[String],
       x: String, y: String, scale: Long = 100L,

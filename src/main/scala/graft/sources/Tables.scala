@@ -44,7 +44,13 @@ object Tables {
       case TimestampNTZType =>
         // µs naive timestamps: compare against an NTZ literal (pushes to
         // the scan), then reinterpret as UTC-instant TimestampType —
-        // micros-exact because the session timezone is pinned to UTC.
+        // micros-exact ONLY under a UTC session timezone (the cast reads
+        // the naive wall-clock in the session zone), so guard loudly
+        // instead of silently shifting every instant.
+        require(
+          spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events reader: timestamp[us] NTZ parquet requires " +
+            "spark.sql.session.timeZone=UTC (Sessions.local sets it)")
         sliced { us =>
           lit(java.time.LocalDateTime.ofEpochSecond(
             Math.floorDiv(us, 1000000L),

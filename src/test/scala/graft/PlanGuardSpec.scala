@@ -163,6 +163,12 @@ class PlanGuardSpec extends SparkTestBase {
       // (candidates back to both vector sides) must all be equi-joins
       assert(nested.size === 1,
         s"rerank stage introduced a non-equi join:\n${df.queryExecution.executedPlan}")
+      // the corpus side is probed by the BROADCAST candidate table and
+      // must never shuffle; the only exchanges are the two rank
+      // windows' repartitions of candidate-sized data (retrieval rank
+      // + rerank rank, both hash-partitioned on query_id)
+      assert(shuffleCount(df) <= 2,
+        s"rerank shuffled the corpus:\n${df.queryExecution.executedPlan}")
     }
   }
 
