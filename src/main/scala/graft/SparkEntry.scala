@@ -644,6 +644,47 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // recall semi-oracle for the IVF rows-only query: the oracle
+    // reproduces the structural counts exactly (10 queries × exact
+    // top-5 = 50 brute pairs, via the same brute-force SQL) and
+    // expects the in-band aggregate-recall assertion TRUE. The bound
+    // is loose (≥ 0.15 probing 4/16 cells on uniform-random vectors —
+    // ANN's adversarial case) but catches a broken quantizer outright.
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 5).select(col("query_id"), col("vec_id"))
+      val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      brute.join(ivf, Seq("query_id", "vec_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact_pairs"),
+          (sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) >= 0.15).as("recall_ok"))
+    }),
+
+    // same contract for the PQ shortlist: the shortlist scales with
+    // the corpus (4%, floor 20) so the recall regime matches the
+    // ExtSpec pin at every SF; bound 0.35 (pinned 0.5 at sf0.01).
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val kShort = math.max(20, (emb.count() * 0.04).toInt)
+      val model = Similarity.trainPq(emb, "embedding", m = 8, ksub = 32)
+      val brute = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 5).select(col("query_id"), col("vec_id"))
+      val pq = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+        k = kShort, model)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      brute.join(pq, Seq("query_id", "vec_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact_pairs"),
+          (sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) >= 0.35).as("recall_ok"))
+    }),
+
     // deterministic hash-stratified sampling: rebalance the corpus by
     // language (downsample the dominant stratum, keep the tail).
     "q_sample_stratified" -> ((s, dir) =>
@@ -1892,6 +1933,37 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
            |)
            |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rk AS INT) AS rank
+           |FROM r WHERE rk <= 5""".stripMargin),
+
+    // the brute top-5 structural counts are exact SQL; recall_ok is
+    // the in-band bound assertion (shared contract for both recall
+    // semi-oracles)
+    "q_ann_ivf_recall" ->
+      (normCte +
+        s""", p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
+           |)
+           |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           |       count(*) AS n_exact_pairs, TRUE AS recall_ok
+           |FROM r WHERE rk <= 5""".stripMargin),
+
+    "q_ann_pq_recall" ->
+      (normCte +
+        s""", p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
+           |)
+           |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           |       count(*) AS n_exact_pairs, TRUE AS recall_ok
            |FROM r WHERE rk <= 5""".stripMargin),
 
     // retrieval stage ≡ q_ann_brute at k=20; rerank score mirrors the
