@@ -447,6 +447,16 @@ object SparkEntry {
       Sessionize.hoppingCounts(Tables.events(s, dir), "ts",
         "2 hours", "1 hour", Seq("event_type"))),
 
+    // telemetry debounce: same-(user, type) rows within 30 min of the
+    // previous row are flagged dropped (chained lag semantics); every
+    // row keeps its audit columns.
+    "q_debounce" -> ((s, dir) =>
+      Sessionize.debounce(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us")),
+        Seq("user_id", "event_type"), "ts_us", "event_id",
+        toleranceUs = 1800000000L)),
+
     // SCD type-2 history: the changelog intervalized — every event
     // version carries [valid_from, valid_to) with valid_to = the next
     // version's ts (NULL while current); the is_current row per user
@@ -1756,6 +1766,18 @@ object SparkEntry {
         |SELECT w_start_us, w_start_us + 7200000000 AS w_end_us,
         |       event_type, count(*) AS n
         |FROM h GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_debounce" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |           AS prev_gap_us
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, ts_us, prev_gap_us,
+        |       (prev_gap_us IS NULL OR prev_gap_us > 1800000000) AS kept
+        |FROM b""".stripMargin,
 
     "q_scd2" ->
       """WITH e AS (

@@ -175,4 +175,28 @@ object Sessionize {
         unix_micros(col("__w.end")).as("w_end_us")) ++
         dims.map(col) :+ col("n")): _*)
   }
+
+  /** Telemetry debounce — the duplicate-burst cleanup every event-log
+    * ingest runs: a row whose timestamp is within `toleranceUs` of
+    * the PREVIOUS row on the same key is flagged dropped (chained
+    * lag semantics: in a burst where every consecutive gap is inside
+    * the tolerance, only the first row survives, regardless of the
+    * burst's total span — the standard debounce contract, and the one
+    * `lag()` expresses exactly). Emits every input row with its keep
+    * decision so both the cleaned set and the drop audit are
+    * queryable. ONE shuffle on the key; the per-key sort is the
+    * window's own. Tiebreak column makes equal-timestamp order
+    * deterministic (engine-portable).
+    * Output: input columns + prev_gap_us (NULL for the first row per
+    * key) + kept.
+    */
+  def debounce(df: DataFrame, keys: Seq[String], tsUs: String,
+      tiebreak: String, toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"negative tolerance: $toleranceUs")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsUs).asc, col(tiebreak).asc)
+    df.withColumn("prev_gap_us", col(tsUs) - lag(col(tsUs), 1).over(w))
+      .withColumn("kept",
+        col("prev_gap_us").isNull || col("prev_gap_us") > toleranceUs)
+  }
 }

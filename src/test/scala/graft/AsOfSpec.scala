@@ -272,4 +272,26 @@ class AsOfSpec extends SparkTestBase {
         s"expected a map-side partial aggregate:\n$plan")
     }
   }
+
+  test("debounce flags chained bursts, keeping only the first row") {
+    import spark.implicits._
+    // key A: burst at 0,5,9,14 (each gap <= 5) then 100; key B: all clear
+    val log = Seq(
+      ("A", 0L, 1L), ("A", 5L, 2L), ("A", 9L, 3L), ("A", 14L, 4L),
+      ("A", 100L, 5L),
+      ("B", 0L, 6L), ("B", 50L, 7L))
+      .toDF("k", "ts_us", "event_id")
+    val out = Sessionize.debounce(log, Seq("k"), "ts_us", "event_id",
+      toleranceUs = 5L)
+      .collect().map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+    // chained semantics: 9 is within 5 of 5 (a dropped row) -> dropped;
+    // 14 within 5 of 9 -> dropped; 100 far from 14 -> kept
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> true, 6L -> true, 7L -> true))
+    // equal timestamps: tiebreak keeps the smaller event_id
+    val ties = Seq(("C", 0L, 9L), ("C", 0L, 8L)).toDF("k", "ts_us", "event_id")
+    val t = Sessionize.debounce(ties, Seq("k"), "ts_us", "event_id", 5L)
+      .collect().map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+    assert(t === Map(8L -> true, 9L -> false))
+  }
 }
