@@ -663,16 +663,9 @@ object SparkEntry {
     "q_ann_ivf_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 10)
-      val brute = Similarity.bruteForceTopK(queries, emb, "vec_id",
-        "embedding", k = 5).select(col("query_id"), col("vec_id"))
-      val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
-      brute.join(ivf, Seq("query_id", "vec_id"), "left")
-        .agg(countDistinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("n_exact_pairs"),
-          (sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
-            .cast("double") / count(lit(1)) >= 0.15).as("recall_ok"))
+      annRecall(emb, queries,
+        Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4), bound = 0.15)
     }),
 
     // same contract for the PQ shortlist: the shortlist scales with
@@ -681,18 +674,13 @@ object SparkEntry {
     "q_ann_pq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 10)
+      // parquet count() is metadata-only (row-group stats, no data
+      // scan), so sizing the shortlist costs one planning-weight job
       val kShort = math.max(20, (emb.count() * 0.04).toInt)
       val model = Similarity.trainPq(emb, "embedding", m = 8, ksub = 32)
-      val brute = Similarity.bruteForceTopK(queries, emb, "vec_id",
-        "embedding", k = 5).select(col("query_id"), col("vec_id"))
-      val pq = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
-        k = kShort, model)
-        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
-      brute.join(pq, Seq("query_id", "vec_id"), "left")
-        .agg(countDistinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("n_exact_pairs"),
-          (sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
-            .cast("double") / count(lit(1)) >= 0.35).as("recall_ok"))
+      annRecall(emb, queries,
+        Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+          k = kShort, model), bound = 0.35)
     }),
 
     // deterministic hash-stratified sampling: rebalance the corpus by
@@ -1327,6 +1315,44 @@ object SparkEntry {
       |  GROUP BY a.doc_id, b.doc_id
       |)""".stripMargin
 
+  /** Shared scaffolding of the ANN recall semi-oracles: exact brute
+    * top-5 per query joined against an approximate result set, one
+    * output row of structural counts plus the in-band aggregate
+    * recall assertion.
+    */
+  private def annRecall(emb: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame,
+      bound: Double): org.apache.spark.sql.DataFrame = {
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id",
+      "embedding", k = 5).select(col("query_id"), col("vec_id"))
+    brute.join(
+        approx.select(col("query_id"), col("vec_id"), lit(1).as("__hit")),
+        Seq("query_id", "vec_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact_pairs"),
+        (sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) >= bound).as("recall_ok"))
+  }
+
+  /** Both recall semi-oracles share one oracle: the brute top-5
+    * structural counts are exact SQL; recall_ok is asserted in-band
+    * on the Spark side.
+    */
+  private lazy val annRecallOracleSql: String =
+    normCte +
+      s""", p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
+         |)
+         |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |       count(*) AS n_exact_pairs, TRUE AS recall_ok
+         |FROM r WHERE rk <= 5""".stripMargin
+
   /** DuckDB mirror of Diagnostics.groupedRobustFit on lineitem
     * (returnflag/linestatus, quantity→extendedprice, scale 100,
     * c=3.0): generates the pilot-fit CTE plus one
@@ -1767,11 +1793,15 @@ object SparkEntry {
         |       event_type, count(*) AS n
         |FROM h GROUP BY 1, 2, 3""".stripMargin,
 
+    // ORDER BY the truncated µs value, not raw ts: under a ns parquet
+    // contract Spark orders by the µs truncation, and sub-µs order
+    // must not break ties differently across engines
     "q_debounce" ->
       """WITH b AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
-        |           PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts), event_id)
         |           AS prev_gap_us
         |  FROM events
         |)
@@ -1958,35 +1988,10 @@ object SparkEntry {
            |FROM r WHERE rk <= 5""".stripMargin),
 
     // the brute top-5 structural counts are exact SQL; recall_ok is
-    // the in-band bound assertion (shared contract for both recall
-    // semi-oracles)
-    "q_ann_ivf_recall" ->
-      (normCte +
-        s""", p AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
-           |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
-           |  WHERE q.vec_id < 10
-           |), r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
-           |)
-           |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-           |       count(*) AS n_exact_pairs, TRUE AS recall_ok
-           |FROM r WHERE rk <= 5""".stripMargin),
-
-    "q_ann_pq_recall" ->
-      (normCte +
-        s""", p AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
-           |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
-           |  WHERE q.vec_id < 10
-           |), r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p
-           |)
-           |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-           |       count(*) AS n_exact_pairs, TRUE AS recall_ok
-           |FROM r WHERE rk <= 5""".stripMargin),
+    // the in-band bound assertion (one shared oracle for both recall
+    // semi-oracles — see annRecallOracleSql)
+    "q_ann_ivf_recall" -> annRecallOracleSql,
+    "q_ann_pq_recall" -> annRecallOracleSql,
 
     // retrieval stage ≡ q_ann_brute at k=20; rerank score mirrors the
     // Spark expression tree: round6(cos)·0.8 + (max single-dim
