@@ -91,6 +91,21 @@ object Dedup {
     * size grows with the corpus duplication rate (a boilerplate-heavy
     * corpus can yield a multi-GB pair set), so the join strategy is
     * left to AQE's runtime size estimate instead of being forced.
+    *
+    * Intersection shape: the shingle table is first collapsed to ONE
+    * ROW PER DOC (`collect_list` → an array of 60-bit hashes), then
+    * each candidate pair joins its two arrays and scores with
+    * `size(array_intersect(a, b))` — a codegen'd hash-probe local to
+    * the pair's row. The alternative (exploded pair×shingle equi-join
+    * + groupBy(id_a,id_b) count) shuffles |pairs|·|shingles/doc| rows
+    * through a join AND an aggregate; the array form moves each doc's
+    * shingles ONCE into the per-doc row and the pair join carries
+    * |pairs| rows only — measured at sf0.1 (BenchSubset, median of 3):
+    * capped 6.0→4.0 s, minhash 6.5→3.3 s, and the prefix join (which
+    * also feeds its ranking arrays straight in) 15.8→1.8 s — and
+    * asymptotically |shingles/doc|× less verify shuffle volume.
+    * Per-row memory is bounded by the largest single document's
+    * shingle count (identical bound to a groupBy on doc id).
     */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame, id: String,
       threshold: Double, withInter: Boolean,
@@ -137,11 +152,24 @@ object Dedup {
         if (nCand * 2 >= nShDocs) sh
         else graft.core.Caches.cached(sh.join(candIds, Seq(id)))
     }
-    val sizes = shC.groupBy(id).agg(count(lit(1)).as("n"))
-    val inter = candsC
-      .join(shC.withColumnRenamed(id, "id_a"), "id_a")
-      .join(shC.withColumnRenamed(id, "id_b"), Seq("id_b", "sh60"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // one row per doc: full shingle set as an array + its size. The
+    // shingle sets are distinct by construction (shinglesHashed ends
+    // in .distinct()), so size(array_intersect) IS the set
+    // intersection cardinality.
+    val arr = graft.core.Caches.cached(
+      shC.groupBy(id).agg(collect_list(col("sh60")).as("__shs"),
+        count(lit(1)).as("n")))
+    verifyJaccardArr(arr, candsC, id, threshold, withInter, containment)
+  }
+
+  /** Verify tail over a pre-built one-row-per-doc shingle-array table
+    * (id, __shs: array<long>, n) — see [[verifyJaccard]]. Split out so
+    * generators that already materialize per-doc arrays (the prefix
+    * join) can feed them straight in without rebuilding.
+    */
+  private def verifyJaccardArr(arr: DataFrame, cands: DataFrame,
+      id: String, threshold: Double, withInter: Boolean,
+      containment: Boolean = false): DataFrame = {
     // jaccard = inter/union (symmetric); containment = inter/min-set
     // size (asymmetric — a short doc fully inside a long one scores 1
     // where jaccard dilutes toward |short|/|long|)
@@ -152,9 +180,15 @@ object Dedup {
       else
         ("jaccard",
           col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
-    val scored = inter
-      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n", "nb"), "id_b")
+    val scored = cands
+      .join(arr.select(col(id).as("id_a"), col("__shs").as("__sa"),
+        col("n").as("na")), "id_a")
+      .join(arr.select(col(id).as("id_b"), col("__shs").as("__sb"),
+        col("n").as("nb")), "id_b")
+      // cast: size() is int, but the historical schema (count()) is
+      // bigint and the oracle/driver compare is schema-sensitive
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .withColumn(scoreCol, scoreExpr)
       .filter(col(scoreCol) >= threshold)
     if (withInter)
@@ -247,19 +281,34 @@ object Dedup {
     */
   def ngramJaccardPrefix(df: DataFrame, id: String, text: String, k: Int,
       threshold: Double): DataFrame = {
-    val sh = graft.core.Caches.cached(shinglesHashed(df, id, text, k))
+    val sh = shinglesHashed(df, id, text, k)
     val dfreq = sh.groupBy("sh60").agg(count(lit(1)).as("__df"))
-    val byDoc = Window.partitionBy(col(id))
-    val ranked = sh.join(dfreq, "sh60")
-      .withColumn("__rn",
-        row_number().over(byDoc.orderBy(col("__df"), col("sh60"))))
-      .withColumn("__n", count(lit(1)).over(byDoc))
+    // Global rarest-first order realized as ONE aggregation: per doc,
+    // collect (df, sh60) and array_sort (struct sort = lexicographic
+    // by field order = df asc, sh60 asc). This replaces the earlier
+    // row_number window — same order, but the aggregate's exchange
+    // carries each shingle once and skips the window's full
+    // partition-sort pass; and the sorted per-doc array is EXACTLY
+    // the shape the verify tail needs, so one cached table serves
+    // both the prefix index and the scorer (the window form rebuilt
+    // it). Per-row memory bounded by the largest doc's shingle count.
+    val docArr = graft.core.Caches.cached(
+      sh.join(dfreq, "sh60")
+        .groupBy(col(id))
+        .agg(array_sort(collect_list(struct(col("__df"), col("sh60"))))
+          .as("__ranked"))
+        .select(col(id),
+          transform(col("__ranked"), x => x.getField("sh60")).as("__shs"),
+          size(col("__ranked")).as("__n")))
     // prefix length n − ⌈t·n⌉ + 1; the −1e-9 inside ceil biases float
     // rounding toward a LONGER prefix (extra candidates, never lost ones)
-    val prefix = ranked
-      .filter(col("__rn") <=
-        col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1)
-      .select(col(id), col("sh60"), col("__n"), col("__rn"))
+    val prefixLen = (col("__n") -
+      ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val prefix = docArr
+      .select(col(id), col("__n"),
+        posexplode(slice(col("__shs"), lit(1), prefixLen)))
+      .select(col(id), col("col").as("sh60"), col("__n"),
+        (col("pos") + 1).as("__rn"))
     // join-time pruning, both relaxed by 1e-9 so float rounding can only
     // ADD candidates: (a) length filter — J ≥ t forces min/max ≥ t;
     // (b) PPJoin positional filter — a match at global-order positions
@@ -277,7 +326,12 @@ object Dedup {
             col("b.__n") - col("b.__rn"))) * lit(1.0 + threshold) >=
             (col("a.__n") + col("b.__n")) * lit(threshold) - lit(1e-9))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
-    verifyJaccard(sh, cands, id, threshold, withInter = true)
+    // verify straight off the cached per-doc arrays — no shingle-table
+    // rebuild, no candidate-id restriction needed (docArr is already
+    // materialized and the verify joins touch only candidate rows)
+    verifyJaccardArr(
+      docArr.select(col(id), col("__shs"), col("__n").as("n")),
+      graft.core.Caches.cached(cands), id, threshold, withInter = true)
   }
 
   /** Asymmetric n-gram CONTAINMENT pairs: C = |A∩B| / min(|A|,|B|)
