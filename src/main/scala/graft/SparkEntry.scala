@@ -729,6 +729,13 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextStats.langId(Tables.documents(s, dir), "doc_id", "text")),
 
+    // CCNet-style bigram-LM scoring: train on the src0 slice, score
+    // every document's bits-per-token under the smoothed model —
+    // the perplexity-filter signal of the CCNet/RedPajama pipelines.
+    "q_lm_score" -> ((s, dir) =>
+      TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text",
+        refFilter = col("source") === "src0", lambda = 0.9)),
+
     // markup strip + email/URL masking + whitespace collapse (the
     // standard corpus normalization / PII pass), pure regexp chain.
     "q_text_clean" -> ((s, dir) =>
@@ -2219,6 +2226,62 @@ object SparkEntry {
         |       CASE WHEN s_zh > bs THEN 'zh' ELSE bl END AS lang_pred,
         |       round(CASE WHEN s_zh > bs THEN s_zh ELSE bs END, 6) AS lang_score
         |FROM s3""".stripMargin,
+
+    // bigram-LM bits-per-token; every FP step mirrors the Scala plan
+    // (x * 1.0 / y shapes, literal 0.9 / (1.0 - 0.9), per-term
+    // round-to-9 then exact DECIMAL(38,9) sum) so the mean is
+    // order-free and bit-identical cross-engine.
+    "q_lm_score" ->
+      """WITH arr AS (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents
+        |), refw AS (
+        |  SELECT unnest(ws) AS w FROM arr WHERE source = 'src0'
+        |), uni AS (
+        |  SELECT w, count(*) AS cu FROM refw GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM uni
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM (
+        |    SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |    FROM arr WHERE source = 'src0' AND len(ws) >= 2
+        |  ) GROUP BY 1, 2
+        |), terms AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, ws[1] AS w2
+        |  FROM arr WHERE len(ws) >= 1
+        |  UNION ALL
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |    FROM arr WHERE len(ws) >= 2)
+        |), scored AS (
+        |  SELECT t.doc_id, u2.cu AS cu2,
+        |         CASE WHEN t.w1 IS NULL
+        |              THEN (coalesce(u2.cu, 0) + 1) * 1.0 / (tot.n + tot.v)
+        |              ELSE 0.9 * (CASE WHEN u1.cu IS NOT NULL
+        |                               THEN coalesce(b.cb, 0) * 1.0 / u1.cu
+        |                               ELSE 0.0 END)
+        |                   + (1.0 - 0.9) *
+        |                     ((coalesce(u2.cu, 0) + 1) * 1.0 / (tot.n + tot.v))
+        |         END AS p
+        |  FROM terms t
+        |  LEFT JOIN uni u2 ON t.w2 = u2.w
+        |  LEFT JOIN uni u1 ON t.w1 = u1.w
+        |  LEFT JOIN bi b ON t.w1 = b.w1 AND t.w2 = b.w2
+        |  CROSS JOIN tot
+        |), agg AS (
+        |  SELECT doc_id,
+        |         sum(CAST(round(-log2(p), 9) AS DECIMAL(38,9))) AS sb,
+        |         count(*) AS n_tokens,
+        |         CAST(sum(CASE WHEN cu2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(a.n_tokens, 0) AS n_tokens,
+        |       coalesce(a.n_oov, 0) AS n_oov,
+        |       round(CAST(a.sb AS DOUBLE) / a.n_tokens, 6) AS bits_per_token
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_text_clean" ->
       """WITH c AS (

@@ -49,6 +49,94 @@ object TextStats {
       score.as("quality_score"))
   }
 
+  /** Bigram-LM cross-entropy scoring — the CCNet/RedPajama-style
+    * quality signal: train a smoothed bigram language model on a
+    * trusted reference slice of the corpus (`refFilter`), then score
+    * EVERY document by its bits-per-token under that model (low bits =
+    * fluent in-domain text, high bits = noise/boilerplate/other
+    * language; perplexity = 2^bits_per_token).
+    *
+    * Model (all closed-form from exact counts, so the whole scorer is
+    * DuckDB-oracle-checkable):
+    *   pu(w)      = (cu(w) + 1) / (N + V)          add-1 unigram
+    *   p(w2|w1)   = λ·cb(w1,w2)/cu(w1) + (1−λ)·pu(w2)   (0 MLE if w1
+    *                unseen); λ < 1 keeps every p > 0
+    *   first token scored by pu; doc score = Σ −log2(p) / n_tokens.
+    *
+    * Cross-engine determinism: each term's bits are rounded to 9
+    * decimals and summed as DECIMAL(38,9) — an exact, order-free
+    * reduction (the repo's established decimal-sum idiom), so the
+    * per-doc mean is bit-identical however Spark or DuckDB order the
+    * terms; quantization bias (≤5e-10/term) is far below the 6-decimal
+    * output rounding.
+    *
+    * Scale shape: ONE tokenization pass feeds both training and
+    * scoring (the cached token-array table); the model tables are
+    * vocab-sized (unigrams) / bigram-vocab-sized aggregates with
+    * map-side combine, and scoring is three left equi-joins of the
+    * term stream against them — AQE broadcasts them when they fit,
+    * hash-join otherwise. No windows, no driver collection; per-row
+    * memory is one document's token array.
+    * Output: id, n_tokens, n_oov, bits_per_token (null for
+    * zero-token docs, which ARE kept — row count equals the corpus).
+    */
+  def lmScore(df: DataFrame, id: String, text: String, refFilter: Column,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda >= 0.0 && lambda < 1.0,
+      s"lambda must be in [0,1) so interpolated probabilities stay positive: $lambda")
+    val arr = graft.core.Caches.cached(
+      df.select(col(id), tokens(col(text)).as("__ws"), refFilter.as("__ref")))
+    val refUni = graft.core.Caches.cached(
+      arr.filter(col("__ref")).select(explode(col("__ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu")))
+    // 1-row scalar totals, broadcast into the probability expressions
+    val tot = refUni.agg(sum("cu").as("__N"), count(lit(1)).as("__V"))
+    val bigrams = transform(
+      slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
+      (w, i) => struct(w.as("w1"), element_at(col("__ws"), i + 2).as("w2")))
+    val refBi = arr.filter(col("__ref") && size(col("__ws")) >= 2)
+      .select(explode(bigrams).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    // term stream: one row per scored token — the first token
+    // (unigram-scored; w1 null never matches the cu1 join) plus every
+    // adjacent transition
+    val first = arr.filter(size(col("__ws")) >= 1)
+      .select(col(id), lit(null).cast("string").as("w1"),
+        element_at(col("__ws"), 1).as("w2"))
+    val trans = arr.filter(size(col("__ws")) >= 2)
+      .select(col(id), explode(bigrams).as("bg"))
+      .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val terms = first.unionByName(trans)
+      .join(refUni.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(refUni.select(col("w").as("w1"), col("cu").as("cu1")),
+        Seq("w1"), "left")
+      .join(refBi, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(tot))
+    // FP expression shapes mirror the oracle SQL exactly (x * 1.0 / y;
+    // λ and 1−λ as literal doubles) so both engines evaluate the same
+    // IEEE operation sequence
+    val pu2 = (coalesce(col("cu2"), lit(0L)) + 1) * lit(1.0) /
+      (col("__N") + col("__V"))
+    val mle = when(col("cu1").isNotNull,
+      coalesce(col("cb"), lit(0L)) * lit(1.0) / col("cu1")).otherwise(lit(0.0))
+    val p = when(col("w1").isNotNull, lit(lambda) * mle + lit(1.0 - lambda) * pu2)
+      .otherwise(pu2)
+    val scored = terms
+      .select(col(id), round(-log2(p), 9).cast("decimal(38,9)").as("bq"),
+        when(col("cu2").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(id)
+      .agg(sum("bq").as("sb"), count(lit(1)).as("n_tokens"),
+        sum("oov").as("n_oov"))
+    df.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(col("sb").cast("double") / col("n_tokens"), 6)
+          .as("bits_per_token"))
+  }
+
   /** n-gram/stopword-heuristic language ID: per language a marker-word
     * list is scored as hits/words; argmax wins (ties → lexicographic
     * language code). Output: id, lang_pred, lang_score.

@@ -701,6 +701,38 @@ class ExtSpec extends SparkTestBase {
     assert(out(1).getAs[Double]("frame_ms") == round4(4 * 1000.0 / 24.0))
   }
 
+  test("lmScore: hand-computed bigram cross-entropy, OOV and empty docs") {
+    import spark.implicits._
+    // ref = doc 1 "a b a c": uni a:2 b:1 c:1, N=4 V=3;
+    // bigrams (a,b):1 (b,a):1 (a,c):1
+    val d = Seq((1L, "a b a c", "src0"), (2L, "a b z", "srcX"),
+      (3L, "   ", "srcX")).toDF("doc_id", "text", "source")
+    val out = TextStats.lmScore(d, "doc_id", "text",
+      col("source") === "src0", lambda = 0.9)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    def q9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val pu: Map[String, Double] = Map("a" -> 3.0 / 7, "b" -> 2.0 / 7,
+      "c" -> 2.0 / 7, "z" -> 1.0 / 7)
+    def bits(p: Double) = q9(-math.log(p) / math.log(2.0))
+    // doc 2 "a b z": first 'a' by pu; (a,b) = .9*(1/2)+.1*pu(b);
+    // (b,z) = .9*0+.1*pu(z)
+    val expected2 = (bits(pu("a")) +
+      bits(0.9 * (1.0 / 2) + (1.0 - 0.9) * pu("b")) +
+      bits((1.0 - 0.9) * pu("z"))) / 3
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_tokens") == 3L)
+    assert(r2.getAs[Long]("n_oov") == 1L) // 'z' unseen in ref
+    assert(math.abs(r2.getAs[Double]("bits_per_token") -
+      expected2.toDouble) < 1e-6)
+    // doc 1 scores under its own model; doc 3 is whitespace-only:
+    // kept, zero tokens, null score
+    assert(out(0).getAs[Long]("n_oov") == 0L)
+    val r3 = out(2)
+    assert(r3.getAs[Long]("n_tokens") == 0L && r3.isNullAt(3))
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
