@@ -297,6 +297,20 @@ object SparkEntry {
       Sampling.trainValTestSplit(Tables.documents(s, dir), "doc_id",
         trainBps = 9000, valBps = 500)),
 
+    // leakage-safe split: exact-dup families assigned as a unit (the
+    // family = min id over the normalized-text hash group), so train
+    // and eval can never share a verbatim duplicate.
+    "q_split_safe" -> ((s, dir) =>
+      Sampling.leakageSafeSplit(Tables.documents(s, dir), "doc_id",
+        "text", trainBps = 9000, valBps = 500)),
+
+    // global length-decile assignment with NO global sort: one exact
+    // percentile aggregate -> broadcast boundary array -> scan-local
+    // compare (the ntile() single-partition anti-pattern replaced).
+    "q_quantile_buckets" -> ((s, dir) =>
+      Sampling.quantileBuckets(Tables.documents(s, dir), "doc_id",
+        "n_chars", nBuckets = 10)),
+
     // target-mixture rebalancing: per-source quotas in id-hash order
     // (src0 capped at 15, src1 at 10, src2 at 5, everything else 3).
     "q_source_mix" -> ((s, dir) =>
@@ -1611,6 +1625,40 @@ object SparkEntry {
         |            WHEN bucket < 9500 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM h""".stripMargin,
+
+    "q_split_safe" ->
+      """WITH fam AS (
+        |  SELECT doc_id,
+        |         min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS family_id
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, family_id,
+        |         CAST(CAST(('0x' || substr(md5(CAST(family_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |              % 10000 AS INT) AS bucket
+        |  FROM fam
+        |)
+        |SELECT doc_id, family_id, bucket,
+        |       CASE WHEN bucket < 9000 THEN 'train'
+        |            WHEN bucket < 9500 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+
+    // boundaries rounded to 6 decimals on BOTH sides before the
+    // strictly-greater compare, so the cut points are bit-identical
+    // cross-engine; quantile_cont mirrors Spark's exact percentile
+    // (same interpolation — already pinned by q_percentiles)
+    "q_quantile_buckets" ->
+      """WITH b AS (
+        |  SELECT [round(quantile_cont(n_chars, 0.1), 6), round(quantile_cont(n_chars, 0.2), 6),
+        |          round(quantile_cont(n_chars, 0.3), 6), round(quantile_cont(n_chars, 0.4), 6),
+        |          round(quantile_cont(n_chars, 0.5), 6), round(quantile_cont(n_chars, 0.6), 6),
+        |          round(quantile_cont(n_chars, 0.7), 6), round(quantile_cont(n_chars, 0.8), 6),
+        |          round(quantile_cont(n_chars, 0.9), 6)] AS bs
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, d.n_chars,
+        |       CAST(len(list_filter(b.bs, x -> d.n_chars > x)) AS INT) AS bucket
+        |FROM documents d CROSS JOIN b""".stripMargin,
 
     "q_source_mix" ->
       """WITH r AS (

@@ -115,4 +115,65 @@ object Sampling {
     df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** LEAKAGE-SAFE train/val/test split: exact-duplicate families are
+    * assigned as a unit, so a document and its duplicates can never
+    * straddle train and eval — the contamination [[trainValTestSplit]]
+    * permits by hashing each id independently (a train doc's verbatim
+    * copy landing in test silently inflates eval scores; dedup-aware
+    * split is the standard defense). The family key is the minimum id
+    * over the normalized-text hash group (the exact-dedup keeper), and
+    * the split bucket hashes the FAMILY id. Still superset-stable in
+    * the family key: adding unrelated docs never moves an existing
+    * family; adding a new duplicate of an existing doc can only lower
+    * its family's min id (same rule as exact-dedup keeper identity).
+    * One shuffle on the 16-byte text hash; the bucket map stays
+    * scan-local after the window.
+    * Output: id, family_id, bucket, split.
+    */
+  def leakageSafeSplit(df: DataFrame, id: String, text: String,
+      trainBps: Int = 9000, valBps: Int = 500): DataFrame = {
+    require(trainBps > 0 && valBps >= 0 && trainBps + valBps < 10000,
+      s"invalid split: train=$trainBps val=$valBps")
+    val w = Window.partitionBy(col("__th"))
+    df.select(col(id), Dedup.normHash(col(text)).as("__th"))
+      .withColumn("family_id", min(col(id)).over(w))
+      .withColumn("bucket", bucketBps(col("family_id")))
+      .withColumn("split",
+        when(col("bucket") < trainBps, "train")
+          .when(col("bucket") < trainBps + valBps, "val")
+          .otherwise("test"))
+      .select(col(id), col("family_id"), col("bucket"), col("split"))
+  }
+
+  /** Global quantile bucketing WITHOUT a global sort — the curriculum
+    * / quality-tier assignment (e.g. length deciles for bucketed
+    * packing, quality quartiles for mixture weights). The naive form,
+    * ntile() over a whole-corpus ORDER BY, funnels every row through
+    * one partition; here the corpus is touched twice but never
+    * globally sorted: one exact-percentile aggregate computes the
+    * n−1 boundary values (map-side combined; swap in approx_percentile
+    * for the 100 TB tier exactly as q_percentiles ↔
+    * q_approx_percentiles trade), then a broadcast of that 1-row
+    * boundary array assigns bucket = #(boundaries strictly below the
+    * value) scan-locally. Boundaries are rounded to 6 decimals before
+    * comparison so the cut points are bit-identical cross-engine
+    * (both engines round half away from zero); ties at a boundary all
+    * fall to the lower bucket — deterministic however many rows share
+    * the boundary value.
+    * Output: id, value column (as named), bucket in [0, nBuckets).
+    */
+  def quantileBuckets(df: DataFrame, id: String, value: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
+    val fracs = array((1 until nBuckets)
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val bounds = df.agg(percentile(col(value), fracs).as("__bs"))
+      .select(transform(col("__bs"), b => round(b, 6)).as("__bs"))
+    df.select(col(id), col(value))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(col("__bs"), b => col(value) > b)))
+      .select(col(id), col(value), col("bucket"))
+  }
 }

@@ -733,6 +733,41 @@ class ExtSpec extends SparkTestBase {
     assert(r3.getAs[Long]("n_tokens") == 0L && r3.isNullAt(3))
   }
 
+  test("leakageSafeSplit keeps exact-dup families in one split") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, if (i % 7 == 0) "dup text" else s"text $i"))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(d, "doc_id", "text").collect()
+    assert(out.length == 200)
+    // every member of the "dup text" family carries the family root (7)
+    // and a single common split
+    val fam = out.filter(_.getAs[Long]("family_id") == 7L)
+    assert(fam.length == 200 / 7)
+    assert(fam.map(_.getAs[String]("split")).distinct.length == 1)
+    // agrees with the id-hash split for singleton families
+    val plain = Sampling.trainValTestSplit(d, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    out.filter(r => r.getAs[Long]("doc_id") % 7 != 0).foreach { r =>
+      assert(r.getAs[String]("split") == plain(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("quantileBuckets: quartiles of 1..8 by hand, boundary ties go low") {
+    import spark.implicits._
+    val d = (1L to 8L).map(i => (i, i * 10.0)).toDF("doc_id", "v")
+    // quartile boundaries of 10..80: p25 = 27.5, p50 = 45, p75 = 62.5
+    val out = Sampling.quantileBuckets(d, "doc_id", "v", nBuckets = 4)
+      .orderBy("doc_id").collect().map(_.getAs[Int]("bucket")).toSeq
+    assert(out == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // a value EQUAL to a boundary stays in the lower bucket
+    val tie = Sampling.quantileBuckets(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("doc_id", "v"),
+      "doc_id", "v", nBuckets = 2).orderBy("doc_id")
+      .collect().map(_.getAs[Int]("bucket")).toSeq
+    // median = 2.0; doc 2 sits exactly on it -> bucket 0
+    assert(tie == Seq(0, 0, 1))
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
