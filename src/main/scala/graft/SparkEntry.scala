@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{SeriesSpec, TimeIndex}
-import graft.ext.{Dedup, Layout, Multimodal, Sampling, Sessionize, Similarity, TextStats}
+import graft.ext.{Dedup, Layout, Multimodal, Retrieval, Sampling, Sessionize, Similarity, TextStats}
 import graft.operators.{AsOf, Diagnostics, Gaps, IntervalJoin, QcConfig, QcSuite, Resample, RollingStats, Runs, Seasonal, Sentinels, Slope}
 import graft.pipeline.{Pipeline, PipelineConfig, VariableConfig}
 import graft.sentem.{SentemConfig, SentemQc}
@@ -743,6 +743,22 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextStats.langId(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Okapi BM25 top-10 per query — the lexical retrieval baseline of
+    // a RAG/hard-negative-mining stack. Queries are derived
+    // deterministically (first 4 tokens of docs 0-4) so the scorer is
+    // fully oracle-checkable; scoring work is proportional to the
+    // query terms' postings, never the corpus.
+    "q_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= lit(""))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(toks, 1, 4), " ").as("qtext"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", queries, "query_id",
+        "qtext", k = 10)
+    }),
+
     // CCNet-style bigram-LM scoring: train on the src0 slice, score
     // every document's bits-per-token under the smoothed model —
     // the perplexity-filter signal of the CCNet/RedPajama pipelines.
@@ -798,6 +814,18 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       TextStats.trainBpe(Tables.documents(s, dir), "doc_id", "text",
         numMerges = 12)),
+
+    // BPE ENCODE with the table trained above: per-doc BPE token
+    // counts via the distinct-word table (each word encoded once,
+    // one join back). Rows-only by the same declared contract as
+    // q_bpe_train (iterative merge application is not
+    // SQL-expressible); BpeSpec pins encode == literal rank-order
+    // replay of the merge table.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+      TextStats.encodeBpe(docs, "doc_id", "text", merges)
+    }),
 
     // exact 1%-heavy-hitter tokens with BOUNDED state end to end:
     // Misra-Gries sketch (native TypedImperativeAggregate, O(capacity)
@@ -2274,6 +2302,60 @@ object SparkEntry {
         |       CASE WHEN s_zh > bs THEN 'zh' ELSE bl END AS lang_pred,
         |       round(CASE WHEN s_zh > bs THEN s_zh ELSE bs END, 6) AS lang_score
         |FROM s3""".stripMargin,
+
+    // BM25: constants cast to DOUBLE so DuckDB's decimal literals
+    // don't diverge from Spark's IEEE arithmetic; per-term scores
+    // round to 9 and sum as DECIMAL(38,9) (order-free), rank compares
+    // the exact decimal with doc-id ties.
+    "q_bm25" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents
+        |), dt0 AS (
+        |  SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM arr
+        |), dt AS (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |  FROM dt0 GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM dt GROUP BY 1
+        |), perdoc AS (
+        |  SELECT doc_id, any_value(dl) AS dl FROM dt GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         sum(dl) * CAST(1.0 AS DOUBLE) / count(*) AS avgdl
+        |  FROM perdoc
+        |), q0 AS (
+        |  SELECT doc_id AS query_id, unnest(ws[1:4]) AS term
+        |  FROM arr WHERE doc_id < 5
+        |), qt AS (
+        |  SELECT DISTINCT query_id, term FROM q0
+        |), scored AS (
+        |  SELECT qt.query_id, dt.doc_id,
+        |         CAST(round(
+        |           ln(CAST(1.0 AS DOUBLE) +
+        |              (s.n_docs - f.df + CAST(0.5 AS DOUBLE)) /
+        |              (f.df + CAST(0.5 AS DOUBLE))) *
+        |           (dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |            (dt.tf + CAST(1.2 AS DOUBLE) *
+        |             (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |              CAST(0.75 AS DOUBLE) * dt.dl / s.avgdl))), 9)
+        |           AS DECIMAL(38,9)) AS ts
+        |  FROM qt JOIN dt USING (term) JOIN dfreq f USING (term)
+        |  CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT query_id, doc_id, sum(ts) AS sq, count(*) AS n_matched
+        |  FROM scored GROUP BY 1, 2
+        |), r AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sq DESC, doc_id ASC) AS INT) AS rank,
+        |         n_matched, round(CAST(sq AS DOUBLE), 6) AS score
+        |  FROM agg
+        |)
+        |SELECT query_id, doc_id, rank, n_matched, score
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // bigram-LM bits-per-token; every FP step mirrors the Scala plan
     // (x * 1.0 / y shapes, literal 0.9 / (1.0 - 0.9), per-term

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the corpus — the BM25 baseline every
+  * retrieval/RAG stack starts from (and the standard hard-negative
+  * miner for embedding training). Pure relational shape: an inverted
+  * term index as a DataFrame, scoring as one equi-join + aggregate —
+  * no per-query corpus scan.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query (a short text), the k
+    * highest-scoring documents.
+    *
+    *   idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson+)
+    *   tfw(t, d)   = tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *   score(q, d) = Σ_{t ∈ q ∩ d} idf·tfw
+    *
+    * Scale shape: the doc-term table (term, doc, tf, |d|) is built in
+    * one tokenize+count pass (shuffle on (doc, term), map-side
+    * combined), document frequencies in a second vocab-sized
+    * aggregate; scoring joins the QUERY terms (tiny — AQE broadcasts
+    * them) against the term-partitioned index, so the work is
+    * proportional to the postings of the query terms, never the
+    * corpus. The (N, avgdl) scalars ride a 1-row broadcast. Top-k per
+    * query plans as WindowGroupLimit — each task keeps a k-heap
+    * before the exchange moves O(queries·k) rows.
+    *
+    * Cross-engine determinism: per-term scores are rounded to 9
+    * decimals and summed as DECIMAL(38,9) (order-free exact); ranking
+    * compares the exact decimal, ties to the smaller doc id; the
+    * reported score re-rounds to 6. avgdl is exact-integer-sum /
+    * count, so every FP input is bit-identical in Spark and DuckDB.
+    * Output: query_id, doc_id, rank, n_matched, score.
+    */
+  def bm25TopK(docs: DataFrame, docId: String, text: String,
+      queries: DataFrame, queryId: String, queryText: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = filter(split(lower(trim(col(text))), "\\s+"), w => w =!= lit(""))
+    val docTerms = docs
+      .select(col(docId).as("doc_id"), explode(toks).as("term"),
+        size(toks).as("dl"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docTerms.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
+    val qTerms = queries
+      .select(col(queryId).as("query_id"),
+        explode(filter(split(lower(trim(col(queryText))), "\\s+"),
+          w => w =!= lit(""))).as("term"))
+      .distinct()
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfw = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = qTerms
+      .join(docTerms, "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfw, 9).cast("decimal(38,9)").as("ts"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("ts")).as("sq"), count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("n_matched"),
+        round(col("sq").cast("double"), 6).as("score"))
+  }
+}

@@ -591,6 +591,73 @@ object TextStats {
     merges.toSeq.toDF("rank", "left", "right", "merged", "weight")
   }
 
+  /** Apply a [[trainBpe]] merge table to the corpus — the ENCODE side
+    * of the tokenizer: per-document BPE token counts, the number every
+    * packing/budget decision downstream actually needs (whitespace
+    * token counts misprice long/rare words).
+    *
+    * Scale shape — the vocab-table trick again, in reverse: each
+    * DISTINCT word is encoded exactly once (the distinct-word table is
+    * vocabulary-sized, corpus-size-independent), then one equi-join
+    * carries (word → token count) back onto the per-doc word counts.
+    * The merge table is numMerges rows BY CONTRACT — the one bounded
+    * driver collect + broadcast, mirroring trainBpe's one-row-per-round
+    * contract. Encoding a word runs the standard lowest-rank-first
+    * merge loop, O(len²·log) worst case per distinct word,
+    * INDEPENDENT of numMerges — on a rank table produced by
+    * sequential BPE training this is provably equivalent to replaying
+    * the merges in rank order (a merge can only create pairs that
+    * were trained LATER, since training first saw the merged symbol
+    * after that round; adjacency is never created between
+    * pre-existing symbols), and BpeSpec pins the equivalence against
+    * a literal replay. A Scala UDF is the right tool here: the loop
+    * is per-row imperative with a shared lookup map, it runs on the
+    * vocab axis (never the corpus axis), and the corpus-axis work —
+    * explode, count, join, sum — all stays codegen'd.
+    * Output: id, n_words, n_bpe_tokens, n_chars_tokenized.
+    */
+  def encodeBpe(df: DataFrame, id: String, text: String,
+      merges: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val encodedLen = udf { (w: String) =>
+      val rk = bc.value
+      var syms = w.split("").toVector
+      var go = syms.length > 1
+      while (go) {
+        var best = Int.MaxValue
+        var bi = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) { best = r; bi = i } // leftmost wins ties
+          i += 1
+        }
+        if (bi < 0) go = false
+        else {
+          syms = (syms.take(bi) :+ (syms(bi) + syms(bi + 1))) ++
+            syms.drop(bi + 2)
+          go = syms.length > 1
+        }
+      }
+      syms.length
+    }
+    val wordCounts = df
+      .select(col(id), explode(tokens(col(text))).as("word"))
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("cnt"))
+    val wordEnc = wordCounts.select("word").distinct()
+      .withColumn("n_toks", encodedLen(col("word")))
+    wordCounts.join(wordEnc, "word")
+      .groupBy(id)
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_chars_tokenized"))
+  }
+
   /** Global bigram-frequency top-k — the n-gram extension of
     * [[wordFrequencies]] (tokenizer-training / collocation-mining
     * prep). Bigrams are assembled scan-local by zipping the token

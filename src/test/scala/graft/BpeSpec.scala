@@ -84,4 +84,50 @@ class BpeSpec extends SparkTestBase {
     val got = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 5)
     assert(got.count() == 0) // every pair has weight 1
   }
+
+  /** Reference ENCODE: replay the merge table in rank order, each
+    * merge as one greedy left-to-right pass (the exact operation the
+    * trainer applied to its own working corpus). */
+  private def refEncode(word: String,
+      merges: Seq[(Int, String, String)]): Int = {
+    var syms = word.split("").toVector
+    for ((_, l, r) <- merges.sortBy(_._1)) {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- syms) {
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc(acc.size - 1) = l + r
+        else acc += x
+      }
+      syms = acc.toVector
+    }
+    syms.length
+  }
+
+  test("encodeBpe equals the rank-order replay on the real corpus") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+    val mseq = merges.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val got = TextStats.encodeBpe(docs, "doc_id", "text", merges)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent per-doc expectation from the reference encoder
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = words.groupBy(_._1).map { case (d, ws) =>
+      d -> ((ws.length.toLong,
+        ws.map(w => refEncode(w._2, mseq).toLong).sum,
+        ws.map(_._2.length.toLong).sum))
+    }
+    assert(got == expect)
+    // encoding must compress: fewer BPE tokens than chars, at least
+    // as many as words
+    got.values.foreach { case (nw, nb, nc) =>
+      assert(nb >= nw && nb <= nc)
+    }
+  }
 }

@@ -768,6 +768,25 @@ class ExtSpec extends SparkTestBase {
     assert(tie == Seq(0, 0, 1))
   }
 
+  test("bm25TopK: hand-scored ranking, match counts, k cut") {
+    import spark.implicits._
+    val d = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "durian elderberry fig")).toDF("doc_id", "text")
+    val q = Seq((10L, "apple banana")).toDF("query_id", "qtext")
+    val out = graft.ext.Retrieval.bm25TopK(d, "doc_id", "text",
+      q, "query_id", "qtext", k = 2).orderBy("rank").collect()
+    // doc 3 shares no term -> absent; doc 1 matches both terms
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+      r.getAs[Long]("n_matched"))).toSeq == Seq((1L, 1, 2L), (2L, 2, 1L)))
+    // hand score, doc 1: N=3 avgdl=8/3; apple tf=2 df=2, banana tf=1 df=1
+    val avgdl = 8.0 / 3
+    def idf(df: Int) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def tfw(tf: Long, dl: Long) =
+      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    val exp1 = idf(2) * tfw(2, 3) + idf(1) * tfw(1, 3)
+    assert(math.abs(out(0).getAs[Double]("score") - exp1) < 1e-5)
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
