@@ -75,6 +75,37 @@ object OpsScaleBench {
       bench("pack_bucketed", n, nDocs * n)(() =>
         TextStats.packBatchesBucketed(docs, "doc_id", "text",
           budgetTokens = 2048, nShards = 16, nBuckets = 4).count())
+
+      // bm25: same-vocab replication (the harsh axis — every query
+      // term's postings list grows N×, so index build AND scoring both
+      // widen); the query set stays fixed at 5. Throughput should
+      // stay flat — scoring is an equi-join on the query terms, never
+      // a per-query corpus scan.
+      bench("bm25", n, nDocs * n) { () =>
+        val q = docs0.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+        val c = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+          q, "query_id", "qtext", k = 10).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
+      // prefix jaccard: replicas get DISJOINT vocabularies (every
+      // word suffixed with its replica id), so near-dup families never
+      // span replicas and the true-pair count grows linearly — the
+      // bench measures operator scaling, not quadratic answer growth.
+      val docsV = if (n <= 1) docs0 else docs0
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)",
+          concat(lit("$1_"), col("__r"))))
+        .drop("__r")
+      bench("jacc_prefix", n, nDocs * n) { () =>
+        val c = graft.ext.Dedup.ngramJaccardPrefix(docsV, "doc_id", "text",
+          k = 2, threshold = 0.9).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
     }
     spark.stop()
   }

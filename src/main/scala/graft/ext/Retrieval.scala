@@ -41,11 +41,16 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val toks = filter(split(lower(trim(col(text))), "\\s+"), w => w =!= lit(""))
-    val docTerms = docs
+    // cached: dfreq and the (N, avgdl) scalars derive from this table
+    // rather than re-tokenizing the corpus (Spark plans each DataFrame
+    // reuse as a fresh scan otherwise — this is THE index table, built
+    // once per corpus; a production deployment would persist it
+    // bucketed by term)
+    val docTerms = graft.core.Caches.cached(docs
       .select(col(docId).as("doc_id"), explode(toks).as("term"),
         size(toks).as("dl"))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
     val dfreq = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docTerms.groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"),

@@ -188,6 +188,47 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("bm25 tokenizes the corpus once; top-k plans as WindowGroupLimit") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, sfDir)
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val df = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+      try {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("WindowGroupLimit"),
+          s"per-query top-k must plan as WindowGroupLimit:\n$plan")
+        // the cached doc-term index must feed dfreq and the (N, avgdl)
+        // scalars — only the index build and the query side may scan
+        // the corpus (InMemoryRelation build plans echo the scan text,
+        // so count executed FileSourceScans, not substrings)
+        val scans = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.size
+        assert(scans <= 2,
+          s"corpus re-tokenized: $scans parquet scans\n$plan")
+      } finally graft.core.Caches.unpersistAll()
+    }
+  }
+
+  test("quantileBuckets has no global-sort window; boundaries broadcast") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, sfDir)
+      val df = graft.ext.Sampling.quantileBuckets(docs, "doc_id",
+        "n_chars", nBuckets = 10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"quantile bucketing must not plan a window (ntile anti-pattern):\n$plan")
+      assert(broadcastChildren(df).nonEmpty,
+        s"boundary array must ride a broadcast:\n$plan")
+      // one exchange: the percentile aggregate's single-partition
+      // reduce; the assignment side stays scan-local
+      assert(shuffleCount(df) <= 1,
+        s"unexpected shuffles:\n$plan")
+    }
+  }
+
   test("time-slice predicates reach the parquet scan as pushed filters") {
     withStaticPlans {
       val lo = 1500000000000000L
