@@ -97,7 +97,7 @@ object OpsScaleBench {
       val docsV = if (n <= 1) docs0 else docs0
         .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
         .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)",
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
           concat(lit("$1_"), col("__r"))))
         .drop("__r")
       bench("jacc_prefix", n, nDocs * n) { () =>
