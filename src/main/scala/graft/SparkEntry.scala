@@ -388,6 +388,76 @@ object SparkEntry {
       TextStats.cleanText(seeded, "doc_id", "text")
     }),
 
+    // PII scrub under oracle: the synthetic corpus carries no PII, so
+    // (exactly like q_clean_seeded) each doc is planted with a
+    // deterministic email, and doc_id-dependent subsets get a phone
+    // (id%3=0), an IPv4 (id%4=0) and a 12-digit account run (id%5=0)
+    // IDENTICALLY on both sides — all four redaction regexes and all
+    // four audit counters are compared cross-engine on text that
+    // actually matches, at varying per-doc combinations.
+    "q_pii" -> ((s, dir) => {
+      val d = col("doc_id")
+      val seeded = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" u"), d, lit("@ex"), d % 5, lit(".org"),
+          when(d % 3 === 0, concat(lit(" "), (d % 900 + 100).cast("string"),
+            lit("-555-"), lpad((d % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(d % 4 === 0, concat(lit(" 10."), (d % 256).cast("string"),
+            lit(".0."), ((d * 7) % 256).cast("string")))
+            .otherwise(lit("")),
+          when(d % 5 === 0, concat(lit(" acct "),
+            lpad(d.cast("string"), 12, "0"))).otherwise(lit(""))))
+      TextStats.piiRedact(seeded, "doc_id", "text")
+    }),
+
+    // URL/domain blocklist filter, seeded identically on both sides:
+    // every doc cites one site<k>.example.com URL, thirds add a CDN
+    // URL, id%6 repeats the first domain (distinct-vs-total check),
+    // and id%11 plants a blocklisted spam.io domain.
+    "q_domains" -> ((s, dir) => {
+      val d = col("doc_id")
+      val seeded = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" see https://site"), d % 7, lit(".example.com/p/"), d,
+          when(d % 3 === 0, concat(lit(" and http://cdn"),
+            (d % 4).cast("string"), lit(".example.net/x"))).otherwise(lit("")),
+          when(d % 11 === 0, concat(lit(" via https://bad"),
+            (d % 2).cast("string"), lit(".spam.io/z"))).otherwise(lit("")),
+          when(d % 6 === 0, concat(lit(" again https://site"),
+            (d % 7).cast("string"), lit(".example.com/q"))).otherwise(lit(""))))
+      TextStats.domainStats(seeded, "doc_id", "text",
+        blocklist = Seq("bad0.spam.io", "bad1.spam.io"))
+    }),
+
+    // temperature-scaled source mixing weights (p_i ∝ n_i^0.5 — the
+    // classic multilingual smoothing) over per-source character mass.
+    "q_temp_mix" -> ((s, dir) =>
+      Sampling.temperatureWeights(Tables.documents(s, dir), "source",
+        "n_chars", alpha = 0.5)),
+
+    // cross-source exact-duplicate family matrix (provenance audit:
+    // which source pairs share verbatim content, plus within-source
+    // duplication on the diagonal). The small corpora carry no natural
+    // exact duplicates, so every 17th doc is rewritten to one of 5
+    // shared boilerplate bodies IDENTICALLY on both sides — the
+    // planted families span sources (doc ids stride across them),
+    // exercising cross cells and the diagonal at every SF.
+    "q_dup_matrix" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          concat(lit("shared boilerplate "),
+            (col("doc_id") % 5).cast("string")))
+          .otherwise(col("text")))
+      Dedup.crossSourceMatrix(seeded, "doc_id", "text", "source")
+    }),
+
+    // per-source unigram KL divergence from the corpus distribution
+    // (bits) — the domain-shift scorecard of the source mix.
+    "q_source_kl" -> ((s, dir) =>
+      TextStats.sourceDivergence(Tables.documents(s, dir), "source",
+        "text")),
+
     // CDC merge: reduce the event log to its live state table —
     // latest row per user wins, and a latest-'error' row is a
     // tombstone that removes the user entirely (resurrected only by a
@@ -1773,6 +1843,129 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
         |       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls
         |FROM c""".stripMargin,
+
+    "q_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' u' || doc_id || '@ex' || (doc_id % 5) || '.org' ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' ' || (doc_id % 900 + 100) || '-555-' ||
+        |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN ' 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+        |              ELSE '' END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |         '[0-9]{9,}', '<ID>', 'g') AS pii_text,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |       CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INT) AS n_id_runs
+        |FROM d""".stripMargin,
+
+    "q_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0
+        |              THEN ' via https://bad' || (doc_id % 2) || '.spam.io/z'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN ' again https://site' || (doc_id % 7) || '.example.com/q'
+        |              ELSE '' END AS text
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(lower(text), 'https?://([a-zA-Z0-9.-]+)', 1) AS hosts
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |       CAST(len(hosts) AS INT) AS n_urls,
+        |       CAST(len(list_distinct(hosts)) AS INT) AS n_domains,
+        |       array_to_string(list_sort(list_distinct(hosts)), ',') AS domains_csv,
+        |       len(list_intersect(hosts, ['bad0.spam.io', 'bad1.spam.io'])) > 0 AS blocked
+        |FROM h""".stripMargin,
+
+    "q_temp_mix" ->
+      """WITH g AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n_tokens,
+        |         CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5), 6)
+        |              AS DECIMAL(38,6)) AS wq
+        |  FROM g
+        |), n AS (
+        |  SELECT source, n_tokens,
+        |         round(CAST(n_tokens AS DOUBLE) /
+        |               CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS natural_share,
+        |         round(CAST(wq AS DOUBLE) /
+        |               CAST(sum(wq) OVER () AS DOUBLE), 6) AS weight
+        |  FROM w
+        |)
+        |SELECT source, n_tokens, natural_share, weight,
+        |       round(weight / natural_share, 6) AS oversample
+        |FROM n""".stripMargin,
+
+    "q_dup_matrix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 17 = 0
+        |              THEN 'shared boilerplate ' || (doc_id % 5)
+        |              ELSE text END AS text
+        |  FROM documents
+        |), m AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS h, source FROM d
+        |), cross_pairs AS (
+        |  SELECT l.source AS src_a, r.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_families
+        |  FROM m l JOIN m r ON l.h = r.h AND l.source < r.source
+        |  GROUP BY 1, 2
+        |), within AS (
+        |  SELECT source AS src_a, source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_families
+        |  FROM (
+        |    SELECT md5(lower(trim(text))) AS h, source
+        |    FROM d GROUP BY 1, 2 HAVING count(*) >= 2
+        |  ) GROUP BY 1, 2
+        |)
+        |SELECT * FROM cross_pairs UNION ALL SELECT * FROM within""".stripMargin,
+
+    "q_source_kl" ->
+      """WITH sw AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM sw GROUP BY 1, 2
+        |), wt AS (SELECT w, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+        |   st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |   tt AS (SELECT CAST(sum(t) AS BIGINT) AS T FROM wt),
+        |   term AS (
+        |  SELECT c.source, st.n,
+        |         CAST(round((c.c * 1.0 / st.n) *
+        |                    log2((c.c * 1.0 * tt.T) / (st.n * 1.0 * wt.t)), 9)
+        |              AS DECIMAL(38,9)) AS kl_term
+        |  FROM c JOIN wt USING (w) JOIN st USING (source) CROSS JOIN tt
+        |)
+        |SELECT source, CAST(min(n) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       sum(kl_term) AS kl_bits
+        |FROM term GROUP BY source""".stripMargin,
 
     "q_cdc_merge" ->
       """WITH e AS (

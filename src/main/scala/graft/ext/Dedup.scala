@@ -660,4 +660,40 @@ object Dedup {
       .withColumn("keep", row_number().over(w) === 1)
       .select(id, "cluster_id", "n_members", "keep")
   }
+
+  /** Cross-source duplication matrix — the provenance audit behind a
+    * corpus merge: for every unordered source pair (a < b), how many
+    * exact-duplicate content families contain at least one document
+    * from EACH side. A hot (crawlA, crawlB) cell means the two crawls
+    * overlap and one of them is mostly re-crawl; a hot (wiki, web)
+    * cell flags wiki mirrors in the web slice. Same-source cell
+    * (a = a) counts families with ≥2 docs inside that source
+    * (within-source duplication).
+    *
+    * Scale shape: ONE shuffle on the 16-byte content hash reduces the
+    * corpus to distinct (hash, source) memberships — at most
+    * #sources rows per family regardless of how many duplicates the
+    * family has — then the pair expansion is a self-equi-join of that
+    * tiny table with a triangular filter, O(families · sources²)
+    * worst case and nowhere near corpus scale. Output:
+    * src_a, src_b, n_families.
+    */
+  def crossSourceMatrix(df: DataFrame, id: String, text: String,
+      source: String): DataFrame = {
+    val mem = df.select(normHash(col(text)).as("__h"),
+      col(source).as("src")).distinct()
+    val within = df.select(normHash(col(text)).as("__h"),
+      col(source).as("src"))
+      .groupBy("__h", "src").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .groupBy(col("src").as("src_a"))
+      .agg(count(lit(1)).as("n_families"))
+      .select(col("src_a"), col("src_a").as("src_b"), col("n_families"))
+    val cross = mem.as("l")
+      .join(mem.as("r"), col("l.__h") === col("r.__h") &&
+        col("l.src") < col("r.src"))
+      .groupBy(col("l.src").as("src_a"), col("r.src").as("src_b"))
+      .agg(count(lit(1)).as("n_families"))
+    cross.unionByName(within)
+  }
 }

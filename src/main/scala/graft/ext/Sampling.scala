@@ -176,4 +176,46 @@ object Sampling {
         size(filter(col("__bs"), b => col(value) > b)))
       .select(col(id), col(value), col("bucket"))
   }
+
+  /** Temperature-scaled source mixing weights — the sampling-ratio
+    * computation behind multilingual/multi-source corpus mixing
+    * (exponentiated smoothing, p_i ∝ n_i^α): α=1 keeps natural
+    * proportions, α=0 is uniform over sources, α∈(0,1) upweights the
+    * tail without flattening the head. Emits, per source: its size,
+    * natural share, temperature-scaled weight, and the oversample
+    * factor (weight / natural share — how many effective epochs of
+    * that source one corpus epoch represents under the mixture).
+    *
+    * One map-side-combined aggregate over the corpus reduces to a
+    * sources-sized table (tens of rows at any corpus scale); the
+    * normalizing window over that table is trivially single-partition
+    * BY DESIGN — the corpus axis is never windowed. Shares and
+    * weights are rounded to 6 decimals on identically-shaped
+    * expressions so cross-engine doubles agree bit-for-bit.
+    * Output: source, n_tokens, natural_share, weight, oversample.
+    */
+  def temperatureWeights(df: DataFrame, source: String, size: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val all = Window.partitionBy()
+    // Determinism: per-source sizes sum as exact BIGINT, and the
+    // pow() weights are quantized to decimal(38,6) BEFORE the
+    // normalizing sum — decimal sums are exact and order-free, so
+    // neither engine's (nor either run's) summation order can perturb
+    // the 6-dp rounds. Only then do the ratios go through double
+    // division on identically-valued operands.
+    df.groupBy(col(source).as("source"))
+      .agg(sum(col(size)).as("n_tokens"))
+      .withColumn("__w", round(pow(col("n_tokens").cast("double"),
+        lit(alpha)), 6).cast("decimal(38,6)"))
+      .withColumn("natural_share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(all).cast("double"), 6))
+      .withColumn("weight", round(col("__w").cast("double") /
+        sum(col("__w")).over(all).cast("double"), 6))
+      .withColumn("oversample",
+        round(col("weight") / col("natural_share"), 6))
+      .select(col("source"), col("n_tokens"), col("natural_share"),
+        col("weight"), col("oversample"))
+  }
 }

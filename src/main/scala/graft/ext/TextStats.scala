@@ -817,4 +817,127 @@ object TextStats {
         coalesce(col("__text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** PII patterns shared by [[piiRedact]] and its oracle contract.
+    * Restricted to syntax that Java regex and RE2 (DuckDB) evaluate
+    * identically: character classes, bounded repetition, `\b` — no
+    * backrefs, no lookaround. The four classes are mutually disjoint
+    * on any input (emails need `@`; phones are hyphen-separated
+    * 3-3-4 digit groups; IPv4 octets are dot-separated and ≤3 digits;
+    * ID runs need ≥9 CONSECUTIVE digits), so redaction order cannot
+    * change what matches.
+    */
+  val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiPhone = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiIdRun = "[0-9]{9,}"
+
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything is tokenized: emails, phone numbers, IPv4 addresses and
+    * long ID digit-runs are replaced with typed placeholder tags, and
+    * every document carries an audit count per class (how much was
+    * redacted is itself a quality signal — PII-dense documents are
+    * often boilerplate or leaked dumps worth dropping).
+    *
+    * Pure per-row codegen'd expression work (regexp_replace /
+    * regexp_count) — zero shuffles, scales linearly with corpus bytes
+    * and pipelines into whatever stage follows. Counts are taken on
+    * the ORIGINAL text; the class patterns are disjoint (see
+    * [[PiiEmail]] doc) so counts are order-independent and each
+    * placeholder appears exactly count times in the output.
+    * Output: id, pii_text, n_emails, n_phones, n_ips, n_id_runs.
+    *
+    * Reference anchor: the reference pipeline's sentinel masking
+    * (scripts/qc_flags.py) is the same shape — detect a pattern
+    * class, replace with a typed marker, keep an audit count.
+    */
+  def piiRedact(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, PiiEmail, "<EMAIL>"),
+            PiiPhone, "<PHONE>"),
+          PiiIpv4, "<IP>"),
+        PiiIdRun, "<ID>")
+    df.select(col(id), redacted.as("pii_text"),
+      regexp_count(t, lit(PiiEmail)).as("n_emails"),
+      regexp_count(t, lit(PiiPhone)).as("n_phones"),
+      regexp_count(t, lit(PiiIpv4)).as("n_ips"),
+      regexp_count(t, lit(PiiIdRun)).as("n_id_runs"))
+  }
+
+  /** URL/domain extraction + blocklist filter — source-level curation:
+    * pull every `http(s)://` URL out of a document, reduce to its
+    * registrable host, and flag documents that cite any blocklisted
+    * domain. Training pipelines run exactly this to drop documents
+    * scraped from (or quoting) known-bad sites.
+    *
+    * The blocklist ships INSIDE the expression as a literal array
+    * (`array_intersect` against a broadcast-equivalent constant), so
+    * the whole operator is per-row map work — zero shuffles, zero
+    * joins, embarrassingly parallel at 100 TB. That is the right
+    * plan for a blocklist of thousands of entries; a multi-million
+    * entry list would instead broadcast-semi-join an exploded
+    * (id, domain) stream — same semantics, one extra exchange.
+    * Output: id, n_urls, n_domains (distinct), domains_csv (sorted
+    * distinct, comma-joined — deterministic), blocked.
+    */
+  def domainStats(df: DataFrame, id: String, text: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val urlHost = "https?://([a-zA-Z0-9.-]+)"
+    val hosts = regexp_extract_all(lower(col(text)), lit(urlHost), lit(1))
+    val distinctHosts = array_sort(array_distinct(hosts))
+    val bl = array(blocklist.map(d => lit(d.toLowerCase)): _*)
+    df.select(col(id),
+      size(hosts).as("n_urls"),
+      size(distinctHosts).as("n_domains"),
+      array_join(distinctHosts, ",").as("domains_csv"),
+      (size(array_intersect(distinctHosts, bl)) > 0).as("blocked"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the domain-shift scorecard of a multi-source corpus:
+    * KL(p_src ‖ p_corpus) = Σ_w p_src(w)·log2(p_src(w)/p_corpus(w))
+    * in bits. A source near 0 speaks like the corpus average; a
+    * high-KL source is distributionally distinct (a different domain,
+    * a different language mix, or template boilerplate) — the signal
+    * mixture designers monitor when a new source lands. No smoothing
+    * is needed: p_src(w) > 0 implies p_corpus(w) > 0, every
+    * KL term is finite by construction.
+    *
+    * One explode+groupBy reduces the corpus to the (source, word)
+    * count table — vocabulary-sized per source, map-side combined —
+    * and everything after runs on that and its two marginals (word
+    * totals, source totals), never touching the corpus axis again.
+    * FP determinism mirrors [[lmScore]]: counts stay exact BIGINT;
+    * each KL term is shaped `(c·1.0/N) · log2((c·1.0·T)/(N·1.0·t))`
+    * (exact-integer-valued double products, one division, one log2),
+    * rounded to 9 dp and summed as DECIMAL(38,9) — order-free, so
+    * neither engine's shuffle order can perturb the total.
+    * Output: source, n_tokens, n_terms, kl_bits.
+    */
+  def sourceDivergence(df: DataFrame, source: String, text: String)
+      : DataFrame = {
+    val sw = df
+      .select(col(source).as("source"), explode(tokens(col(text))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val cached = graft.core.Caches.cached(sw)
+    val wTot = cached.groupBy("w").agg(sum("c").as("t_word"))
+    val sTot = cached.groupBy("source").agg(sum("c").as("n"))
+    val tot = wTot.agg(sum("t_word").as("t_all"))
+    val term = cached.join(wTot, "w").join(sTot, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        round((col("c") * lit(1.0) / col("n")) *
+          log2((col("c") * lit(1.0) * col("t_all")) /
+               (col("n") * lit(1.0) * col("t_word"))), 9)
+          .cast("decimal(38,9)").as("kl_term"))
+    term.groupBy("source")
+      .agg(first(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("kl_term")).as("kl_bits"))
+  }
+
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.ext.{Sampling, TextStats}
+
+/** Micro-fixtures for the curation operators added in round 7's third
+  * wave: PII redaction, URL/domain blocklist stats, and
+  * temperature-scaled source mixing weights.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("piiRedact masks all four classes and counts each on the original") {
+    val df = docs(
+      1L -> "mail me at jo.doe+x@corp.example.org or call 415-555-0199 now",
+      2L -> "server 10.0.3.77 and 192.168.1.1 ; acct 004420001999 ok",
+      3L -> "plain text, nothing to scrub 12345678",  // 8 digits: no match
+      4L -> "+44 555-123-4567 and a@b.io")
+    val out = TextStats.piiRedact(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    assert(out(0).getString(1) ===
+      "mail me at <EMAIL> or call <PHONE> now")
+    assert(out(0).getInt(2) === 1 && out(0).getInt(3) === 1)
+    assert(out(1).getString(1) === "server <IP> and <IP> ; acct <ID> ok")
+    assert(out(1).getInt(4) === 2 && out(1).getInt(5) === 1)
+    // 8-digit run is below the 9-digit ID threshold — untouched
+    assert(out(2).getString(1) === "plain text, nothing to scrub 12345678")
+    assert(Seq(2, 3, 4, 5).forall(i => out(2).getInt(i) === 0))
+    // "+44 555-123-4567": the optional + binds to the 3-3-4 core only
+    assert(out(3).getString(1) === "+44 <PHONE> and <EMAIL>")
+  }
+
+  test("domainStats: counts, sorted-distinct csv, blocklist flag, empty doc") {
+    val df = docs(
+      1L -> "see https://A.example.com/p http://cdn.example.net/x https://a.example.com/q",
+      2L -> "only https://bad0.spam.io/z here",
+      3L -> "no urls at all")
+    val out = TextStats.domainStats(df, "doc_id", "text",
+      blocklist = Seq("bad0.spam.io")).orderBy("doc_id").collect()
+
+    // case-folded: A.example.com and a.example.com are one domain
+    assert(out(0).getInt(1) === 3 && out(0).getInt(2) === 2)
+    assert(out(0).getString(3) === "a.example.com,cdn.example.net")
+    assert(!out(0).getBoolean(4))
+    assert(out(1).getBoolean(4) && out(1).getString(3) === "bad0.spam.io")
+    assert(out(2).getInt(1) === 0 && out(2).getString(3) === "" &&
+      !out(2).getBoolean(4))
+  }
+
+  test("domainStats is a zero-shuffle map-only plan") {
+    val df = docs(1L -> "x https://a.b/c")
+    val plan = TextStats.domainStats(df, "doc_id", "text", Seq("a.b"))
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+  }
+
+  test("temperatureWeights: alpha=1 keeps natural shares, alpha=0 is uniform") {
+    import spark.implicits._
+    val df = Seq(("s0", 900L), ("s1", 100L)).toDF("source", "n")
+    val nat = Sampling.temperatureWeights(df, "source", "n", alpha = 1.0)
+      .orderBy("source").collect()
+    assert(nat(0).getDouble(2) === 0.9 && nat(0).getDouble(3) === 0.9)
+    assert(nat(1).getDouble(3) === 0.1)
+    assert(nat(0).getDouble(4) === 1.0 && nat(1).getDouble(4) === 1.0)
+
+    val uni = Sampling.temperatureWeights(df, "source", "n", alpha = 0.0)
+      .orderBy("source").collect()
+    assert(uni(0).getDouble(3) === 0.5 && uni(1).getDouble(3) === 0.5)
+    // uniform mixing oversamples the tail source 5x, halves the head
+    assert(uni(0).getDouble(4) === 0.555556 && uni(1).getDouble(4) === 5.0)
+  }
+
+  test("temperatureWeights: alpha=0.5 on perfect squares is exact") {
+    // sqrt weights 3:1 from a 9:1 size ratio
+    import spark.implicits._
+    val df = Seq(("s0", 90000L), ("s1", 10000L)).toDF("source", "n")
+    val out = Sampling.temperatureWeights(df, "source", "n", alpha = 0.5)
+      .orderBy("source").collect()
+    assert(out(0).getDouble(3) === 0.75 && out(1).getDouble(3) === 0.25)
+    assert(out(1).getDouble(4) === 2.5)  // tail upweighted 2.5x
+  }
+
+  test("crossSourceMatrix: cross pairs once per family, diagonal within-source") {
+    import spark.implicits._
+    // family "x": in A (twice) and B → (A,B) cross + (A,A) within
+    // family "y": in A and C → (A,C) cross
+    // family "z": only in B, once → nowhere
+    val df = Seq(
+      (1L, "x", "A"), (2L, " X ", "A"), (3L, "x", "B"),
+      (4L, "y", "A"), (5L, "y", "C"),
+      (6L, "z", "B")).toDF("doc_id", "text", "source")
+    val out = ext.Dedup.crossSourceMatrix(df, "doc_id", "text", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("A", "A", 1L), ("A", "B", 1L), ("A", "C", 1L)))
+  }
+
+  test("sourceDivergence: identical sources → 0 bits; disjoint ones diverge") {
+    import spark.implicits._
+    val df = Seq(
+      ("same", "a b"), ("same", "a b"),       // mirrors the corpus mix below
+      ("skew", "a a a a")).toDF("source", "text")
+    val out = TextStats.sourceDivergence(df, "source", "text")
+      .orderBy("source").collect()
+    val same = out(0)
+    assert(same.getString(0) === "same" && same.getLong(1) === 4L)
+    // corpus: a=6/8, b=2/8; p_same = (1/2, 1/2):
+    // KL = .5*log2(.5/.75) + .5*log2(.5/.25) = .5*(log2(2/3)+1)
+    val expSame = 0.5 * (math.log(2.0 / 3.0) / math.log(2.0) + 1.0)
+    assert(math.abs(same.getDecimal(3).doubleValue - expSame) < 1e-8)
+    val skew = out(1) // p_skew = (1,0): KL = log2(1/.75) = log2(4/3)
+    assert(skew.getLong(2) === 1L) // only "a" contributes a term
+    val expSkew = math.log(4.0 / 3.0) / math.log(2.0)
+    assert(math.abs(skew.getDecimal(3).doubleValue - expSkew) < 1e-8)
+  }
+}
