@@ -458,6 +458,30 @@ object SparkEntry {
       TextStats.sourceDivergence(Tables.documents(s, dir), "source",
         "text")),
 
+    // corpus snapshot CDC: two versions simulated from the one
+    // documents table IDENTICALLY on both sides — "old" lacks every
+    // 9th doc and carries a ' v1' text suffix on every 7th (changed),
+    // "new" lacks every 10th doc (removed) — so all four statuses
+    // appear at every SF.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldV = docs.filter(col("doc_id") % 9 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val newV = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.snapshotDiff(oldV, newV, "doc_id", "text")
+    }),
+
+    // token-budget greedy selection: keep the highest-lexical-
+    // diversity docs until 50k chars are spent (strict prefix rule).
+    "q_budget_select" -> ((s, dir) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= lit(""))
+      Sampling.budgetSelect(Tables.documents(s, dir), "doc_id",
+        quality = size(array_distinct(toks)) * lit(1.0) / size(toks),
+        tokens = col("n_chars"), budget = 50000L)
+    }),
+
     // CDC merge: reduce the event log to its live state table —
     // latest row per user wins, and a latest-'error' row is a
     // tombstone that removes the user entirely (resurrected only by a
@@ -1966,6 +1990,40 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_terms,
         |       sum(kl_term) AS kl_bits
         |FROM term GROUP BY source""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |         md5(lower(trim(CASE WHEN doc_id % 7 = 0 THEN text || ' v1'
+        |                             ELSE text END))) AS old_hash
+        |  FROM documents WHERE doc_id % 9 <> 0
+        |), n AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS new_hash
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN old_hash = new_hash THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       old_hash, new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q_budget_select" ->
+      """WITH l AS (
+        |  SELECT doc_id, n_chars,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS tokens,
+        |         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS quality
+        |  FROM l
+        |)
+        |SELECT doc_id, quality, tokens,
+        |       sum(tokens) OVER (ORDER BY quality DESC, doc_id ASC
+        |                         ROWS UNBOUNDED PRECEDING) <= 50000 AS kept
+        |FROM q""".stripMargin,
 
     "q_cdc_merge" ->
       """WITH e AS (

@@ -696,4 +696,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_families"))
     cross.unionByName(within)
   }
+
+  /** Corpus snapshot diff — CDC between two corpus versions: which
+    * documents were added, removed, changed (same id, different
+    * normalized content) or unchanged. This is the audit every
+    * incremental corpus build publishes alongside the new snapshot
+    * (and the input to "re-embed only what changed" downstream
+    * skipping).
+    *
+    * One equi-join on the id — at scale both snapshots hash-partition
+    * on the same key (or co-bucket, cf. [[graft.ext.Layout]]), and
+    * content equality compares 16-byte hashes, never full texts, so
+    * the shuffle carries (id, 32-char hash) pairs rather than
+    * documents. Output: id, status ∈
+    * {added, removed, changed, unchanged}, old_hash, new_hash.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+      text: String): DataFrame = {
+    val o = oldDf.select(col(id), normHash(col(text)).as("old_hash"))
+    val n = newDf.select(col(id), normHash(col(text)).as("new_hash"))
+    o.join(n, Seq(id), "full_outer")
+      .select(col(id),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_hash"), col("new_hash"))
+  }
 }

@@ -194,6 +194,49 @@ object Sampling {
     * expressions so cross-engine doubles agree bit-for-bit.
     * Output: source, n_tokens, natural_share, weight, oversample.
     */
+  /** Token-budget greedy selection — "take the best documents until
+    * the budget is spent": scanning docs in (quality desc, id asc)
+    * order, a doc is kept iff the running token total INCLUDING it
+    * stays within the budget (strict prefix rule — the first doc that
+    * would overflow stops the selection; deterministic, and exactly
+    * one SQL window cumsum to specify). This is the corpus-sizing
+    * step of a data-constrained training run: a 2T-token budget over
+    * a 20T-token crawl keeps the top-quality decile.
+    *
+    * The naive plan — cumsum over a GLOBAL (quality, id) sort —
+    * funnels the corpus through one partition. Here the corpus axis
+    * is never globally sorted: quality is quantized to 6 dp and one
+    * map-side-combined aggregate reduces to the per-quality-value
+    * token table; the cross-value running totals are computed by a
+    * window over THAT table (distinct-quality-sized — ≤2·10⁶ rows
+    * whatever the corpus size — the same single-partition-by-design
+    * trade as [[quantileBuckets]]' boundary aggregate); then the
+    * per-doc decision needs only a within-quality-value cumsum, a
+    * window PARTITIONED on the quality value that scales out.
+    * Output: id, quality (6-dp), tokens, kept — row-count-stable
+    * (every doc with its decision).
+    */
+  def budgetSelect(df: DataFrame, id: String, quality: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val base = df.select(col(id), round(quality, 6).as("quality"),
+      tokens.cast("long").as("tokens"))
+    val perQ = base.groupBy("quality")
+      .agg(sum("tokens").as("__qtot"))
+    // running total of all STRICTLY higher quality values
+    val wDesc = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumBefore = perQ.select(col("quality"),
+      coalesce(sum(col("__qtot")).over(wDesc), lit(0L)).as("__before"))
+    val wIn = Window.partitionBy(col("quality"))
+      .orderBy(col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(cumBefore), Seq("quality"))
+      .withColumn("__cum", col("__before") + sum(col("tokens")).over(wIn))
+      .select(col(id), col("quality"), col("tokens"),
+        (col("__cum") <= budget).as("kept"))
+  }
+
   def temperatureWeights(df: DataFrame, source: String, size: String,
       alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")

@@ -101,6 +101,38 @@ class CurationSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("A", "A", 1L), ("A", "B", 1L), ("A", "C", 1L)))
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "C "), (4L, "d")).toDF("doc_id", "text")
+    val out = ext.Dedup.snapshotDiff(oldV, newV, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // "C " normalizes to "c" → unchanged despite the raw-text delta
+    assert(out.toSeq === Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "unchanged"), (4L, "added")))
+
+    val changed = ext.Dedup.snapshotDiff(
+      Seq((9L, "x")).toDF("doc_id", "text"),
+      Seq((9L, "y")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(changed.head.getString(1) === "changed")
+  }
+
+  test("budgetSelect keeps the strict quality-ordered prefix within budget") {
+    import spark.implicits._
+    // order: q=.9 id1 (5), q=.9 id4 (4) [cum 9], q=.5 id2 (3) [cum 12>10
+    // → dropped], q=.5 id3 (1) [cum 13 → dropped: strict prefix, no
+    // skip-and-refill], q=.1 id5 (1) [dropped]
+    val df = Seq(
+      (1L, 0.9, 5L), (4L, 0.9, 4L), (2L, 0.5, 3L), (3L, 0.5, 1L),
+      (5L, 0.1, 1L)).toDF("doc_id", "q", "t")
+    val out = Sampling.budgetSelect(df, "doc_id", col("q"), col("t"),
+      budget = 10L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(out.toSeq === Seq((1L, true), (2L, false), (3L, false),
+      (4L, true), (5L, false)))
+  }
+
   test("sourceDivergence: identical sources → 0 bits; disjoint ones diverge") {
     import spark.implicits._
     val df = Seq(
