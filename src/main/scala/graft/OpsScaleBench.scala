@@ -106,6 +106,25 @@ object OpsScaleBench {
         graft.core.Caches.unpersistAll()
         c
       }
+
+      // pii redact: pure codegen'd regexp map work — the throughput
+      // floor of the curation family; must scale linearly (flat
+      // Mrows/s) since there is no shuffle to widen.
+      bench("pii_redact", n, nDocs * n)(() =>
+        TextStats.piiRedact(docs, "doc_id", "text").count())
+
+      // budget select: the corpus axis widens but the cross-value
+      // running totals always run over the (distinct quality)-sized
+      // table — the single-partition stage is corpus-size-independent
+      // BY DESIGN, so throughput must stay flat while a naive global
+      // window cumsum would funnel all n·|docs| rows through one task.
+      bench("budget_select", n, nDocs * n) { () =>
+        val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+          w => w =!= lit(""))
+        graft.ext.Sampling.budgetSelect(docs, "doc_id",
+          quality = size(array_distinct(toks)) * lit(1.0) / size(toks),
+          tokens = length(col("text")), budget = 50000L * n).count()
+      }
     }
     spark.stop()
   }

@@ -53,11 +53,39 @@ class CurationSpec extends SparkTestBase {
       !out(2).getBoolean(4))
   }
 
-  test("domainStats is a zero-shuffle map-only plan") {
-    val df = docs(1L -> "x https://a.b/c")
-    val plan = TextStats.domainStats(df, "doc_id", "text", Seq("a.b"))
+  test("domainStats and piiRedact are zero-shuffle map-only plans") {
+    val df = docs(1L -> "x https://a.b/c 415-555-0100")
+    val dPlan = TextStats.domainStats(df, "doc_id", "text", Seq("a.b"))
       .queryExecution.executedPlan
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+    assert(dPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+    val pPlan = TextStats.piiRedact(df, "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(pPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+  }
+
+  test("budgetSelect never funnels the corpus through one partition") {
+    import spark.implicits._
+    // a corpus-sized input with many distinct quality values: the only
+    // single-partition exchange allowed is the one over the per-quality
+    // AGGREGATE (corpus-size-independent); the per-doc window must stay
+    // hash-partitioned on quality.
+    val df = spark.range(10000)
+      .select(col("id").as("doc_id"),
+        (col("id") % 97).cast("double").as("q"), lit(10L).as("t"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try Sampling.budgetSelect(df, "doc_id", col("q"), col("t"),
+        budget = 1000L).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(singles.nonEmpty, "expected the aggregated-table window stage")
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    singles.foreach { e =>
+      assert(e.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-partition exchange not above an aggregate:\n$e")
+    }
   }
 
   test("temperatureWeights: alpha=1 keeps natural shares, alpha=0 is uniform") {
