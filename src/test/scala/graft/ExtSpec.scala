@@ -787,6 +787,30 @@ class ExtSpec extends SparkTestBase {
     assert(math.abs(out(0).getAs[Double]("score") - exp1) < 1e-5)
   }
 
+  test("bm25TopKCapped: hot terms never generate candidates but still score") {
+    import spark.implicits._
+    // "the" is in 4/5 docs (df frac 0.8 > 0.5 cap) -> generates no
+    // candidates; "zebra" (df 2/5) does. Doc 4 matches ONLY "the" ->
+    // absent from the capped result. Docs 1-2 are candidates via
+    // "zebra" and their scores still include the "the" term mass.
+    val d = Seq((1L, "zebra the lion"), (2L, "zebra the"),
+      (3L, "the cat"), (4L, "the dog"), (5L, "fish owl")).toDF("doc_id", "text")
+    val q = Seq((10L, "zebra the")).toDF("query_id", "qtext")
+    val full = graft.ext.Retrieval.bm25TopK(d, "doc_id", "text",
+      q, "query_id", "qtext", k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    val capped = graft.ext.Retrieval.bm25TopKCapped(d, "doc_id", "text",
+      q, "query_id", "qtext", k = 5, dfCapFrac = 0.5).orderBy("rank")
+      .collect()
+    val ids = capped.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.toSet == Set(1L, 2L), s"expected zebra docs only: $ids")
+    // exact-rescore contract: capped score == full score per candidate
+    capped.foreach { r =>
+      assert(r.getAs[Double]("score") == full(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_matched") == 2L) // "the" mass included
+    }
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
