@@ -853,6 +853,22 @@ object SparkEntry {
         "qtext", k = 10)
     }),
 
+    // BM25 hard-negative mining: each query's text came from its own
+    // doc (query_id = doc_id), so that doc is the known positive;
+    // negatives are the top-5 remaining results of the top-10 list.
+    "q_hard_negatives" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= lit(""))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(toks, 1, 4), " ").as("qtext"))
+      val positives = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("doc_id"))
+      Retrieval.hardNegatives(docs, "doc_id", "text", queries,
+        "query_id", "qtext", positives, kRetrieve = 10, kNeg = 5)
+    }),
+
     // DF-capped BM25: candidates only from terms in ≤77% of docs
     // (0.77 splits this corpus's query terms into generating and
     // non-generating at every SF), exact rescoring of candidates.
@@ -2621,6 +2637,63 @@ object SparkEntry {
         |)
         |SELECT query_id, doc_id, rank, n_matched, score
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // identical index/scoring CTEs as q_bm25; the positive pair is
+    // (query_id = doc_id) by construction of the query set.
+    "q_hard_negatives" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents
+        |), dt0 AS (
+        |  SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM arr
+        |), dt AS (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |  FROM dt0 GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM dt GROUP BY 1
+        |), perdoc AS (
+        |  SELECT doc_id, any_value(dl) AS dl FROM dt GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         sum(dl) * CAST(1.0 AS DOUBLE) / count(*) AS avgdl
+        |  FROM perdoc
+        |), q0 AS (
+        |  SELECT doc_id AS query_id, unnest(ws[1:4]) AS term
+        |  FROM arr WHERE doc_id < 5
+        |), qt AS (
+        |  SELECT DISTINCT query_id, term FROM q0
+        |), scored AS (
+        |  SELECT qt.query_id, dt.doc_id,
+        |         CAST(round(
+        |           ln(CAST(1.0 AS DOUBLE) +
+        |              (s.n_docs - f.df + CAST(0.5 AS DOUBLE)) /
+        |              (f.df + CAST(0.5 AS DOUBLE))) *
+        |           (dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |            (dt.tf + CAST(1.2 AS DOUBLE) *
+        |             (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |              CAST(0.75 AS DOUBLE) * dt.dl / s.avgdl))), 9)
+        |           AS DECIMAL(38,9)) AS ts
+        |  FROM qt JOIN dt USING (term) JOIN dfreq f USING (term)
+        |  CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT query_id, doc_id, sum(ts) AS sq
+        |  FROM scored GROUP BY 1, 2
+        |), r AS (
+        |  SELECT query_id, doc_id, sq,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sq DESC, doc_id ASC) AS INT) AS rank
+        |  FROM agg
+        |), neg AS (
+        |  SELECT query_id, doc_id, sq,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY rank ASC) AS INT) AS neg_rank
+        |  FROM r WHERE rank <= 10 AND doc_id <> query_id
+        |)
+        |SELECT query_id, doc_id, neg_rank,
+        |       round(CAST(sq AS DOUBLE), 6) AS score
+        |FROM neg WHERE neg_rank <= 5""".stripMargin,
 
     "q_bm25_capped" ->
       """WITH arr AS (

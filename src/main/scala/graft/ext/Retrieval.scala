@@ -103,6 +103,34 @@ object Retrieval {
     * cap binds. Same determinism recipe as [[bm25TopK]].
     * Output: query_id, doc_id, rank, n_matched, score.
     */
+  /** BM25 hard-negative mining — the standard negatives generator for
+    * embedding/reranker training (DPR-style): for each query, the
+    * top-ranked BM25 documents that are NOT known positives — lexically
+    * confusable yet wrong, exactly the examples a dense model learns
+    * the most from. Contract: from the top-kRetrieve BM25 list, remove
+    * the (query_id, doc_id) pairs in `positives` (left-anti join),
+    * keep the first kNeg by retrieval rank, re-numbered as neg_rank.
+    *
+    * Scale shape: everything rides [[bm25TopK]] (postings equi-join,
+    * WindowGroupLimit top-k); the anti-join and re-rank run on the
+    * O(queries·kRetrieve) candidate table, corpus-size-independent.
+    * Output: query_id, doc_id, neg_rank, score.
+    */
+  def hardNegatives(docs: DataFrame, docId: String, text: String,
+      queries: DataFrame, queryId: String, queryText: String,
+      positives: DataFrame, kRetrieve: Int, kNeg: Int): DataFrame = {
+    require(kNeg > 0 && kRetrieve >= kNeg,
+      s"need kRetrieve >= kNeg > 0: $kRetrieve, $kNeg")
+    val top = bm25TopK(docs, docId, text, queries, queryId, queryText,
+      k = kRetrieve)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+    top.join(positives.select(col(queryId).as("query_id"),
+        col(docId).as("doc_id")), Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= kNeg)
+      .select(col("query_id"), col("doc_id"), col("neg_rank"), col("score"))
+  }
+
   def bm25TopKCapped(docs: DataFrame, docId: String, text: String,
       queries: DataFrame, queryId: String, queryText: String,
       k: Int, dfCapFrac: Double, k1: Double = 1.2, b: Double = 0.75)

@@ -89,6 +89,52 @@ object StreamingQc {
       }
   }
 
+  /** One telemetry row for the streaming debounce (public for the
+    * encoder).
+    */
+  final case class DebounceRow(key: Long, tsUs: Long, tiebreak: Long)
+
+  /** A debounce decision: the row plus its keep flag. */
+  final case class DebounceDecision(key: Long, tsUs: Long,
+      tiebreak: Long, kept: Boolean)
+
+  /** Per-key debounce anchor: the timestamp of the last row SEEN
+    * (kept or dropped — chained-burst semantics).
+    */
+  final case class DebounceAnchor(lastTsUs: Long)
+
+  /** Streaming telemetry debounce — the streaming face of
+    * [[graft.ext.Sessionize.debounce]] with the same chained-burst
+    * contract: a row within toleranceUs of the PREVIOUS ROW (kept or
+    * not) is flagged dropped, so only the first row of a burst
+    * survives and a long slow drift collapses to its first sample.
+    * State is ONE timestamp per key (O(keys), stream-length
+    * independent); rows inside a batch are processed in (ts,
+    * tiebreak) order, and cross-batch ordering is the replay's
+    * responsibility (same contract as the other stateful twins) —
+    * StreamingSpec pins equality with the batch operator on an
+    * ordered replay, including a burst that spans the batch boundary.
+    */
+  def debounceStream(ds: Dataset[DebounceRow], toleranceUs: Long)
+      : Dataset[DebounceDecision] = {
+    import ds.sparkSession.implicits._
+    require(toleranceUs >= 0, s"negative tolerance: $toleranceUs")
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DebounceAnchor, DebounceDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[DebounceAnchor]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.tsUs, r.tiebreak))
+          var last: Option[Long] = state.getOption.map(_.lastTsUs)
+          val out = sorted.map { r =>
+            val kept = last.forall(l => r.tsUs - l > toleranceUs)
+            last = Some(r.tsUs)
+            DebounceDecision(key, r.tsUs, r.tiebreak, kept)
+          }
+          last.foreach(l => state.update(DebounceAnchor(l)))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup over a document stream — the streaming
     * face of `ext.Dedup.exact`: a document whose normalized-text hash
     * was already seen (within the watermark's state-retention bound)

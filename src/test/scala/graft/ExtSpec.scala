@@ -811,6 +811,21 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("hardNegatives: positives removed, neg_rank renumbered contiguously") {
+    import spark.implicits._
+    val d = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "apple fig"), (4L, "durian elderberry")).toDF("doc_id", "text")
+    val q = Seq((10L, "apple banana")).toDF("query_id", "qtext")
+    // doc 1 is rank 1 for this query; declare it the known positive
+    val pos = Seq((10L, 1L)).toDF("query_id", "doc_id")
+    val out = graft.ext.Retrieval.hardNegatives(d, "doc_id", "text",
+      q, "query_id", "qtext", pos, kRetrieve = 3, kNeg = 2)
+      .orderBy("neg_rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("neg_rank")))
+    // rank 1 (the positive) is gone; ranks 2,3 renumber to 1,2
+    assert(out.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -190,6 +190,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming debounce equals batch on a replayed log, bursts span batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // key 1: burst 0,30,55,200s (chained: 30 within 60s of 0, 55
+    // within 60s of 30 even though 30 was DROPPED, 200 survives);
+    // key 2: equal-spaced keepers. The 55s row lands in batch 2 —
+    // the anchor must persist across the boundary.
+    val log = Seq(
+      (1L, 0L, 1L), (1L, 30_000_000L, 2L), (2L, 0L, 3L),
+      (1L, 55_000_000L, 4L), (1L, 200_000_000L, 5L), (2L, 90_000_000L, 6L))
+    val input = MemoryStream[StreamingQc.DebounceRow]
+    val q = StreamingQc.debounceStream(input.toDS(), toleranceUs = 60_000_000L)
+      .writeStream.format("memory").queryName("debout")
+      .outputMode("append").start()
+    try {
+      log.map(r => StreamingQc.DebounceRow(r._1, r._2, r._3))
+        .grouped(3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("debout")
+        .select("key", "tsUs", "tiebreak", "kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batch = Sessionize.debounce(
+          log.toDF("key", "tsUs", "tiebreak"), Seq("key"), "tsUs",
+          "tiebreak", toleranceUs = 60_000_000L)
+        .select("key", "tsUs", "kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.map(_._3) == Seq(true, false, false, true, true, true))
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates surface a planted pair across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
