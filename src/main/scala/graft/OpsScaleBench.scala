@@ -107,6 +107,21 @@ object OpsScaleBench {
         c
       }
 
+      // capped bm25 on the SAME harsh axis as the bm25 row: with
+      // dfCapFrac=0.5 only the rare tail of the vocabulary generates
+      // candidates, so the candidate join stays proportional to the
+      // rare postings while the uncapped form expands every hot
+      // term's corpus-sized postings list — the wall-time gap between
+      // these two rows IS the cap's value at scale.
+      bench("bm25_capped", n, nDocs * n) { () =>
+        val q = docs0.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+        val c = graft.ext.Retrieval.bm25TopKCapped(docs, "doc_id", "text",
+          q, "query_id", "qtext", k = 10, dfCapFrac = 0.5).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
       // pii redact: pure codegen'd regexp map work — the throughput
       // floor of the curation family; must scale linearly (flat
       // Mrows/s) since there is no shuffle to widen.

@@ -853,6 +853,16 @@ object SparkEntry {
         "qtext", k = 10)
     }),
 
+    // PSI distribution drift: per event type, day-over-day population
+    // stability of the value distribution (10 fixed bins over
+    // [0, 500), half-count Laplace smoothing).
+    "q_psi_drift" -> ((s, dir) =>
+      graft.operators.Diagnostics.psiDrift(
+        Tables.events(s, dir).select(col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value")),
+        Seq("event_type"), "ts_us", "value",
+        windowUs = 86400000000L, lo = 0.0, hi = 500.0, nBins = 10)),
+
     // BM25 hard-negative mining: each query's text came from its own
     // doc (query_id = doc_id), so that doc is the known positive;
     // negatives are the top-5 remaining results of the top-10 list.
@@ -2637,6 +2647,43 @@ object SparkEntry {
         |)
         |SELECT query_id, doc_id, rank, n_matched, score
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS window_id,
+        |         CAST(least(greatest(floor((value - 0.0) / 50.0), 0.0), 9.0)
+        |              AS INT) AS bin
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, window_id, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT event_type, window_id, CAST(sum(c) AS BIGINT) AS n
+        |  FROM c GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT w.event_type, w.window_id, b.bin,
+        |         coalesce(c.c, 0) AS c, w.n
+        |  FROM w CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+        |  LEFT JOIN c ON c.event_type = w.event_type
+        |             AND c.window_id = w.window_id AND c.bin = b.bin
+        |), j AS (
+        |  SELECT cur.event_type, cur.window_id,
+        |         prev.n AS n_prev, cur.n AS n_cur,
+        |         CAST(round(
+        |           ((cur.c + 0.5) / (cur.n + 0.5 * 10) -
+        |            (prev.c + 0.5) / (prev.n + 0.5 * 10)) *
+        |           ln(((cur.c + 0.5) / (cur.n + 0.5 * 10)) /
+        |              ((prev.c + 0.5) / (prev.n + 0.5 * 10))), 9)
+        |           AS DECIMAL(38,9)) AS t
+        |  FROM dense cur JOIN dense prev
+        |    ON prev.event_type = cur.event_type
+        |   AND prev.window_id = cur.window_id - 1
+        |   AND prev.bin = cur.bin
+        |)
+        |SELECT event_type, window_id, CAST(min(n_prev) AS BIGINT) AS n_prev,
+        |       CAST(min(n_cur) AS BIGINT) AS n_cur, sum(t) AS psi
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     // identical index/scoring CTEs as q_bm25; the positive pair is
     // (query_id = doc_id) by construction of the query set.

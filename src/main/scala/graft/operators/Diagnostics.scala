@@ -275,4 +275,65 @@ object Diagnostics {
       .join(broadcast(stats.select(g :+ col("n") :+
         col("n_downweighted"): _*)), groupCols)
   }
+
+  /** Population-stability-index drift between consecutive time
+    * windows — the standard "did this feed's distribution shift?"
+    * monitor a production pipeline runs per sensor/event-type:
+    * PSI(cur ‖ prev) = Σ_bins (p_b − q_b)·ln(p_b/q_b) over a FIXED
+    * value binning (fixed-width bins over [lo, hi), out-of-range
+    * values clamped to the edge bins — fixed bins keep the operator
+    * one map-side-combined aggregate; quantile bins would need the
+    * [[graft.ext.Sampling.quantileBuckets]] boundary pass first).
+    * Empty bins are Laplace-smoothed ((c + 0.5)/(N + 0.5·nBins), the
+    * standard half-count prior), so PSI is always finite. Rule of
+    * thumb: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 drifted.
+    *
+    * One (group, window, bin) count aggregate reduces the stream to
+    * O(groups·windows·nBins) rows; the prev-window comparison is an
+    * equi-join on (group, window−1) over that tiny table — no
+    * window-function sort, no corpus re-scan. FP determinism: counts
+    * stay BIGINT; each bin term mirrors identically-shaped double
+    * expressions, rounds to 9 dp and sums as DECIMAL(38,9)
+    * (order-free). Output: group*, window_id, n_prev, n_cur,
+    * psi (decimal 38,9).
+    */
+  def psiDrift(df: DataFrame, groupCols: Seq[String], tsUs: String,
+      value: String, windowUs: Long, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"bad binning: [$lo,$hi) x $nBins")
+    require(windowUs > 0, s"windowUs must be positive: $windowUs")
+    val g = groupCols.map(col)
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(value) - lit(lo)) / lit(width)), lit(0.0)),
+      lit(nBins - 1.0)).cast("int")
+    val counts = df.filter(col(value).isNotNull)
+      .select(g :+ floor(col(tsUs) / lit(windowUs)).cast("long")
+        .as("window_id") :+ bin.as("bin"): _*)
+      .groupBy((groupCols :+ "window_id" :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    // densify: every (group, window) carries all nBins bins so empty
+    // bins enter the smoothed sum on both sides of the join
+    val wins = counts.groupBy((groupCols :+ "window_id").map(col): _*)
+      .agg(sum("c").as("n"))
+    val full = wins
+      .withColumn("bin", explode(sequence(lit(0), lit(nBins - 1))))
+      .join(counts, groupCols :+ "window_id" :+ "bin", "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val cur = full.select(g :+ col("window_id") :+ col("bin") :+
+      col("c").as("c_cur") :+ col("n").as("n_cur"): _*)
+    val prev = full.select(g :+ (col("window_id") + 1).as("window_id") :+
+      col("bin") :+ col("c").as("c_prev") :+ col("n").as("n_prev"): _*)
+    val p = (col("c_cur") + lit(0.5)) /
+      (col("n_cur") + lit(0.5) * nBins)
+    val q = (col("c_prev") + lit(0.5)) /
+      (col("n_prev") + lit(0.5) * nBins)
+    cur.join(prev, groupCols :+ "window_id" :+ "bin")
+      .select(g :+ col("window_id") :+ col("n_prev") :+ col("n_cur") :+
+        round((p - q) * log(p / q), 9).cast("decimal(38,9)").as("t"): _*)
+      .groupBy((groupCols :+ "window_id").map(col): _*)
+      .agg(first(col("n_prev")).as("n_prev"),
+        first(col("n_cur")).as("n_cur"),
+        sum(col("t")).as("psi"))
+  }
 }

@@ -161,6 +161,27 @@ class CurationSpec extends SparkTestBase {
       (4L, true), (5L, false)))
   }
 
+  test("psiDrift: stable window scores 0, flipped distribution scores 2*0.4*ln(7/3)") {
+    import spark.implicits._
+    // windows of 100us, 2 bins over [0,10): window 0 = [3 low, 1 high],
+    // window 1 = same (stable), window 2 = [1 low, 3 high] (flipped)
+    val rows = Seq(
+      (0L, 1.0), (10L, 1.0), (20L, 1.0), (30L, 8.0),
+      (100L, 1.0), (110L, 1.0), (120L, 1.0), (130L, 8.0),
+      (200L, 8.0), (210L, 8.0), (220L, 8.0), (230L, 1.0))
+      .map { case (t, v) => ("a", t, v) }
+    val out = graft.operators.Diagnostics.psiDrift(
+        rows.toDF("g", "ts_us", "v"), Seq("g"), "ts_us", "v",
+        windowUs = 100L, lo = 0.0, hi = 10.0, nBins = 2)
+      .orderBy("window_id").collect()
+    assert(out.length === 2) // windows 1 and 2 have a predecessor
+    assert(out(0).getDecimal(4).doubleValue === 0.0)
+    // p=(1.5/5, 3.5/5) vs q=(3.5/5, 1.5/5): PSI = 2 * 0.4 * ln(7/3)
+    val exp = 2.0 * 0.4 * math.log(7.0 / 3.0)
+    assert(math.abs(out(1).getDecimal(4).doubleValue - exp) < 1e-8)
+    assert(out(1).getLong(2) === 4L && out(1).getLong(3) === 4L)
+  }
+
   test("sourceDivergence: identical sources → 0 bits; disjoint ones diverge") {
     import spark.implicits._
     val df = Seq(
