@@ -1924,17 +1924,29 @@ object SparkEntry {
         |              ELSE '' END AS text
         |  FROM documents
         |)
+        |, s1 AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text,
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |           '<EMAIL>', 'g') AS r1
+        |  FROM d
+        |), s2 AS (
+        |  SELECT *, regexp_replace(r1, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}',
+        |                           '<PHONE>', 'g') AS r2
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT *, regexp_replace(r2,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g') AS r3
+        |  FROM s2
+        |)
         |SELECT doc_id,
-        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |         '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |         '[0-9]{9,}', '<ID>', 'g') AS pii_text,
+        |       regexp_replace(r3, '[0-9]{9,}', '<ID>', 'g') AS pii_text,
         |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
-        |       CAST(len(regexp_extract_all(text, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
-        |       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
-        |       CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INT) AS n_id_runs
-        |FROM d""".stripMargin,
+        |       CAST(len(regexp_extract_all(r1, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(r2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |       CAST(len(regexp_extract_all(r3, '[0-9]{9,}')) AS INT) AS n_id_runs
+        |FROM s3""".stripMargin,
 
     "q_domains" ->
       """WITH d AS (
@@ -1980,7 +1992,8 @@ object SparkEntry {
         |  FROM w
         |)
         |SELECT source, n_tokens, natural_share, weight,
-        |       round(weight / natural_share, 6) AS oversample
+        |       CASE WHEN natural_share > 0
+        |            THEN round(weight / natural_share, 6) END AS oversample
         |FROM n""".stripMargin,
 
     "q_dup_matrix" ->

@@ -680,12 +680,15 @@ object Dedup {
     */
   def crossSourceMatrix(df: DataFrame, id: String, text: String,
       source: String): DataFrame = {
-    val mem = df.select(normHash(col(text)).as("__h"),
-      col(source).as("src")).distinct()
-    val within = df.select(normHash(col(text)).as("__h"),
-      col(source).as("src"))
-      .groupBy("__h", "src").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2)
+    // ONE corpus-wide hash+count aggregate feeds both the membership
+    // self-join and the diagonal (cached so the two consumers and the
+    // self-join's two sides share the single shuffle instead of
+    // re-scanning and re-hashing the corpus)
+    val grouped = graft.core.Caches.cached(
+      df.select(normHash(col(text)).as("__h"), col(source).as("src"))
+        .groupBy("__h", "src").agg(count(lit(1)).as("__n")))
+    val mem = grouped.select("__h", "src")
+    val within = grouped.filter(col("__n") >= 2)
       .groupBy(col("src").as("src_a"))
       .agg(count(lit(1)).as("n_families"))
       .select(col("src_a"), col("src_a").as("src_b"), col("n_families"))

@@ -12,6 +12,69 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The shared BM25 index tables: the cached doc-term postings
+    * (doc_id, term, tf, dl), the vocab-sized document frequencies
+    * (term, df), and the 1-row (n_docs, avgdl) scalars.
+    */
+  private final case class Bm25Index(docTerms: DataFrame,
+      dfreq: DataFrame, stats: DataFrame)
+
+  // cached: dfreq and the (N, avgdl) scalars derive from this table
+  // rather than re-tokenizing the corpus (Spark plans each DataFrame
+  // reuse as a fresh scan otherwise — this is THE index table, built
+  // once per corpus; a production deployment would persist it
+  // bucketed by term)
+  private def buildIndex(docs: DataFrame, docId: String,
+      text: String): Bm25Index = {
+    val toks = filter(split(lower(trim(col(text))), "\\s+"), w => w =!= lit(""))
+    val docTerms = graft.core.Caches.cached(docs
+      .select(col(docId).as("doc_id"), explode(toks).as("term"),
+        size(toks).as("dl"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
+    val dfreq = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docTerms.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
+    Bm25Index(docTerms, dfreq, stats)
+  }
+
+  /** Distinct (query_id, term) pairs of the query set. */
+  private def queryTerms(queries: DataFrame, queryId: String,
+      queryText: String): DataFrame = queries
+    .select(col(queryId).as("query_id"),
+      explode(filter(split(lower(trim(col(queryText))), "\\s+"),
+        w => w =!= lit(""))).as("term"))
+    .distinct()
+
+  /** The per-(query, doc, term) Okapi weight, rounded to 9 decimals
+    * and cast to the order-free exact decimal the rank sum uses.
+    */
+  private def termScore(k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfw = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    round(idf * tfw, 9).cast("decimal(38,9)")
+  }
+
+  /** Shared scoring tail: sum the per-term decimals per (query, doc),
+    * rank on the exact decimal (ties to the smaller doc), cut at k.
+    */
+  private def rankTopK(perTerm: DataFrame, k: Int): DataFrame = {
+    val scored = perTerm
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("ts")).as("sq"), count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("n_matched"),
+        round(col("sq").cast("double"), 6).as("score"))
+  }
+
   /** Okapi BM25 top-k: for each query (a short text), the k
     * highest-scoring documents.
     *
@@ -40,69 +103,15 @@ object Retrieval {
       queries: DataFrame, queryId: String, queryText: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val toks = filter(split(lower(trim(col(text))), "\\s+"), w => w =!= lit(""))
-    // cached: dfreq and the (N, avgdl) scalars derive from this table
-    // rather than re-tokenizing the corpus (Spark plans each DataFrame
-    // reuse as a fresh scan otherwise — this is THE index table, built
-    // once per corpus; a production deployment would persist it
-    // bucketed by term)
-    val docTerms = graft.core.Caches.cached(docs
-      .select(col(docId).as("doc_id"), explode(toks).as("term"),
-        size(toks).as("dl"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
-    val dfreq = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docTerms.groupBy("doc_id").agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
-    val qTerms = queries
-      .select(col(queryId).as("query_id"),
-        explode(filter(split(lower(trim(col(queryText))), "\\s+"),
-          w => w =!= lit(""))).as("term"))
-      .distinct()
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfw = col("tf") * (lit(k1) + lit(1.0)) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = qTerms
-      .join(docTerms, "term")
-      .join(dfreq, "term")
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        round(idf * tfw, 9).cast("decimal(38,9)").as("ts"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("ts")).as("sq"), count(lit(1)).as("n_matched"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sq").desc, col("doc_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rank"), col("n_matched"),
-        round(col("sq").cast("double"), 6).as("score"))
+    val ix = buildIndex(docs, docId, text)
+    val perTerm = queryTerms(queries, queryId, queryText)
+      .join(ix.docTerms, "term")
+      .join(ix.dfreq, "term")
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("doc_id"), termScore(k1, b).as("ts"))
+    rankTopK(perTerm, k)
   }
 
-  /** DF-capped BM25 top-k — the candidate-pruned scale path (the
-    * champion-list idea from the IR literature, and the same
-    * declared-approximation trade as `Dedup.ngramJaccardCapped`):
-    * only terms appearing in ≤ dfCapFrac·N documents GENERATE
-    * candidates, so the candidate-join volume is bounded by the rare
-    * terms' postings — a hot stop-word's corpus-sized postings list
-    * is never expanded. Candidates are then rescored EXACTLY: every
-    * query term present in a candidate doc (common ones included)
-    * contributes its full idf·tfw mass, so scores equal [[bm25TopK]]
-    * for every candidate; the approximation is only that documents
-    * matching EXCLUSIVELY hot terms cannot enter the result. On a
-    * Zipf vocabulary hot terms carry near-zero idf, so the missed
-    * docs are the lowest-signal matches — the standard trade.
-    *
-    * Scale shape: candidate generation joins query terms against the
-    * FILTERED postings (≤ dfCapFrac·N each); rescoring expands
-    * candidates × per-query terms and equi-joins back to the index —
-    * O(|candidates|·|query terms|), corpus-size-independent once the
-    * cap binds. Same determinism recipe as [[bm25TopK]].
-    * Output: query_id, doc_id, rank, n_matched, score.
-    */
   /** BM25 hard-negative mining — the standard negatives generator for
     * embedding/reranker training (DPR-style): for each query, the
     * top-ranked BM25 documents that are NOT known positives — lexically
@@ -131,6 +140,29 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("neg_rank"), col("score"))
   }
 
+  /** DF-capped BM25 top-k — the candidate-pruned scale path (the
+    * champion-list idea from the IR literature, and the same
+    * declared-approximation trade as `Dedup.ngramJaccardCapped`):
+    * only terms appearing in ≤ dfCapFrac·N documents GENERATE
+    * candidates, so the candidate-join volume is bounded by the rare
+    * terms' postings — a hot stop-word's corpus-sized postings list
+    * is never expanded. Candidates are then rescored EXACTLY: every
+    * query term present in a candidate doc (common ones included)
+    * contributes its full idf·tfw mass, so scores equal [[bm25TopK]]
+    * for every candidate; the approximation is only that documents
+    * matching EXCLUSIVELY hot terms cannot enter the result. On a
+    * Zipf vocabulary hot terms carry near-zero idf, so the missed
+    * docs are the lowest-signal matches — the standard trade.
+    *
+    * Scale shape: candidate generation joins query terms against the
+    * FILTERED postings (≤ dfCapFrac·N each); rescoring expands
+    * candidates × per-query terms and equi-joins back to the index —
+    * O(|candidates|·|query terms|). NOTE the measured caveat
+    * (BASELINE.md): when the shared index BUILD dominates (tiny
+    * vocabularies), the cap cannot help — its win is scoped to
+    * scoring-bound Zipf workloads. Same determinism recipe as
+    * [[bm25TopK]]. Output: query_id, doc_id, rank, n_matched, score.
+    */
   def bm25TopKCapped(docs: DataFrame, docId: String, text: String,
       queries: DataFrame, queryId: String, queryText: String,
       k: Int, dfCapFrac: Double, k1: Double = 1.2, b: Double = 0.75)
@@ -138,47 +170,20 @@ object Retrieval {
     require(k > 0, s"k must be positive: $k")
     require(dfCapFrac > 0.0 && dfCapFrac <= 1.0,
       s"dfCapFrac must be in (0,1]: $dfCapFrac")
-    val toks = filter(split(lower(trim(col(text))), "\\s+"), w => w =!= lit(""))
-    val docTerms = graft.core.Caches.cached(docs
-      .select(col(docId).as("doc_id"), explode(toks).as("term"),
-        size(toks).as("dl"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
-    val dfreq = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docTerms.groupBy("doc_id").agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
-    val qTerms = queries
-      .select(col(queryId).as("query_id"),
-        explode(filter(split(lower(trim(col(queryText))), "\\s+"),
-          w => w =!= lit(""))).as("term"))
-      .distinct()
-    val rare = dfreq.crossJoin(broadcast(stats))
+    val ix = buildIndex(docs, docId, text)
+    val qTerms = queryTerms(queries, queryId, queryText)
+    val rare = ix.dfreq.crossJoin(broadcast(ix.stats))
       .filter(col("df") <= lit(dfCapFrac) * col("n_docs"))
       .select("term")
     val cand = qTerms.join(rare, "term")
-      .join(docTerms.select("term", "doc_id"), "term")
+      .join(ix.docTerms.select("term", "doc_id"), "term")
       .select("query_id", "doc_id").distinct()
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfw = col("tf") * (lit(k1) + lit(1.0)) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = cand
+    val perTerm = cand
       .join(qTerms, "query_id")
-      .join(docTerms, Seq("term", "doc_id"))
-      .join(dfreq, "term")
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        round(idf * tfw, 9).cast("decimal(38,9)").as("ts"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("ts")).as("sq"), count(lit(1)).as("n_matched"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sq").desc, col("doc_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rank"), col("n_matched"),
-        round(col("sq").cast("double"), 6).as("score"))
+      .join(ix.docTerms, Seq("term", "doc_id"))
+      .join(ix.dfreq, "term")
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("doc_id"), termScore(k1, b).as("ts"))
+    rankTopK(perTerm, k)
   }
 }

@@ -177,23 +177,6 @@ object Sampling {
       .select(col(id), col(value), col("bucket"))
   }
 
-  /** Temperature-scaled source mixing weights — the sampling-ratio
-    * computation behind multilingual/multi-source corpus mixing
-    * (exponentiated smoothing, p_i ∝ n_i^α): α=1 keeps natural
-    * proportions, α=0 is uniform over sources, α∈(0,1) upweights the
-    * tail without flattening the head. Emits, per source: its size,
-    * natural share, temperature-scaled weight, and the oversample
-    * factor (weight / natural share — how many effective epochs of
-    * that source one corpus epoch represents under the mixture).
-    *
-    * One map-side-combined aggregate over the corpus reduces to a
-    * sources-sized table (tens of rows at any corpus scale); the
-    * normalizing window over that table is trivially single-partition
-    * BY DESIGN — the corpus axis is never windowed. Shares and
-    * weights are rounded to 6 decimals on identically-shaped
-    * expressions so cross-engine doubles agree bit-for-bit.
-    * Output: source, n_tokens, natural_share, weight, oversample.
-    */
   /** Token-budget greedy selection — "take the best documents until
     * the budget is spent": scanning docs in (quality desc, id asc)
     * order, a doc is kept iff the running token total INCLUDING it
@@ -231,12 +214,36 @@ object Sampling {
     val wIn = Window.partitionBy(col("quality"))
       .orderBy(col(id).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(cumBefore), Seq("quality"))
+    // null-safe join: a NULL quality forms its own group (groupBy and
+    // the window both keep it, sorted LAST by the desc nulls-last
+    // default on both engines), so a doc with undefined quality still
+    // gets a decision instead of silently vanishing — the operator is
+    // row-count-stable like the DuckDB window-cumsum oracle.
+    base.join(broadcast(cumBefore.withColumnRenamed("quality", "__q")),
+        col("quality") <=> col("__q"))
+      .drop("__q")
       .withColumn("__cum", col("__before") + sum(col("tokens")).over(wIn))
       .select(col(id), col("quality"), col("tokens"),
         (col("__cum") <= budget).as("kept"))
   }
 
+  /** Temperature-scaled source mixing weights — the sampling-ratio
+    * computation behind multilingual/multi-source corpus mixing
+    * (exponentiated smoothing, p_i ∝ n_i^α): α=1 keeps natural
+    * proportions, α=0 is uniform over sources, α∈(0,1) upweights the
+    * tail without flattening the head. Emits, per source: its size,
+    * natural share, temperature-scaled weight, and the oversample
+    * factor (weight / natural share — how many effective epochs of
+    * that source one corpus epoch represents under the mixture).
+    *
+    * One map-side-combined aggregate over the corpus reduces to a
+    * sources-sized table (tens of rows at any corpus scale); the
+    * normalizing window over that table is trivially single-partition
+    * BY DESIGN — the corpus axis is never windowed. Shares and
+    * weights are rounded to 6 decimals on identically-shaped
+    * expressions so cross-engine doubles agree bit-for-bit.
+    * Output: source, n_tokens, natural_share, weight, oversample.
+    */
   def temperatureWeights(df: DataFrame, source: String, size: String,
       alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
@@ -257,7 +264,10 @@ object Sampling {
       .withColumn("weight", round(col("__w").cast("double") /
         sum(col("__w")).over(all).cast("double"), 6))
       .withColumn("oversample",
-        round(col("weight") / col("natural_share"), 6))
+        // an ultra-tail source can round natural_share to 0.0; emit
+        // NULL rather than an engine-dependent inf/NULL divergence
+        when(col("natural_share") > 0,
+          round(col("weight") / col("natural_share"), 6)))
       .select(col("source"), col("n_tokens"), col("natural_share"),
         col("weight"), col("oversample"))
   }

@@ -820,11 +820,13 @@ object TextStats {
   /** PII patterns shared by [[piiRedact]] and its oracle contract.
     * Restricted to syntax that Java regex and RE2 (DuckDB) evaluate
     * identically: character classes, bounded repetition, `\b` — no
-    * backrefs, no lookaround. The four classes are mutually disjoint
-    * on any input (emails need `@`; phones are hyphen-separated
-    * 3-3-4 digit groups; IPv4 octets are dot-separated and ≤3 digits;
-    * ID runs need ≥9 CONSECUTIVE digits), so redaction order cannot
-    * change what matches.
+    * backrefs, no lookaround. The classes are NEARLY disjoint (phones
+    * are hyphen-separated 3-3-4 digit groups, IPv4 octets are
+    * dot-separated and ≤3 digits, ID runs need ≥9 CONSECUTIVE
+    * digits), but a long digit run INSIDE an email local part matches
+    * both PiiEmail and PiiIdRun — which is why [[piiRedact]] counts
+    * each class on the text as it stands AFTER the earlier classes
+    * were redacted, keeping counts placeholder-exact.
     */
   val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val PiiPhone = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
@@ -840,10 +842,11 @@ object TextStats {
     *
     * Pure per-row codegen'd expression work (regexp_replace /
     * regexp_count) — zero shuffles, scales linearly with corpus bytes
-    * and pipelines into whatever stage follows. Counts are taken on
-    * the ORIGINAL text; the class patterns are disjoint (see
-    * [[PiiEmail]] doc) so counts are order-independent and each
-    * placeholder appears exactly count times in the output.
+    * and pipelines into whatever stage follows. Each class is counted
+    * on the text AS ALREADY REDACTED by the earlier classes (emails →
+    * phones → IPs → ID runs), so every count equals the number of its
+    * placeholders in the output — a digit run consumed by an email
+    * redaction is an email, not a phantom ID run.
     * Output: id, pii_text, n_emails, n_phones, n_ips, n_id_runs.
     *
     * Reference anchor: the reference pipeline's sentinel masking
@@ -851,20 +854,15 @@ object TextStats {
     * class, replace with a typed marker, keep an audit count.
     */
   def piiRedact(df: DataFrame, id: String, text: String): DataFrame = {
-    val t = col(text)
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, PiiEmail, "<EMAIL>"),
-            PiiPhone, "<PHONE>"),
-          PiiIpv4, "<IP>"),
-        PiiIdRun, "<ID>")
-    df.select(col(id), redacted.as("pii_text"),
-      regexp_count(t, lit(PiiEmail)).as("n_emails"),
-      regexp_count(t, lit(PiiPhone)).as("n_phones"),
-      regexp_count(t, lit(PiiIpv4)).as("n_ips"),
-      regexp_count(t, lit(PiiIdRun)).as("n_id_runs"))
+    val r1 = regexp_replace(col(text), PiiEmail, "<EMAIL>")
+    val r2 = regexp_replace(r1, PiiPhone, "<PHONE>")
+    val r3 = regexp_replace(r2, PiiIpv4, "<IP>")
+    val r4 = regexp_replace(r3, PiiIdRun, "<ID>")
+    df.select(col(id), r4.as("pii_text"),
+      regexp_count(col(text), lit(PiiEmail)).as("n_emails"),
+      regexp_count(r1, lit(PiiPhone)).as("n_phones"),
+      regexp_count(r2, lit(PiiIpv4)).as("n_ips"),
+      regexp_count(r3, lit(PiiIdRun)).as("n_id_runs"))
   }
 
   /** URL/domain extraction + blocklist filter — source-level curation:

@@ -72,10 +72,11 @@ class CurationSpec extends SparkTestBase {
     val df = spark.range(10000)
       .select(col("id").as("doc_id"),
         (col("id") % 97).cast("double").as("q"), lit(10L).as("t"))
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan = try Sampling.budgetSelect(df, "doc_id", col("q"), col("t"),
         budget = 1000L).queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     val singles = plan.collect {
       case e: ShuffleExchangeExec
         if e.outputPartitioning.numPartitions == 1 => e
@@ -144,6 +145,24 @@ class CurationSpec extends SparkTestBase {
       Seq((9L, "x")).toDF("doc_id", "text"),
       Seq((9L, "y")).toDF("doc_id", "text"), "doc_id", "text").collect()
     assert(changed.head.getString(1) === "changed")
+  }
+
+  test("budgetSelect is row-count-stable for NULL quality (sorted last)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(0.9), 5L), (2L, None, 3L), (3L, Some(0.5), 4L))
+      .toDF("doc_id", "q", "t")
+    val out = Sampling.budgetSelect(df, "doc_id", col("q"), col("t"),
+      budget = 9L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    // order: 0.9 (5) kept, 0.5 (cum 9) kept, NULL last (cum 12) dropped
+    assert(out.toSeq === Seq((1L, true), (2L, false), (3L, true)))
+  }
+
+  test("piiRedact: digit run inside an email is an email, not an ID run") {
+    val out = TextStats.piiRedact(
+      docs(1L -> "write 123456789@x.com now"), "doc_id", "text").collect()
+    assert(out.head.getString(1) === "write <EMAIL> now")
+    assert(out.head.getInt(2) === 1 && out.head.getInt(5) === 0)
   }
 
   test("budgetSelect keeps the strict quality-ordered prefix within budget") {
