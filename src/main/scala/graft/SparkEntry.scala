@@ -430,6 +430,25 @@ object SparkEntry {
         blocklist = Seq("bad0.spam.io", "bad1.spam.io"))
     }),
 
+    // the table-driven blocklist escalation, on the same seeded URLs
+    // as q_domains: identical output contract via an exploded-host
+    // broadcast semi-join instead of the in-expression literal array.
+    "q_domains_join" -> ((s, dir) => {
+      import s.implicits._
+      val d = col("doc_id")
+      val seeded = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" see https://site"), d % 7, lit(".example.com/p/"), d,
+          when(d % 3 === 0, concat(lit(" and http://cdn"),
+            (d % 4).cast("string"), lit(".example.net/x"))).otherwise(lit("")),
+          when(d % 11 === 0, concat(lit(" via https://bad"),
+            (d % 2).cast("string"), lit(".spam.io/z"))).otherwise(lit("")),
+          when(d % 6 === 0, concat(lit(" again https://site"),
+            (d % 7).cast("string"), lit(".example.com/q"))).otherwise(lit(""))))
+      val bl = Seq("bad0.spam.io", "bad1.spam.io").toDF("domain")
+      TextStats.domainStatsJoin(seeded, "doc_id", "text", bl)
+    }),
+
     // temperature-scaled source mixing weights (p_i ∝ n_i^0.5 — the
     // classic multilingual smoothing) over per-source character mass.
     "q_temp_mix" -> ((s, dir) =>
@@ -1949,6 +1968,34 @@ object SparkEntry {
         |FROM s3""".stripMargin,
 
     "q_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0
+        |              THEN ' via https://bad' || (doc_id % 2) || '.spam.io/z'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN ' again https://site' || (doc_id % 7) || '.example.com/q'
+        |              ELSE '' END AS text
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(lower(text), 'https?://([a-zA-Z0-9.-]+)', 1) AS hosts
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |       CAST(len(hosts) AS INT) AS n_urls,
+        |       CAST(len(list_distinct(hosts)) AS INT) AS n_domains,
+        |       array_to_string(list_sort(list_distinct(hosts)), ',') AS domains_csv,
+        |       len(list_intersect(hosts, ['bad0.spam.io', 'bad1.spam.io'])) > 0 AS blocked
+        |FROM h""".stripMargin,
+
+    // same oracle as q_domains — the join variant must produce the
+    // identical result set on the identical seeded inputs.
+    "q_domains_join" ->
       """WITH d AS (
         |  SELECT doc_id,
         |         text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||

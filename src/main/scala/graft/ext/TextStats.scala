@@ -895,6 +895,37 @@ object TextStats {
       (size(array_intersect(distinctHosts, bl)) > 0).as("blocked"))
   }
 
+  /** [[domainStats]]' escalation for blocklists too large to inline:
+    * the blocklist is a TABLE (one `domain` column). Per-doc URL
+    * stats stay map-side exactly as in [[domainStats]]; the blocked
+    * flag comes from exploding each doc's distinct hosts and
+    * broadcast-SEMI-joining the blocklist (the exploded stream is
+    * O(docs·domains-per-doc) and carries only (id, host) pairs), then
+    * one id-keyed left join marks the flagged docs. Same output
+    * contract as [[domainStats]] — the two are interchangeable, and
+    * CurationSpec pins them equal on the same inputs.
+    * Output: id, n_urls, n_domains, domains_csv, blocked.
+    */
+  def domainStatsJoin(df: DataFrame, id: String, text: String,
+      blocklist: DataFrame): DataFrame = {
+    val urlHost = "https?://([a-zA-Z0-9.-]+)"
+    val hosts = regexp_extract_all(lower(col(text)), lit(urlHost), lit(1))
+    val base = df.select(col(id),
+      size(hosts).as("n_urls"),
+      array_sort(array_distinct(hosts)).as("__hosts"))
+    val flagged = base
+      .select(col(id), explode(col("__hosts")).as("__host"))
+      .join(broadcast(blocklist.select(lower(col("domain")).as("__host"))),
+        Seq("__host"), "left_semi")
+      .select(col(id)).distinct()
+      .withColumn("__blocked", lit(true))
+    base.join(flagged, Seq(id), "left")
+      .select(col(id), col("n_urls"),
+        size(col("__hosts")).as("n_domains"),
+        array_join(col("__hosts"), ",").as("domains_csv"),
+        coalesce(col("__blocked"), lit(false)).as("blocked"))
+  }
+
   /** Per-source unigram KL divergence from the corpus distribution —
     * the domain-shift scorecard of a multi-source corpus:
     * KL(p_src ‖ p_corpus) = Σ_w p_src(w)·log2(p_src(w)/p_corpus(w))

@@ -89,6 +89,21 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("domainStatsJoin equals domainStats on the same inputs") {
+    import spark.implicits._
+    val df = docs(
+      1L -> "see https://A.example.com/p http://cdn.example.net/x https://a.example.com/q",
+      2L -> "only https://bad0.spam.io/z here",
+      3L -> "no urls at all")
+    val bl = Seq("bad0.spam.io")
+    val lit = TextStats.domainStats(df, "doc_id", "text", bl)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val join = TextStats.domainStatsJoin(df, "doc_id", "text",
+        bl.toDF("domain"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(join === lit)
+  }
+
   test("temperatureWeights: alpha=1 keeps natural shares, alpha=0 is uniform") {
     import spark.implicits._
     val df = Seq(("s0", 900L), ("s1", 100L)).toDF("source", "n")
