@@ -61,5 +61,14 @@ object Bench {
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
+    // The driver records only a ~2000-char stdout tail; with 100+
+    // queries the full JSON line above overflows it and rounds 5/7
+    // lost their parsed totals. The LAST line is therefore a compact
+    // summary guaranteed to fit the tail: total, count, slowest 5.
+    val slowest = results.toSeq.sortBy(-_._2._1).take(5)
+      .map { case (k, (sec, _)) => "\"" + k + "\":" + f"$sec%.2f" }
+      .mkString("{", ",", "}")
+    val gcTotal = results.values.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size}%d,"reps":$reps%d,"gc_sec_total":$gcTotal%.2f,"slowest":$slowest%s,"sf":"$sfDir%s"}""")
   }
 }

@@ -52,6 +52,44 @@ object SparkEntry {
 
   private val evSpec: SeriesSpec = Tables.eventsSpec
 
+  /** The q_pii seeding: plants a deterministic email on every doc and
+    * doc_id-dependent phone/IPv4/account-run subsets, IDENTICALLY to
+    * the oracle's seeded CTE (shared by q_pii and q_keep_score).
+    */
+  private def piiSeed(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.withColumn("text",
+      concat(col("text"),
+        lit(" u"), d, lit("@ex"), d % 5, lit(".org"),
+        when(d % 3 === 0, concat(lit(" "), (d % 900 + 100).cast("string"),
+          lit("-555-"), lpad((d % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(d % 4 === 0, concat(lit(" 10."), (d % 256).cast("string"),
+          lit(".0."), ((d * 7) % 256).cast("string")))
+          .otherwise(lit("")),
+        when(d % 5 === 0, concat(lit(" acct "),
+          lpad(d.cast("string"), 12, "0"))).otherwise(lit(""))))
+  }
+
+  /** The q_domains seeding: one site URL per doc plus doc_id-dependent
+    * CDN/blocklisted/repeat URLs, identically to the oracle's seeded
+    * CTE (shared by q_domains, q_domains_join and q_keep_score).
+    */
+  private def domainSeed(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.withColumn("text",
+      concat(col("text"),
+        lit(" see https://site"), d % 7, lit(".example.com/p/"), d,
+        when(d % 3 === 0, concat(lit(" and http://cdn"),
+          (d % 4).cast("string"), lit(".example.net/x"))).otherwise(lit("")),
+        when(d % 11 === 0, concat(lit(" via https://bad"),
+          (d % 2).cast("string"), lit(".spam.io/z"))).otherwise(lit("")),
+        when(d % 6 === 0, concat(lit(" again https://site"),
+          (d % 7).cast("string"), lit(".example.com/q"))).otherwise(lit(""))))
+  }
+
+  private val DomainBlocklist = Seq("bad0.spam.io", "bad1.spam.io")
+
   /** events → deduped long series with delta_us (shared prefix of the
     * time-series queries).
     */
@@ -395,58 +433,24 @@ object SparkEntry {
     // IDENTICALLY on both sides — all four redaction regexes and all
     // four audit counters are compared cross-engine on text that
     // actually matches, at varying per-doc combinations.
-    "q_pii" -> ((s, dir) => {
-      val d = col("doc_id")
-      val seeded = Tables.documents(s, dir).withColumn("text",
-        concat(col("text"),
-          lit(" u"), d, lit("@ex"), d % 5, lit(".org"),
-          when(d % 3 === 0, concat(lit(" "), (d % 900 + 100).cast("string"),
-            lit("-555-"), lpad((d % 10000).cast("string"), 4, "0")))
-            .otherwise(lit("")),
-          when(d % 4 === 0, concat(lit(" 10."), (d % 256).cast("string"),
-            lit(".0."), ((d * 7) % 256).cast("string")))
-            .otherwise(lit("")),
-          when(d % 5 === 0, concat(lit(" acct "),
-            lpad(d.cast("string"), 12, "0"))).otherwise(lit(""))))
-      TextStats.piiRedact(seeded, "doc_id", "text")
-    }),
+    "q_pii" -> ((s, dir) =>
+      TextStats.piiRedact(piiSeed(Tables.documents(s, dir)), "doc_id", "text")),
 
     // URL/domain blocklist filter, seeded identically on both sides:
     // every doc cites one site<k>.example.com URL, thirds add a CDN
     // URL, id%6 repeats the first domain (distinct-vs-total check),
     // and id%11 plants a blocklisted spam.io domain.
-    "q_domains" -> ((s, dir) => {
-      val d = col("doc_id")
-      val seeded = Tables.documents(s, dir).withColumn("text",
-        concat(col("text"),
-          lit(" see https://site"), d % 7, lit(".example.com/p/"), d,
-          when(d % 3 === 0, concat(lit(" and http://cdn"),
-            (d % 4).cast("string"), lit(".example.net/x"))).otherwise(lit("")),
-          when(d % 11 === 0, concat(lit(" via https://bad"),
-            (d % 2).cast("string"), lit(".spam.io/z"))).otherwise(lit("")),
-          when(d % 6 === 0, concat(lit(" again https://site"),
-            (d % 7).cast("string"), lit(".example.com/q"))).otherwise(lit(""))))
-      TextStats.domainStats(seeded, "doc_id", "text",
-        blocklist = Seq("bad0.spam.io", "bad1.spam.io"))
-    }),
+    "q_domains" -> ((s, dir) =>
+      TextStats.domainStats(domainSeed(Tables.documents(s, dir)), "doc_id",
+        "text", blocklist = DomainBlocklist)),
 
     // the table-driven blocklist escalation, on the same seeded URLs
     // as q_domains: identical output contract via an exploded-host
     // broadcast semi-join instead of the in-expression literal array.
     "q_domains_join" -> ((s, dir) => {
       import s.implicits._
-      val d = col("doc_id")
-      val seeded = Tables.documents(s, dir).withColumn("text",
-        concat(col("text"),
-          lit(" see https://site"), d % 7, lit(".example.com/p/"), d,
-          when(d % 3 === 0, concat(lit(" and http://cdn"),
-            (d % 4).cast("string"), lit(".example.net/x"))).otherwise(lit("")),
-          when(d % 11 === 0, concat(lit(" via https://bad"),
-            (d % 2).cast("string"), lit(".spam.io/z"))).otherwise(lit("")),
-          when(d % 6 === 0, concat(lit(" again https://site"),
-            (d % 7).cast("string"), lit(".example.com/q"))).otherwise(lit(""))))
-      val bl = Seq("bad0.spam.io", "bad1.spam.io").toDF("domain")
-      TextStats.domainStatsJoin(seeded, "doc_id", "text", bl)
+      TextStats.domainStatsJoin(domainSeed(Tables.documents(s, dir)),
+        "doc_id", "text", DomainBlocklist.toDF("domain"))
     }),
 
     // temperature-scaled source mixing weights (p_i ∝ n_i^0.5 — the
@@ -656,7 +660,8 @@ object SparkEntry {
     }),
 
     // §2.5 WRTDS-proxy local regression + robust-z buster. No SQL
-    // oracle (O(n^2) kernel regression) -> driver rows-only check.
+    // oracle (O(n^2) kernel regression) -> driver rows-only check;
+    // q_wrtds_check below is its oracled semi-oracle companion.
     "q_wrtds" -> ((s, dir) => {
       val d = Tables.eventsSeries(s, dir)
       val withFit = Wrtds.proxy(d, evSpec, minp = 30)
@@ -664,6 +669,63 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           round(col("wrtds_yhat"), 6).as("yhat"),
           round(col("wrtds_resid"), 6).as("resid"), col("wrtds_spike"))
+    }),
+
+    // semi-oracle companion for the rows-only q_wrtds (the
+    // q_ann_ivf_recall pattern): the oracle reproduces the structural
+    // counts EXACTLY — rows, valid values, series, and the relational
+    // support count under the kernel's 1e-3 weight cutoff
+    // (exp(-(dt/ht)²) > 1e-3 ⟺ (dt/ht)² < ln 1000; both engines
+    // evaluate the square with identically-shaped IEEE ops against
+    // the ln-1000 literal, so no libm call can perturb the count) —
+    // and expects the three in-band assertions TRUE: prediction
+    // coverage within max(2, 2%) of the relational support count
+    // (the slack absorbs exp-boundary pairs and singular solves),
+    // resid ≡ value − yhat bit-exactly, and residual RMS ≤ 1.5× the
+    // per-series-centered RMS (a broken kernel fails outright; the
+    // seasonal WLS actually lands well under the centered RMS).
+    "q_wrtds_check" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.eventsSeries(s, dir)
+      val fit = Wrtds.proxy(d, evSpec, minp = 30)
+      val wAll = Window.partitionBy(col("user_id"))
+      val t = d.withColumn("__us", unix_micros(col("ts")))
+        .withColumn("__t",
+          (col("__us") - min(col("__us")).over(wAll)) / lit(86400e6))
+      val vj = t.filter(col("value").isNotNull)
+        .select(col("user_id"), col("__t").as("__tj"))
+      val dtn = (col("__tj") - col("__t")) / lit(90.0)
+      val nSupport = t.filter(col("value").isNotNull)
+        .join(vj, Seq("user_id"))
+        .filter(dtn * dtn < lit(6.907755278982137))
+        .groupBy("user_id", "__us").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 30)
+        .agg(count(lit(1)).as("n_support"))
+      val agg = fit
+        .withColumn("__mean",
+          avg(when(col("value").isNotNull, col("value"))).over(wAll))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_val"),
+          countDistinct(col("user_id")).as("n_series"),
+          count(col("wrtds_yhat")).as("n_pred"),
+          max(when(col("wrtds_yhat").isNotNull,
+            abs(col("value") - col("wrtds_yhat") - col("wrtds_resid"))))
+            .as("__maxdev"),
+          sqrt(avg(when(col("wrtds_yhat").isNotNull,
+            col("wrtds_resid") * col("wrtds_resid")))).as("__rms_resid"),
+          sqrt(avg(when(col("wrtds_yhat").isNotNull,
+            (col("value") - col("__mean")) * (col("value") - col("__mean")))))
+            .as("__rms_centered"))
+      agg.crossJoin(broadcast(nSupport))
+        .select(col("n_rows"), col("n_val"), col("n_series"),
+          col("n_support"),
+          (abs(col("n_pred") - col("n_support")) <=
+            greatest(lit(2L), round(col("n_support") * 0.02, 0).cast("long")))
+            .as("pred_cov_ok"),
+          coalesce(col("__maxdev") === 0.0, lit(true)).as("resid_exact_ok"),
+          coalesce(col("__rms_resid") <= col("__rms_centered") * 1.5,
+            lit(true)).as("resid_rms_ok"))
     }),
 
     // ---- training-data extension operators (documents/embeddings) ----
@@ -2088,7 +2150,7 @@ object SparkEntry {
         |)
         |SELECT source, CAST(min(n) AS BIGINT) AS n_tokens,
         |       CAST(count(*) AS BIGINT) AS n_terms,
-        |       sum(kl_term) AS kl_bits
+        |       round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl_bits
         |FROM term GROUP BY source""".stripMargin,
 
     "q_snapshot_diff" ->
@@ -2309,6 +2371,32 @@ object SparkEntry {
            |       round(yi - (CASE WHEN n >= 10 AND abs(den) > 1e-9 THEN b0 + b1*ti END), 6) AS l2_resid
            |FROM f2""".stripMargin
     },
+
+    // q_wrtds semi-oracle: exact structural counts (the support
+    // predicate mirrors the engine's IEEE shapes — square vs the
+    // ln-1000 literal, never exp) + in-band assertions TRUE.
+    "q_wrtds_check" ->
+      (seriesCte +
+        """, b AS (
+          |  SELECT user_id, value, epoch_us(ts) AS us,
+          |         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS mnus
+          |  FROM dd
+          |), t AS (
+          |  SELECT user_id, us, value, (us - mnus) / 86400000000.0 AS t FROM b
+          |), sup AS (
+          |  SELECT i.user_id, i.us, count(*) AS cnt
+          |  FROM t i JOIN t j ON i.user_id = j.user_id
+          |   AND i.value IS NOT NULL AND j.value IS NOT NULL
+          |   AND ((j.t - i.t) / 90.0) * ((j.t - i.t) / 90.0) < 6.907755278982137
+          |  GROUP BY 1, 2
+          |)
+          |SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM dd) AS n_rows,
+          |  (SELECT CAST(count(value) AS BIGINT) FROM dd) AS n_val,
+          |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM dd) AS n_series,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM sup WHERE cnt >= 30) AS n_support,
+          |  TRUE AS pred_cov_ok, TRUE AS resid_exact_ok,
+          |  TRUE AS resid_rms_ok""".stripMargin),
 
     "q_dedup_minhash" -> {
       // Kirsch-Mitzenmacher double hashing mirrored from the engine:
@@ -2742,7 +2830,8 @@ object SparkEntry {
         |   AND prev.bin = cur.bin
         |)
         |SELECT event_type, window_id, CAST(min(n_prev) AS BIGINT) AS n_prev,
-        |       CAST(min(n_cur) AS BIGINT) AS n_cur, sum(t) AS psi
+        |       CAST(min(n_cur) AS BIGINT) AS n_cur,
+        |       round(CAST(sum(t) AS DOUBLE), 6) AS psi
         |FROM j GROUP BY 1, 2""".stripMargin,
 
     // identical index/scoring CTEs as q_bm25; the positive pair is

@@ -537,6 +537,38 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Embedding-space decontamination — the SEMANTIC twin of
+    * [[decontaminate]]: a paraphrased benchmark question shares no
+    * 3-shingles with its source, but its embedding still lands next
+    * to it, so eval-set leakage audits run both passes. Flags every
+    * training doc whose embedding cosine with ANY benchmark doc
+    * reaches `threshold`.
+    *
+    * Scale shape mirrors [[graft.ext.Similarity.bruteForceTopK]]'s
+    * declared contract: the benchmark set is the SMALL axis (an eval
+    * suite — thousands of rows, not a corpus) and is broadcast; the
+    * training corpus streams map-side, is never reshuffled, and the
+    * per-doc aggregate combines map-side — the corpus-axis work is
+    * one scan. For benchmark sets too big to broadcast, bucket both
+    * sides with [[graft.ext.Similarity.signBucket]] first (the
+    * cosinePairs escalation), trading recall for an equi-join.
+    * Output: train_id (≥1 hit only), n_bench_hits, max_cos (6 dp).
+    */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+      id: String, vec: String, threshold: Double): DataFrame = {
+    val t = train.select(col(id).as("train_id"), col(vec).as("__tv"),
+      Similarity.norm(col(vec)).as("__tn"))
+    val b = bench.select(col(id).as("bench_id"), col(vec).as("__bv"),
+      Similarity.norm(col(vec)).as("__bn"))
+    t.join(broadcast(b), col("train_id") =!= col("bench_id"))
+      .withColumn("__cos",
+        Similarity.dot(col("__tv"), col("__bv")) / (col("__tn") * col("__bn")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        round(max(col("__cos")), 6).as("max_cos"))
+  }
+
   /** Connected components over a near-dup pair set — the step that
     * turns pairwise matches into the cluster decision a training-data
     * pipeline actually ships (one keeper per duplicate cluster, drop
@@ -716,12 +748,18 @@ object Dedup {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
       text: String): DataFrame = {
-    val o = oldDf.select(col(id), normHash(col(text)).as("old_hash"))
-    val n = newDf.select(col(id), normHash(col(text)).as("new_hash"))
+    // added/removed key on snapshot PRESENCE (explicit flags), not on
+    // hash nullability — a document present in both snapshots with
+    // NULL text has NULL hashes on both sides and must classify as
+    // changed (NULL-hash equality is not TRUE), never as added.
+    val o = oldDf.select(col(id), normHash(col(text)).as("old_hash"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(col(id), normHash(col(text)).as("new_hash"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(id), "full_outer")
       .select(col(id),
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
           .when(col("old_hash") === col("new_hash"), "unchanged")
           .otherwise("changed").as("status"),
         col("old_hash"), col("new_hash"))

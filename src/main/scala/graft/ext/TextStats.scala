@@ -944,8 +944,11 @@ object TextStats {
     * each KL term is shaped `(c·1.0/N) · log2((c·1.0·T)/(N·1.0·t))`
     * (exact-integer-valued double products, one division, one log2),
     * rounded to 9 dp and summed as DECIMAL(38,9) — order-free, so
-    * neither engine's shuffle order can perturb the total.
-    * Output: source, n_tokens, n_terms, kl_bits.
+    * neither engine's shuffle order can perturb the total — and the
+    * reported statistic re-rounds that exact sum to a 6-dp double
+    * (the lmScore/bm25TopK recipe) so a 1-ulp libm difference in a
+    * single log2 term can never flip the emitted value.
+    * Output: source, n_tokens, n_terms, kl_bits (double).
     */
   def sourceDivergence(df: DataFrame, source: String, text: String)
       : DataFrame = {
@@ -966,7 +969,63 @@ object TextStats {
     term.groupBy("source")
       .agg(first(col("n")).as("n_tokens"),
         count(lit(1)).as("n_terms"),
-        sum(col("kl_term")).as("kl_bits"))
+        round(sum(col("kl_term")).cast("double"), 6).as("kl_bits"))
+  }
+
+  /** Calibrated curation keep-score — the one-number composite every
+    * large-scale filtering pipeline ends in: the per-doc quality
+    * signals this library already verifies individually ([[lmScore]]
+    * fluency, [[repetitionStats]] degeneracy, [[piiRedact]] audit
+    * counts, [[domainStats]] blocklist) fold into one score in [0,1]
+    * plus the keep decision at `threshold`.
+    *
+    * Calibration (fixed, documented — a trained classifier would
+    * slot in here, but the combiner's CONTRACT is the operator):
+    *   s_lm     = max(0, 1 − bits_per_token/16)   (≥16 bits ⇒ 0)
+    *   s_rep    = 1 − dup_word_frac
+    *   s_pii    = 1 / (1 + n_pii)                 (total audit count)
+    *   s_domain = blocked ? 0 : 1
+    *   keep_score = 0.4·s_lm + 0.3·s_rep + 0.2·s_pii + 0.1·s_domain
+    * Missing signals (zero-token docs) contribute 0 — absence of
+    * evidence of quality is evidence of junk in a curation pass.
+    *
+    * Determinism: every sub-score is a 6-dp-rounded double of
+    * already-6-dp-rounded inputs, combined with identically-shaped
+    * IEEE ops on both engines and re-rounded — no transcendental
+    * enters the combiner. Scale shape: four id-keyed joins of per-doc
+    * signal tables — one hash partitioning on the id serves all of
+    * them (co-partitioned single-stage join at cluster scale); the
+    * combiner itself is pure map work.
+    * Output: id, s_lm, s_rep, s_pii, s_domain, keep_score, keep.
+    */
+  def keepScore(base: DataFrame, id: String, lm: DataFrame,
+      rep: DataFrame, pii: DataFrame, domains: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sLm = round(
+      when(col("bits_per_token").isNull, lit(0.0))
+        .otherwise(greatest(lit(0.0),
+          lit(1.0) - col("bits_per_token") / lit(16.0))), 6)
+    val sRep = round(
+      when(col("dup_word_frac").isNull, lit(0.0))
+        .otherwise(lit(1.0) - col("dup_word_frac")), 6)
+    val nPii = coalesce(
+      col("n_emails") + col("n_phones") + col("n_ips") + col("n_id_runs"),
+      lit(0))
+    val sPii = round(lit(1.0) / (lit(1.0) + nPii.cast("double")), 6)
+    val sDom = when(coalesce(col("blocked"), lit(false)), lit(0.0))
+      .otherwise(lit(1.0))
+    base.select(col(id))
+      .join(lm.select(col(id), col("bits_per_token")), Seq(id), "left")
+      .join(rep.select(col(id), col("dup_word_frac")), Seq(id), "left")
+      .join(pii.select(col(id), col("n_emails"), col("n_phones"),
+        col("n_ips"), col("n_id_runs")), Seq(id), "left")
+      .join(domains.select(col(id), col("blocked")), Seq(id), "left")
+      .select(col(id), sLm.as("s_lm"), sRep.as("s_rep"),
+        sPii.as("s_pii"), sDom.as("s_domain"))
+      .withColumn("keep_score",
+        round(lit(0.4) * col("s_lm") + lit(0.3) * col("s_rep") +
+          lit(0.2) * col("s_pii") + lit(0.1) * col("s_domain"), 6))
+      .withColumn("keep", col("keep_score") >= lit(threshold))
   }
 
 }

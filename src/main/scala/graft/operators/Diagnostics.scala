@@ -294,8 +294,10 @@ object Diagnostics {
     * window-function sort, no corpus re-scan. FP determinism: counts
     * stay BIGINT; each bin term mirrors identically-shaped double
     * expressions, rounds to 9 dp and sums as DECIMAL(38,9)
-    * (order-free). Output: group*, window_id, n_prev, n_cur,
-    * psi (decimal 38,9).
+    * (order-free); the reported statistic re-rounds the exact sum to
+    * a 6-dp double (the lmScore/bm25TopK recipe) so a 1-ulp libm
+    * difference in a single ln term can never flip the emitted
+    * value. Output: group*, window_id, n_prev, n_cur, psi (double).
     */
   def psiDrift(df: DataFrame, groupCols: Seq[String], tsUs: String,
       value: String, windowUs: Long, lo: Double, hi: Double,
@@ -334,6 +336,6 @@ object Diagnostics {
       .groupBy((groupCols :+ "window_id").map(col): _*)
       .agg(first(col("n_prev")).as("n_prev"),
         first(col("n_cur")).as("n_cur"),
-        sum(col("t")).as("psi"))
+        round(sum(col("t")).cast("double"), 6).as("psi"))
   }
 }

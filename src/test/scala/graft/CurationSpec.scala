@@ -160,6 +160,20 @@ class CurationSpec extends SparkTestBase {
       Seq((9L, "x")).toDF("doc_id", "text"),
       Seq((9L, "y")).toDF("doc_id", "text"), "doc_id", "text").collect()
     assert(changed.head.getString(1) === "changed")
+
+    // presence beats hash nullability: a doc present in BOTH snapshots
+    // with NULL text has NULL hashes on both sides — it must classify
+    // as changed (matching the oracle's NULL-equality semantics),
+    // never as added; NULL-text only on one side is changed too.
+    val nullText = ext.Dedup.snapshotDiff(
+      Seq((1L, null: String), (2L, "a"), (3L, null: String))
+        .toDF("doc_id", "text"),
+      Seq((1L, null: String), (2L, null: String), (4L, null: String))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(nullText.toSeq === Seq((1L, "changed"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
   }
 
   test("budgetSelect is row-count-stable for NULL quality (sorted last)") {
@@ -209,10 +223,12 @@ class CurationSpec extends SparkTestBase {
         windowUs = 100L, lo = 0.0, hi = 10.0, nBins = 2)
       .orderBy("window_id").collect()
     assert(out.length === 2) // windows 1 and 2 have a predecessor
-    assert(out(0).getDecimal(4).doubleValue === 0.0)
-    // p=(1.5/5, 3.5/5) vs q=(3.5/5, 1.5/5): PSI = 2 * 0.4 * ln(7/3)
+    assert(out(0).getDouble(4) === 0.0)
+    // p=(1.5/5, 3.5/5) vs q=(3.5/5, 1.5/5): PSI = 2 * 0.4 * ln(7/3);
+    // the emitted statistic is the exact decimal sum re-rounded to a
+    // 6-dp double, so the tolerance is the rounding half-step
     val exp = 2.0 * 0.4 * math.log(7.0 / 3.0)
-    assert(math.abs(out(1).getDecimal(4).doubleValue - exp) < 1e-8)
+    assert(math.abs(out(1).getDouble(4) - exp) < 1e-6)
     assert(out(1).getLong(2) === 4L && out(1).getLong(3) === 4L)
   }
 
@@ -228,10 +244,10 @@ class CurationSpec extends SparkTestBase {
     // corpus: a=6/8, b=2/8; p_same = (1/2, 1/2):
     // KL = .5*log2(.5/.75) + .5*log2(.5/.25) = .5*(log2(2/3)+1)
     val expSame = 0.5 * (math.log(2.0 / 3.0) / math.log(2.0) + 1.0)
-    assert(math.abs(same.getDecimal(3).doubleValue - expSame) < 1e-8)
+    assert(math.abs(same.getDouble(3) - expSame) < 1e-6)
     val skew = out(1) // p_skew = (1,0): KL = log2(1/.75) = log2(4/3)
     assert(skew.getLong(2) === 1L) // only "a" contributes a term
     val expSkew = math.log(4.0 / 3.0) / math.log(2.0)
-    assert(math.abs(skew.getDecimal(3).doubleValue - expSkew) < 1e-8)
+    assert(math.abs(skew.getDouble(3) - expSkew) < 1e-6)
   }
 }
