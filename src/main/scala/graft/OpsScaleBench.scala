@@ -140,6 +140,39 @@ object OpsScaleBench {
           quality = size(array_distinct(toks)) * lit(1.0) / size(toks),
           tokens = length(col("text")), budget = 50000L * n).count()
       }
+
+      // keep-score composite: four per-doc signal pipelines + the
+      // id-keyed combiner joins; the corpus axis widens n× (the lm
+      // reference slice widens with it — the model tables stay
+      // vocabulary-sized). Should scale linearly: every stage is
+      // either map work or an id/vocab-keyed equi-join.
+      val docsS = if (n <= 1)
+        graft.sources.Tables.documents(spark, dir)
+      else graft.sources.Tables.documents(spark, dir)
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
+        .drop("__r")
+      bench("keep_score", n, nDocs * n) { () =>
+        val c = TextStats.keepScore(docsS, "doc_id",
+          TextStats.lmScore(docsS, "doc_id", "text",
+            refFilter = col("source") === "src0", lambda = 0.9),
+          TextStats.repetitionStats(docsS, "doc_id", "text"),
+          TextStats.piiRedact(docsS, "doc_id", "text"),
+          TextStats.domainStats(docsS, "doc_id", "text",
+            Seq("bad0.spam.io")), threshold = 0.5).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
+      // semantic decontamination: the corpus axis widens n× while
+      // the broadcast bench set stays fixed — wall should be linear
+      // in the corpus (one broadcast-nested-loop scan), with the
+      // match aggregate on the sparse threshold survivors only.
+      bench("decont_sem", n, nVecs * n)(() =>
+        graft.ext.Dedup.semanticDecontaminate(
+          corpus.filter(col("vec_id") % 29 =!= 0),
+          emb0.filter(col("vec_id") % 29 === 0),
+          "vec_id", "embedding", threshold = 0.3).count())
     }
     spark.stop()
   }

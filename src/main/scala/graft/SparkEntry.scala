@@ -1062,6 +1062,36 @@ object SparkEntry {
         "doc_id", "text", k = 3, minShared = 2)
     }),
 
+    // embedding-space decontamination — the SEMANTIC twin of
+    // q_decontaminate (paraphrases share no shingles but do share an
+    // embedding neighborhood): bench = vec_id % 29 == 0, the same
+    // stand-in eval split; cosine >= 0.3 picks the far tail of this
+    // corpus's train-bench cosine distribution (p99 = 0.28, max 0.48).
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") % 29 =!= 0),
+        emb.filter(col("vec_id") % 29 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+    }),
+
+    // calibrated keep-score composite over four green per-doc
+    // signals: lm fluency + repetition on the raw corpus, pii audit
+    // counts and the domain blocklist flag on their seeded twins
+    // (q_pii/q_domains' exact seeding, so both engines feed the
+    // combiner identical signal values).
+    "q_keep_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextStats.keepScore(docs, "doc_id",
+        TextStats.lmScore(docs, "doc_id", "text",
+          refFilter = col("source") === "src0", lambda = 0.9),
+        TextStats.repetitionStats(docs, "doc_id", "text"),
+        TextStats.piiRedact(piiSeed(docs), "doc_id", "text"),
+        TextStats.domainStats(domainSeed(docs), "doc_id", "text",
+          DomainBlocklist),
+        threshold = 0.5)
+    }),
+
     // per-source curation scorecard (volume, dup rate, chars, lang mix).
     "q_source_stats" -> ((s, dir) =>
       TextStats.sourceStats(Tables.documents(s, dir), "source", "text", "lang")),
@@ -2571,6 +2601,19 @@ object SparkEntry {
           |GROUP BY tr.doc_id, be.bench_id
           |HAVING count(*) >= 2""".stripMargin),
 
+    "q_decontaminate_semantic" ->
+      (normCte +
+        s""", tb AS (
+           |  SELECT t.vec_id AS train_id,
+           |         ${dotSql("t.embedding", "b.embedding")} / (t.nrm * b.nrm) AS cos0
+           |  FROM n t JOIN n b
+           |    ON t.vec_id % 29 <> 0 AND b.vec_id % 29 = 0
+           |   AND t.vec_id <> b.vec_id
+           |)
+           |SELECT train_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+           |       round(max(cos0), 6) AS max_cos
+           |FROM tb WHERE cos0 >= 0.3 GROUP BY train_id""".stripMargin),
+
     "q_source_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
@@ -3065,6 +3108,144 @@ object SparkEntry {
         |SELECT k.doc_id, k.is_keeper, q.quality_ok, l.lang_ok,
         |       (k.is_keeper AND q.quality_ok AND l.lang_ok) AS keep
         |FROM k JOIN q ON k.doc_id = q.doc_id JOIN l ON k.doc_id = l.doc_id""".stripMargin,
+
+    // the calibrated composite: the lm / repetition / pii / domain
+    // CTEs are the same bodies as their standalone green oracles
+    // (renamed k*/r*/p*/d* to avoid collisions); the combiner mirrors
+    // TextStats.keepScore's IEEE shapes exactly.
+    "q_keep_score" ->
+      """WITH karr AS (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents
+        |), krefw AS (
+        |  SELECT unnest(ws) AS w FROM karr WHERE source = 'src0'
+        |), kuni AS (
+        |  SELECT w, count(*) AS cu FROM krefw GROUP BY 1
+        |), ktot AS (
+        |  SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM kuni
+        |), kbi AS (
+        |  SELECT w1, w2, count(*) AS cb FROM (
+        |    SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |    FROM karr WHERE source = 'src0' AND len(ws) >= 2
+        |  ) GROUP BY 1, 2
+        |), kterms AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, ws[1] AS w2
+        |  FROM karr WHERE len(ws) >= 1
+        |  UNION ALL
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |    FROM karr WHERE len(ws) >= 2)
+        |), kscored AS (
+        |  SELECT t.doc_id,
+        |         CASE WHEN t.w1 IS NULL
+        |              THEN (coalesce(u2.cu, 0) + 1) * 1.0 / (ktot.n + ktot.v)
+        |              ELSE 0.9 * (CASE WHEN u1.cu IS NOT NULL
+        |                               THEN coalesce(b.cb, 0) * 1.0 / u1.cu
+        |                               ELSE 0.0 END)
+        |                   + (1.0 - 0.9) *
+        |                     ((coalesce(u2.cu, 0) + 1) * 1.0 / (ktot.n + ktot.v))
+        |         END AS p
+        |  FROM kterms t
+        |  LEFT JOIN kuni u2 ON t.w2 = u2.w
+        |  LEFT JOIN kuni u1 ON t.w1 = u1.w
+        |  LEFT JOIN kbi b ON t.w1 = b.w1 AND t.w2 = b.w2
+        |  CROSS JOIN ktot
+        |), kagg AS (
+        |  SELECT doc_id,
+        |         sum(CAST(round(-log2(p), 9) AS DECIMAL(38,9))) AS sb,
+        |         count(*) AS n_tokens
+        |  FROM kscored GROUP BY 1
+        |), klm AS (
+        |  SELECT doc_id, round(CAST(sb AS DOUBLE) / n_tokens, 6) AS bits_per_token
+        |  FROM kagg
+        |), rw AS (
+        |  SELECT doc_id, unnest(ws) AS w FROM karr WHERE len(ws) > 0
+        |), rwc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM rw GROUP BY 1, 2
+        |), krep AS (
+        |  SELECT doc_id, round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_word_frac
+        |  FROM rwc GROUP BY doc_id
+        |), pd AS (
+        |  SELECT doc_id,
+        |         text || ' u' || doc_id || '@ex' || (doc_id % 5) || '.org' ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' ' || (doc_id % 900 + 100) || '-555-' ||
+        |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN ' 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+        |              ELSE '' END AS text
+        |  FROM documents
+        |), ps1 AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text,
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |           '<EMAIL>', 'g') AS r1
+        |  FROM pd
+        |), ps2 AS (
+        |  SELECT *, regexp_replace(r1, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}',
+        |                           '<PHONE>', 'g') AS r2
+        |  FROM ps1
+        |), ps3 AS (
+        |  SELECT *, regexp_replace(r2,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g') AS r3
+        |  FROM ps2
+        |), kpii AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+        |         CAST(len(regexp_extract_all(r1, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |         CAST(len(regexp_extract_all(r2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |         CAST(len(regexp_extract_all(r3, '[0-9]{9,}')) AS INT) AS n_id_runs
+        |  FROM ps3
+        |), dd2 AS (
+        |  SELECT doc_id,
+        |         text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0
+        |              THEN ' via https://bad' || (doc_id % 2) || '.spam.io/z'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN ' again https://site' || (doc_id % 7) || '.example.com/q'
+        |              ELSE '' END AS text
+        |  FROM documents
+        |), kdom AS (
+        |  SELECT doc_id,
+        |         len(list_intersect(
+        |           regexp_extract_all(lower(text), 'https?://([a-zA-Z0-9.-]+)', 1),
+        |           ['bad0.spam.io', 'bad1.spam.io'])) > 0 AS blocked
+        |  FROM dd2
+        |), ks AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN klm.bits_per_token IS NULL THEN CAST(0.0 AS DOUBLE)
+        |              ELSE greatest(CAST(0.0 AS DOUBLE),
+        |                            1.0 - klm.bits_per_token / 16.0)
+        |         END AS s_lm,
+        |         CASE WHEN krep.dup_word_frac IS NULL THEN CAST(0.0 AS DOUBLE)
+        |              ELSE 1.0 - krep.dup_word_frac END AS s_rep,
+        |         1.0 / (1.0 + CAST(coalesce(
+        |           kpii.n_emails + kpii.n_phones + kpii.n_ips + kpii.n_id_runs,
+        |           0) AS DOUBLE)) AS s_pii,
+        |         CASE WHEN coalesce(kdom.blocked, FALSE)
+        |              THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE)
+        |         END AS s_domain
+        |  FROM documents d
+        |  LEFT JOIN klm USING (doc_id)
+        |  LEFT JOIN krep USING (doc_id)
+        |  LEFT JOIN kpii USING (doc_id)
+        |  LEFT JOIN kdom USING (doc_id)
+        |)
+        |SELECT doc_id, s_lm, s_rep, s_pii, s_domain,
+        |       0.4 * s_lm + 0.3 * s_rep + 0.2 * s_pii + 0.1 * s_domain AS keep_score,
+        |       (0.4 * s_lm + 0.3 * s_rep + 0.2 * s_pii + 0.1 * s_domain >= 0.5) AS keep
+        |FROM ks""".stripMargin,
 
     "q_fingerprint" ->
       (shingleCte(3) +

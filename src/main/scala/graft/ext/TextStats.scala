@@ -989,10 +989,16 @@ object TextStats {
     * Missing signals (zero-token docs) contribute 0 — absence of
     * evidence of quality is evidence of junk in a curation pass.
     *
-    * Determinism: every sub-score is a 6-dp-rounded double of
-    * already-6-dp-rounded inputs, combined with identically-shaped
-    * IEEE ops on both engines and re-rounded — no transcendental
-    * enters the combiner. Scale shape: four id-keyed joins of per-doc
+    * Determinism: the combiner NEVER rounds. Its inputs are already
+    * cross-engine-deterministic (6-dp-rounded signal outputs and
+    * exact integer counts), and every sub-score and the final score
+    * are identically-shaped IEEE expressions of those inputs on both
+    * engines — bit-identical doubles, rendered identically. Rounding
+    * here would be actively harmful: 0.4·(6-dp value) lands exactly
+    * ON a 7th-decimal midpoint every other row, the one place two
+    * engines' round() implementations can disagree (measured, not
+    * theoretical — the first cut of this operator did exactly that).
+    * Scale shape: four id-keyed joins of per-doc
     * signal tables — one hash partitioning on the id serves all of
     * them (co-partitioned single-stage join at cluster scale); the
     * combiner itself is pure map work.
@@ -1001,17 +1007,15 @@ object TextStats {
   def keepScore(base: DataFrame, id: String, lm: DataFrame,
       rep: DataFrame, pii: DataFrame, domains: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val sLm = round(
-      when(col("bits_per_token").isNull, lit(0.0))
-        .otherwise(greatest(lit(0.0),
-          lit(1.0) - col("bits_per_token") / lit(16.0))), 6)
-    val sRep = round(
-      when(col("dup_word_frac").isNull, lit(0.0))
-        .otherwise(lit(1.0) - col("dup_word_frac")), 6)
+    val sLm = when(col("bits_per_token").isNull, lit(0.0))
+      .otherwise(greatest(lit(0.0),
+        lit(1.0) - col("bits_per_token") / lit(16.0)))
+    val sRep = when(col("dup_word_frac").isNull, lit(0.0))
+      .otherwise(lit(1.0) - col("dup_word_frac"))
     val nPii = coalesce(
       col("n_emails") + col("n_phones") + col("n_ips") + col("n_id_runs"),
       lit(0))
-    val sPii = round(lit(1.0) / (lit(1.0) + nPii.cast("double")), 6)
+    val sPii = lit(1.0) / (lit(1.0) + nPii.cast("double"))
     val sDom = when(coalesce(col("blocked"), lit(false)), lit(0.0))
       .otherwise(lit(1.0))
     base.select(col(id))
@@ -1023,8 +1027,8 @@ object TextStats {
       .select(col(id), sLm.as("s_lm"), sRep.as("s_rep"),
         sPii.as("s_pii"), sDom.as("s_domain"))
       .withColumn("keep_score",
-        round(lit(0.4) * col("s_lm") + lit(0.3) * col("s_rep") +
-          lit(0.2) * col("s_pii") + lit(0.1) * col("s_domain"), 6))
+        lit(0.4) * col("s_lm") + lit(0.3) * col("s_rep") +
+          lit(0.2) * col("s_pii") + lit(0.1) * col("s_domain"))
       .withColumn("keep", col("keep_score") >= lit(threshold))
   }
 

@@ -209,6 +209,33 @@ class CurationSpec extends SparkTestBase {
       (4L, true), (5L, false)))
   }
 
+  test("keepScore: fixed calibration over four signals; absent signals score 0") {
+    import spark.implicits._
+    val base = Seq(1L, 2L, 3L).toDF("doc_id")
+    val lm = Seq((1L, 8.0), (2L, 24.0)).toDF("doc_id", "bits_per_token")
+    val rep = Seq((1L, 0.25), (2L, 0.0)).toDF("doc_id", "dup_word_frac")
+    val pii = Seq((1L, 0, 0, 0, 0), (2L, 1, 1, 1, 1), (3L, 0, 0, 0, 0))
+      .toDF("doc_id", "n_emails", "n_phones", "n_ips", "n_id_runs")
+    val dom = Seq((1L, false), (2L, true), (3L, false))
+      .toDF("doc_id", "blocked")
+    val out = TextStats.keepScore(base, "doc_id", lm, rep, pii, dom,
+      threshold = 0.5).orderBy("doc_id").collect()
+    // doc 1: s_lm=1−8/16=0.5, s_rep=0.75, s_pii=1, s_dom=1
+    //        → 0.4·0.5 + 0.3·0.75 + 0.2 + 0.1 = 0.725, keep
+    assert(math.abs(out(0).getDouble(5) - 0.725) < 1e-12)
+    assert(out(0).getBoolean(6))
+    // doc 2: s_lm floors at 0 (24 ≥ 16 bits), s_rep=1, s_pii=1/5,
+    //        blocked → s_dom=0 → 0.3 + 0.04 = 0.34, drop
+    assert(out(1).getDouble(1) === 0.0)
+    assert(math.abs(out(1).getDouble(5) - 0.34) < 1e-12)
+    assert(!out(1).getBoolean(6))
+    // doc 3: lm/rep signals ABSENT → 0 contribution; clean pii +
+    //        unblocked → 0.2 + 0.1 = 0.3, drop
+    assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(2) === 0.0)
+    assert(math.abs(out(2).getDouble(5) - 0.3) < 1e-12)
+    assert(!out(2).getBoolean(6))
+  }
+
   test("psiDrift: stable window scores 0, flipped distribution scores 2*0.4*ln(7/3)") {
     import spark.implicits._
     // windows of 100us, 2 bins over [0,10): window 0 = [3 low, 1 high],

@@ -139,6 +139,30 @@ class ExtSpec extends SparkTestBase {
     assert(out.head.getLong(2) >= 2) // "the quick brown", "quick brown fox", "brown fox jumps"
   }
 
+  test("semanticDecontaminate flags cosine neighbors of the benchmark only") {
+    import spark.implicits._
+    // bench = axis e1; train: id 1 ≈ e1 (cos≈0.995), id 2 ⟂ e1,
+    // id 3 anti-parallel (cos −1 < threshold)
+    val bench = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(10.0f, 1.0f)),
+      (2L, Array(0.0f, 2.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(train, bench, "vec_id",
+      "embedding", threshold = 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L)
+    assert(out.head.getLong(1) == 1L) // one bench hit
+    assert(math.abs(out.head.getDouble(2) - 10.0 / math.sqrt(101.0)) < 1e-6)
+
+    // two bench neighbors aggregate into one row with max_cos
+    val bench2 = Seq((100L, Array(1.0f, 0.0f)), (101L, Array(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out2 = Dedup.semanticDecontaminate(train, bench2, "vec_id",
+      "embedding", threshold = 0.9).collect()
+    assert(out2.length == 1 && out2.head.getLong(1) == 2L)
+  }
+
   test("sourceStats: per-source volume, dup rate, chars and language mix") {
     import spark.implicits._
     val d = Seq(

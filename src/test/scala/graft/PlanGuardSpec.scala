@@ -50,6 +50,26 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("semanticDecontaminate broadcasts the bench side; one agg exchange") {
+    withStaticPlans {
+      val emb = Tables.embeddings(spark, sfDir)
+      val df = Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") % 29 =!= 0),
+        emb.filter(col("vec_id") % 29 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+      val bcasts = broadcastChildren(df)
+      assert(bcasts.nonEmpty, "expected a broadcast of the bench side")
+      bcasts.foreach { c =>
+        assert(c.contains("= 0"),
+          s"broadcast subtree is not the bench split:\n$c")
+      }
+      // the training corpus is never reshuffled: the only exchange is
+      // the per-doc aggregate over the (sparse) threshold matches
+      assert(shuffleCount(df) <= 1,
+        s"corpus-side shuffle leaked into semanticDecontaminate")
+    }
+  }
+
   test("dedup verify tails carry no forced broadcast hint (AQE decides)") {
     withStaticPlans {
       val docs = Tables.documents(spark, sfDir)
