@@ -1062,6 +1062,18 @@ object SparkEntry {
         "doc_id", "text", k = 3, minShared = 2)
     }),
 
+    // bloom-guarded decontamination: identical split, contract and
+    // ORACLE as q_decontaminate — the broadcast Bloom prefilter prunes
+    // the corpus map-side before the verify join; false positives only
+    // waste probes, so the output is exact.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", k = 3, minShared = 2, fpp = 0.01)
+    }),
+
     // embedding-space decontamination — the SEMANTIC twin of
     // q_decontaminate (paraphrases share no shingles but do share an
     // embedding neighborhood): bench = vec_id % 29 == 0, the same
@@ -2591,6 +2603,19 @@ object SparkEntry {
            |FROM r WHERE rk <= 5""".stripMargin),
 
     "q_decontaminate" ->
+      (shingleCte(3) +
+        """, hh AS (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+          |), tr AS (SELECT DISTINCT doc_id, h FROM hh WHERE doc_id % 29 <> 0),
+          |   be AS (SELECT DISTINCT doc_id AS bench_id, h FROM hh WHERE doc_id % 29 = 0)
+          |SELECT tr.doc_id, be.bench_id, count(*) AS shared
+          |FROM tr JOIN be ON tr.h = be.h
+          |GROUP BY tr.doc_id, be.bench_id
+          |HAVING count(*) >= 2""".stripMargin),
+
+    // the bloom-prefiltered variant is EXACT (false positives only
+    // waste verify probes) — same oracle as q_decontaminate
+    "q_decontaminate_bloom" ->
       (shingleCte(3) +
         """, hh AS (
           |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh

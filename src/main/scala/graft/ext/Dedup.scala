@@ -569,6 +569,47 @@ object Dedup {
         round(max(col("__cos")), 6).as("max_cos"))
   }
 
+  /** Bloom-guarded decontamination — [[decontaminate]] with a
+    * runtime-filter prune, the shape that matters at 100 TB: the
+    * benchmark shingle set is distilled into a compact Bloom filter
+    * (distributed `stat.bloomFilter` build over the hashed shingles —
+    * the driver holds only the final ~1.2 MB-per-M-items bitset, never
+    * the shingle rows) and broadcast; the TRAINING corpus then drops
+    * every shingle the filter rejects in pure map work, BEFORE any
+    * exchange. Only might-match shingles — |bench| plus the fp tail,
+    * not |corpus| — reach the verify equi-join, so the corpus-axis
+    * shuffle volume is bounded by the benchmark size instead of the
+    * corpus size. False positives cost only wasted join probes; the
+    * verify join makes the OUTPUT exactly [[decontaminate]]'s
+    * (DedupSpec pins equality, and the query shares its oracle).
+    *
+    * The probe is a Scala UDF over the broadcast filter — a justified
+    * UDF site: no built-in expression can evaluate an arbitrary
+    * broadcast Bloom bitset (the two other UDF sites in this tree,
+    * BPE's merge loop and the χ² CDF, are justified the same way).
+    * Output: id, bench_id, shared (≥ minShared) — identical contract
+    * to [[decontaminate]].
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, id: String,
+      text: String, k: Int, minShared: Int, fpp: Double = 0.01)
+      : DataFrame = {
+    val spark = train.sparkSession
+    val bsh = graft.core.Caches.cached(shinglesHashed(bench, id, text, k))
+      .withColumnRenamed(id, "bench_id")
+    // expectedNumItems from an exact count of the (small) bench side:
+    // one bounded aggregate job, the same cost class as the build pass
+    val nItems = math.max(1L, bsh.count())
+    val bloom = bsh.stat.bloomFilter("sh60", nItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
+    val tsh = shinglesHashed(train, id, text, k)
+      .filter(mightHit(col("sh60")))
+    tsh.join(bsh, "sh60")
+      .groupBy(col(id), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Connected components over a near-dup pair set — the step that
     * turns pairwise matches into the cluster decision a training-data
     * pipeline actually ships (one keeper per duplicate cluster, drop

@@ -139,6 +139,27 @@ class ExtSpec extends SparkTestBase {
     assert(out.head.getLong(2) >= 2) // "the quick brown", "quick brown fox", "brown fox jumps"
   }
 
+  test("decontaminateBloom equals decontaminate (fp-proof verify join)") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog"),
+      (129L, "pack my box with five dozen liquor jugs today ok"))
+    val train = docs(
+      (1L, "look the quick brown fox jumps again today"),
+      (2L, "completely different content with no overlap at all"),
+      (3L, "pack my box with five dozen bright red apples"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bench_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows(Dedup.decontaminate(train, bench, "doc_id", "text",
+      k = 3, minShared = 2))
+    val bloomed = rows(Dedup.decontaminateBloom(train, bench, "doc_id",
+      "text", k = 3, minShared = 2, fpp = 0.01))
+    assert(exact.nonEmpty && bloomed === exact)
+    // a tight filter (high fpp) must still be exact — fps only waste probes
+    val sloppy = rows(Dedup.decontaminateBloom(train, bench, "doc_id",
+      "text", k = 3, minShared = 2, fpp = 0.5))
+    assert(sloppy === exact)
+  }
+
   test("semanticDecontaminate flags cosine neighbors of the benchmark only") {
     import spark.implicits._
     // bench = axis e1; train: id 1 ≈ e1 (cos≈0.995), id 2 ⟂ e1,
