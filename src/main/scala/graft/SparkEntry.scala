@@ -1108,6 +1108,17 @@ object SparkEntry {
     "q_source_stats" -> ((s, dir) =>
       TextStats.sourceStats(Tables.documents(s, dir), "source", "text", "lang")),
 
+    // per-source embedding centroid drift vs the corpus centroid —
+    // the embedding-space twin of q_source_kl's domain-shift
+    // scorecard (vec_id aligns 1:1 with doc_id in the testdata).
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      Similarity.centroidDrift(emb.join(src, "vec_id"), "source",
+        "embedding")
+    }),
+
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -2646,6 +2657,35 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
         |FROM documents GROUP BY source""".stripMargin,
+
+    // integer-exact centroid cosine: 3-dp element quantization, all
+    // sums/products BIGINT, one int->double conversion at the end
+    "q_embed_drift" ->
+      """WITH el AS (
+        |  SELECT d.source, t.i AS dim,
+        |         CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000.0, 0) AS BIGINT) AS iv
+        |  FROM embeddings e
+        |  JOIN documents d ON e.vec_id = d.doc_id,
+        |       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+        |), bysrc AS (
+        |  SELECT source, dim, CAST(sum(iv) AS BIGINT) AS sv,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM el GROUP BY 1, 2
+        |), corpus AS (
+        |  SELECT dim, CAST(sum(iv) AS BIGINT) AS sc FROM el GROUP BY 1
+        |), agg AS (
+        |  SELECT source, min(n) AS n_vecs,
+        |         CAST(sum(sv * sc) AS BIGINT) AS dot,
+        |         CAST(sum(sv * sv) AS BIGINT) AS ss,
+        |         CAST(sum(sc * sc) AS BIGINT) AS cc
+        |  FROM bysrc JOIN corpus USING (dim) GROUP BY 1
+        |)
+        |SELECT source, n_vecs,
+        |       CASE WHEN ss > 0 AND cc > 0 THEN
+        |         round(CAST(dot AS DOUBLE) /
+        |               (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6)
+        |       END AS drift_cos
+        |FROM agg""".stripMargin,
 
     "q_ann_lsh_probe" -> {
       val probeList = ("bucket" +: (0 until 8).map(j =>

@@ -432,4 +432,55 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Per-source embedding centroid drift — the embedding-space twin
+    * of [[graft.ext.TextStats.sourceDivergence]]'s scorecard: the
+    * cosine between each source's mean embedding and the whole-corpus
+    * mean embedding. Sources near 1 sit at the corpus center of mass;
+    * low/negative drift_cos marks a source whose embedding
+    * distribution points elsewhere (a new domain or a broken encoder
+    * feed) — the other half of the domain-shift monitor a multi-source
+    * corpus runs per ingest.
+    *
+    * Shape: one posexplode to the (source, dim) axis (constant ×dims
+    * blowup that map-side combines straight back down), aggregates of
+    * O(sources·dims) rows, corpus marginal broadcast. Nothing touches
+    * the corpus axis twice — 100 TB-safe by construction.
+    *
+    * Determinism: cosine is scale-invariant, so centroids are never
+    * divided out — elements quantize to 3-dp integers (round of an
+    * arbitrary float: a midpoint collision is measure-zero, unlike
+    * rounding decimal-grid-constructed values) and every sum and
+    * product after that is EXACT BIGINT on both engines; the single
+    * int→double conversion at the end is IEEE round-to-nearest on
+    * both, and the final 6-dp round acts on an irrational-valued
+    * cosine (sqrt), again measure-zero. 3-dp quantization on
+    * unit-scale embeddings bounds the drift_cos perturbation at
+    * ~1e-3 — a monitoring statistic, not a ranking key. Headroom:
+    * |elem| ≤ 10 ⇒ corpus-dim sums ≤ 1e4·n_vecs, squares ≤ 1e8·n²;
+    * int64 holds the 64-dim norm sum to ~1e9 vectors per corpus.
+    * Output: source, n_vecs, drift_cos.
+    */
+  def centroidDrift(df: DataFrame, source: String, vec: String)
+      : DataFrame = {
+    val el = df
+      .select(col(source).as("source"), posexplode(col(vec)))
+      .toDF("source", "dim", "v")
+    val iv = round(col("v").cast("double") * lit(1000.0), 0).cast("long")
+    val q = el.select(col("source"), col("dim"), iv.as("iv"))
+    val bySrc = q.groupBy("source", "dim")
+      .agg(sum("iv").as("sv"), count(lit(1)).as("n"))
+    val corpus = q.groupBy("dim").agg(sum("iv").as("sc"))
+    bySrc.join(broadcast(corpus), "dim")
+      .groupBy("source")
+      .agg(first(col("n")).as("n_vecs"),
+        sum(col("sv") * col("sc")).as("__dot"),
+        sum(col("sv") * col("sv")).as("__ss"),
+        sum(col("sc") * col("sc")).as("__cc"))
+      .select(col("source"), col("n_vecs"),
+        when(col("__ss") > 0 && col("__cc") > 0,
+          round(col("__dot").cast("double") /
+            (sqrt(col("__ss").cast("double")) *
+             sqrt(col("__cc").cast("double"))), 6)).as("drift_cos"))
+  }
 }

@@ -160,6 +160,22 @@ class ExtSpec extends SparkTestBase {
     assert(sloppy === exact)
   }
 
+  test("centroidDrift: per-source centroid cosine vs corpus; zero source is NULL") {
+    import spark.implicits._
+    // A → (1,0), B → (0,1); corpus centroid ∝ (1,1) ⇒ both drift at 1/√2
+    val df = Seq(
+      ("A", Array(1.0f, 0.0f)), ("A", Array(1.0f, 0.0f)),
+      ("B", Array(0.0f, 1.0f)), ("B", Array(0.0f, 1.0f)),
+      ("Z", Array(0.0f, 0.0f))).toDF("source", "embedding")
+    val out = Similarity.centroidDrift(df, "source", "embedding")
+      .orderBy("source").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - 0.707107) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - 0.707107) < 1e-9)
+    assert(out(2).isNullAt(2)) // zero-norm source has no direction
+  }
+
   test("semanticDecontaminate flags cosine neighbors of the benchmark only") {
     import spark.implicits._
     // bench = axis e1; train: id 1 ≈ e1 (cos≈0.995), id 2 ⟂ e1,
