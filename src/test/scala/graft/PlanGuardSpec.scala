@@ -50,6 +50,31 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminateBloom prunes the corpus BELOW every exchange") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, sfDir)
+      val df = Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", k = 3, minShared = 2, fpp = 0.01)
+      // the bloom-probe UDF filter must run scan-side: Catalyst
+      // pushes it through the shingle distinct, so its subtree —
+      // everything that executes before the prune — contains no
+      // shuffle. If this pin breaks, the corpus-shingle distinct
+      // shuffles the UNpruned 100 TB axis.
+      val udfFilters = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("UDF") => f
+      }
+      assert(udfFilters.nonEmpty, "bloom-probe UDF filter not found")
+      udfFilters.foreach { f =>
+        val shufflesBelow = f.collect { case s: ShuffleExchangeExec => s }
+        assert(shufflesBelow.isEmpty,
+          "bloom prune runs above a shuffle — prune is not map-side")
+      }
+    }
+  }
+
   test("semanticDecontaminate broadcasts the bench side; one agg exchange") {
     withStaticPlans {
       val emb = Tables.embeddings(spark, sfDir)
