@@ -37,6 +37,20 @@ object OpsScaleBench {
         f"median=$med%7.3f s thru=${inRows / med / 1e6}%6.2f Mrows/s")
     }
 
+    /** n× replication along `idCol` with replica-offset remapping —
+      * the shared axis-widening idiom of every row below. `offset`
+      * must stay coprime to any sharding modulus downstream (the
+      * pack_bucketed lesson: 10^7 is divisible by 16, which collapsed
+      * replicas back onto their original shards).
+      */
+    def replicate(df: org.apache.spark.sql.DataFrame, idCol: String,
+        offset: Long, n: Int): org.apache.spark.sql.DataFrame =
+      if (n <= 1) df
+      else df
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn(idCol, col(idCol) + col("__r") * offset)
+        .drop("__r")
+
     val li0 = graft.sources.Tables.lineitem(spark, dir)
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
     val emb0 = graft.sources.Tables.embeddings(spark, dir)
@@ -57,10 +71,7 @@ object OpsScaleBench {
           Seq("l_returnflag", "l_linestatus"),
           "l_quantity", "l_extendedprice").count())
 
-      val corpus = if (n <= 1) emb0 else emb0
-        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("vec_id", col("vec_id") + col("__r") * 10000000L)
-        .drop("__r")
+      val corpus = replicate(emb0, "vec_id", 10000000L, n)
       bench("rerank", n, nVecs * n)(() =>
         Similarity.rerankTopK(emb0.filter(col("vec_id") < 10), corpus,
           "vec_id", "embedding", kRetrieve = 20, kFinal = 5).count())
@@ -68,10 +79,7 @@ object OpsScaleBench {
       // offset must NOT be divisible by nShards=16, or every replica
       // lands back on its original shard (10^7 is 2^7·5^7) and the
       // bench would measure per-shard volume, not the shard axis
-      val docs = if (n <= 1) docs0 else docs0
-        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
-        .drop("__r")
+      val docs = replicate(docs0, "doc_id", 10000019L, n)
       bench("pack_bucketed", n, nDocs * n)(() =>
         TextStats.packBatchesBucketed(docs, "doc_id", "text",
           budgetTokens = 2048, nShards = 16, nBuckets = 4).count())
@@ -146,12 +154,8 @@ object OpsScaleBench {
       // reference slice widens with it — the model tables stay
       // vocabulary-sized). Should scale linearly: every stage is
       // either map work or an id/vocab-keyed equi-join.
-      val docsS = if (n <= 1)
-        graft.sources.Tables.documents(spark, dir)
-      else graft.sources.Tables.documents(spark, dir)
-        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
-        .drop("__r")
+      val docsS = replicate(graft.sources.Tables.documents(spark, dir),
+        "doc_id", 10000019L, n)
       bench("keep_score", n, nDocs * n) { () =>
         val c = TextStats.keepScore(docsS, "doc_id",
           TextStats.lmScore(docsS, "doc_id", "text",

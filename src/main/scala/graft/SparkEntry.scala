@@ -1614,6 +1614,133 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** SQL twins of the Scala seed/signal helpers — ONE definition per
+    * seed expression and per signal chain, interpolated into every
+    * oracle that uses it (q_pii, q_domains, q_domains_join,
+    * q_keep_score, q_lm_score), so a regex or seed edit cannot
+    * silently desynchronize the composite's oracle from the
+    * standalone ones (the same reason the Scala side has
+    * piiSeed/domainSeed).
+    */
+  private val piiEmailSql = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+  private val piiPhoneSql = """\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+  private val piiIpv4Sql = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  private val piiIdRunSql = "[0-9]{9,}"
+
+  /** The q_pii seeded-documents CTE (named `name`). */
+  private def piiSeedCte(name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id,
+       |         text || ' u' || doc_id || '@ex' || (doc_id % 5) || '.org' ||
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN ' ' || (doc_id % 900 + 100) || '-555-' ||
+       |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 4 = 0
+       |              THEN ' 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 5 = 0
+       |              THEN ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+       |              ELSE '' END AS text
+       |  FROM documents
+       |)""".stripMargin
+
+  /** The staged pii redaction chain over seed CTE `seed`; emits
+    * `${p}s1/${p}s2/${p}s3` with r1/r2/r3 columns.
+    */
+  private def piiChainCtes(seed: String, p: String): String =
+    s"""${p}s1 AS (
+       |  SELECT doc_id, text,
+       |         regexp_replace(text,
+       |           '$piiEmailSql',
+       |           '<EMAIL>', 'g') AS r1
+       |  FROM $seed
+       |), ${p}s2 AS (
+       |  SELECT *, regexp_replace(r1, '$piiPhoneSql',
+       |                           '<PHONE>', 'g') AS r2
+       |  FROM ${p}s1
+       |), ${p}s3 AS (
+       |  SELECT *, regexp_replace(r2,
+       |    '$piiIpv4Sql',
+       |    '<IP>', 'g') AS r3
+       |  FROM ${p}s2
+       |)""".stripMargin
+
+  /** The four staged audit-count columns over a `${p}s3` row. */
+  private def piiCountCols: String =
+    s"""CAST(len(regexp_extract_all(text, '$piiEmailSql')) AS INT) AS n_emails,
+       |       CAST(len(regexp_extract_all(r1, '$piiPhoneSql')) AS INT) AS n_phones,
+       |       CAST(len(regexp_extract_all(r2, '$piiIpv4Sql')) AS INT) AS n_ips,
+       |       CAST(len(regexp_extract_all(r3, '$piiIdRunSql')) AS INT) AS n_id_runs""".stripMargin
+
+  /** The q_domains seeded-documents CTE (named `name`). */
+  private def domainSeedCte(name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id,
+       |         text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x'
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 11 = 0
+       |              THEN ' via https://bad' || (doc_id % 2) || '.spam.io/z'
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 6 = 0
+       |              THEN ' again https://site' || (doc_id % 7) || '.example.com/q'
+       |              ELSE '' END AS text
+       |  FROM documents
+       |)""".stripMargin
+
+  /** The bigram-LM scoring chain (q_lm_score's model + per-doc
+    * aggregate), CTE names prefixed with `p`; ends at `${p}agg`
+    * (doc_id, sb, n_tokens, n_oov).
+    */
+  private def lmCtes(p: String): String =
+    s"""${p}arr AS (
+       |  SELECT doc_id, source,
+       |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                     x -> x <> '') AS ws
+       |  FROM documents
+       |), ${p}refw AS (
+       |  SELECT unnest(ws) AS w FROM ${p}arr WHERE source = 'src0'
+       |), ${p}uni AS (
+       |  SELECT w, count(*) AS cu FROM ${p}refw GROUP BY 1
+       |), ${p}tot AS (
+       |  SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM ${p}uni
+       |), ${p}bi AS (
+       |  SELECT w1, w2, count(*) AS cb FROM (
+       |    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+       |    FROM ${p}arr WHERE source = 'src0' AND len(ws) >= 2
+       |  ) GROUP BY 1, 2
+       |), ${p}terms AS (
+       |  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, ws[1] AS w2
+       |  FROM ${p}arr WHERE len(ws) >= 1
+       |  UNION ALL
+       |  SELECT doc_id, w1, w2 FROM (
+       |    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+       |    FROM ${p}arr WHERE len(ws) >= 2)
+       |), ${p}scored AS (
+       |  SELECT t.doc_id, u2.cu AS cu2,
+       |         CASE WHEN t.w1 IS NULL
+       |              THEN (coalesce(u2.cu, 0) + 1) * 1.0 / (${p}tot.n + ${p}tot.v)
+       |              ELSE 0.9 * (CASE WHEN u1.cu IS NOT NULL
+       |                               THEN coalesce(b.cb, 0) * 1.0 / u1.cu
+       |                               ELSE 0.0 END)
+       |                   + (1.0 - 0.9) *
+       |                     ((coalesce(u2.cu, 0) + 1) * 1.0 / (${p}tot.n + ${p}tot.v))
+       |         END AS p
+       |  FROM ${p}terms t
+       |  LEFT JOIN ${p}uni u2 ON t.w2 = u2.w
+       |  LEFT JOIN ${p}uni u1 ON t.w1 = u1.w
+       |  LEFT JOIN ${p}bi b ON t.w1 = b.w1 AND t.w2 = b.w2
+       |  CROSS JOIN ${p}tot
+       |), ${p}agg AS (
+       |  SELECT doc_id,
+       |         sum(CAST(round(-log2(p), 9) AS DECIMAL(38,9))) AS sb,
+       |         count(*) AS n_tokens,
+       |         CAST(sum(CASE WHEN cu2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM ${p}scored GROUP BY 1
+       |)""".stripMargin
+
   /** documents → distinct k-word shingles CTE (w, sh). */
   private def shingleCte(k: Int): String =
     s"""WITH w AS (
@@ -2043,60 +2170,15 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     "q_pii" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         text || ' u' || doc_id || '@ex' || (doc_id % 5) || '.org' ||
-        |         CASE WHEN doc_id % 3 = 0
-        |              THEN ' ' || (doc_id % 900 + 100) || '-555-' ||
-        |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 4 = 0
-        |              THEN ' 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 5 = 0
-        |              THEN ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
-        |              ELSE '' END AS text
-        |  FROM documents
-        |)
-        |, s1 AS (
-        |  SELECT doc_id, text,
-        |         regexp_replace(text,
-        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
-        |           '<EMAIL>', 'g') AS r1
-        |  FROM d
-        |), s2 AS (
-        |  SELECT *, regexp_replace(r1, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}',
-        |                           '<PHONE>', 'g') AS r2
-        |  FROM s1
-        |), s3 AS (
-        |  SELECT *, regexp_replace(r2,
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
-        |    '<IP>', 'g') AS r3
-        |  FROM s2
-        |)
-        |SELECT doc_id,
-        |       regexp_replace(r3, '[0-9]{9,}', '<ID>', 'g') AS pii_text,
-        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
-        |       CAST(len(regexp_extract_all(r1, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
-        |       CAST(len(regexp_extract_all(r2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
-        |       CAST(len(regexp_extract_all(r3, '[0-9]{9,}')) AS INT) AS n_id_runs
-        |FROM s3""".stripMargin,
+      (s"""WITH ${piiSeedCte("d")}
+         |, ${piiChainCtes("d", "")}
+         |SELECT doc_id,
+         |       regexp_replace(r3, '$piiIdRunSql', '<ID>', 'g') AS pii_text,
+         |       $piiCountCols
+         |FROM s3""".stripMargin),
 
     "q_domains" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||
-        |         CASE WHEN doc_id % 3 = 0
-        |              THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x'
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 11 = 0
-        |              THEN ' via https://bad' || (doc_id % 2) || '.spam.io/z'
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 6 = 0
-        |              THEN ' again https://site' || (doc_id % 7) || '.example.com/q'
-        |              ELSE '' END AS text
-        |  FROM documents
-        |), h AS (
+      (s"""WITH ${domainSeedCte("d")}, h AS (
         |  SELECT doc_id,
         |         regexp_extract_all(lower(text), 'https?://([a-zA-Z0-9.-]+)', 1) AS hosts
         |  FROM d
@@ -2106,25 +2188,12 @@ object SparkEntry {
         |       CAST(len(list_distinct(hosts)) AS INT) AS n_domains,
         |       array_to_string(list_sort(list_distinct(hosts)), ',') AS domains_csv,
         |       len(list_intersect(hosts, ['bad0.spam.io', 'bad1.spam.io'])) > 0 AS blocked
-        |FROM h""".stripMargin,
+        |FROM h""".stripMargin),
 
     // same oracle as q_domains — the join variant must produce the
     // identical result set on the identical seeded inputs.
     "q_domains_join" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||
-        |         CASE WHEN doc_id % 3 = 0
-        |              THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x'
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 11 = 0
-        |              THEN ' via https://bad' || (doc_id % 2) || '.spam.io/z'
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 6 = 0
-        |              THEN ' again https://site' || (doc_id % 7) || '.example.com/q'
-        |              ELSE '' END AS text
-        |  FROM documents
-        |), h AS (
+      (s"""WITH ${domainSeedCte("d")}, h AS (
         |  SELECT doc_id,
         |         regexp_extract_all(lower(text), 'https?://([a-zA-Z0-9.-]+)', 1) AS hosts
         |  FROM d
@@ -2134,7 +2203,7 @@ object SparkEntry {
         |       CAST(len(list_distinct(hosts)) AS INT) AS n_domains,
         |       array_to_string(list_sort(list_distinct(hosts)), ',') AS domains_csv,
         |       len(list_intersect(hosts, ['bad0.spam.io', 'bad1.spam.io'])) > 0 AS blocked
-        |FROM h""".stripMargin,
+        |FROM h""".stripMargin),
 
     "q_temp_mix" ->
       """WITH g AS (
@@ -2675,9 +2744,9 @@ object SparkEntry {
         |  SELECT dim, CAST(sum(iv) AS BIGINT) AS sc FROM el GROUP BY 1
         |), agg AS (
         |  SELECT source, min(n) AS n_vecs,
-        |         CAST(sum(sv * sc) AS BIGINT) AS dot,
-        |         CAST(sum(sv * sv) AS BIGINT) AS ss,
-        |         CAST(sum(sc * sc) AS BIGINT) AS cc
+        |         sum(CAST(sv AS HUGEINT) * sc) AS dot,
+        |         sum(CAST(sv AS HUGEINT) * sv) AS ss,
+        |         sum(CAST(sc AS HUGEINT) * sc) AS cc
         |  FROM bysrc JOIN corpus USING (dim) GROUP BY 1
         |)
         |SELECT source, n_vecs,
@@ -3064,56 +3133,12 @@ object SparkEntry {
     // round-to-9 then exact DECIMAL(38,9) sum) so the mean is
     // order-free and bit-identical cross-engine.
     "q_lm_score" ->
-      """WITH arr AS (
-        |  SELECT doc_id, source,
-        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |                     x -> x <> '') AS ws
-        |  FROM documents
-        |), refw AS (
-        |  SELECT unnest(ws) AS w FROM arr WHERE source = 'src0'
-        |), uni AS (
-        |  SELECT w, count(*) AS cu FROM refw GROUP BY 1
-        |), tot AS (
-        |  SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM uni
-        |), bi AS (
-        |  SELECT w1, w2, count(*) AS cb FROM (
-        |    SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
-        |    FROM arr WHERE source = 'src0' AND len(ws) >= 2
-        |  ) GROUP BY 1, 2
-        |), terms AS (
-        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, ws[1] AS w2
-        |  FROM arr WHERE len(ws) >= 1
-        |  UNION ALL
-        |  SELECT doc_id, w1, w2 FROM (
-        |    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
-        |    FROM arr WHERE len(ws) >= 2)
-        |), scored AS (
-        |  SELECT t.doc_id, u2.cu AS cu2,
-        |         CASE WHEN t.w1 IS NULL
-        |              THEN (coalesce(u2.cu, 0) + 1) * 1.0 / (tot.n + tot.v)
-        |              ELSE 0.9 * (CASE WHEN u1.cu IS NOT NULL
-        |                               THEN coalesce(b.cb, 0) * 1.0 / u1.cu
-        |                               ELSE 0.0 END)
-        |                   + (1.0 - 0.9) *
-        |                     ((coalesce(u2.cu, 0) + 1) * 1.0 / (tot.n + tot.v))
-        |         END AS p
-        |  FROM terms t
-        |  LEFT JOIN uni u2 ON t.w2 = u2.w
-        |  LEFT JOIN uni u1 ON t.w1 = u1.w
-        |  LEFT JOIN bi b ON t.w1 = b.w1 AND t.w2 = b.w2
-        |  CROSS JOIN tot
-        |), agg AS (
-        |  SELECT doc_id,
-        |         sum(CAST(round(-log2(p), 9) AS DECIMAL(38,9))) AS sb,
-        |         count(*) AS n_tokens,
-        |         CAST(sum(CASE WHEN cu2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-        |  FROM scored GROUP BY 1
-        |)
-        |SELECT d.doc_id,
-        |       coalesce(a.n_tokens, 0) AS n_tokens,
-        |       coalesce(a.n_oov, 0) AS n_oov,
-        |       round(CAST(a.sb AS DOUBLE) / a.n_tokens, 6) AS bits_per_token
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+      (s"""WITH ${lmCtes("")}
+         |SELECT d.doc_id,
+         |       coalesce(a.n_tokens, 0) AS n_tokens,
+         |       coalesce(a.n_oov, 0) AS n_oov,
+         |       round(CAST(a.sb AS DOUBLE) / a.n_tokens, 6) AS bits_per_token
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
 
     "q_text_clean" ->
       """WITH c AS (
@@ -3179,138 +3204,50 @@ object SparkEntry {
     // (renamed k*/r*/p*/d* to avoid collisions); the combiner mirrors
     // TextStats.keepScore's IEEE shapes exactly.
     "q_keep_score" ->
-      """WITH karr AS (
-        |  SELECT doc_id, source,
-        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |                     x -> x <> '') AS ws
-        |  FROM documents
-        |), krefw AS (
-        |  SELECT unnest(ws) AS w FROM karr WHERE source = 'src0'
-        |), kuni AS (
-        |  SELECT w, count(*) AS cu FROM krefw GROUP BY 1
-        |), ktot AS (
-        |  SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM kuni
-        |), kbi AS (
-        |  SELECT w1, w2, count(*) AS cb FROM (
-        |    SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
-        |    FROM karr WHERE source = 'src0' AND len(ws) >= 2
-        |  ) GROUP BY 1, 2
-        |), kterms AS (
-        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, ws[1] AS w2
-        |  FROM karr WHERE len(ws) >= 1
-        |  UNION ALL
-        |  SELECT doc_id, w1, w2 FROM (
-        |    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
-        |    FROM karr WHERE len(ws) >= 2)
-        |), kscored AS (
-        |  SELECT t.doc_id,
-        |         CASE WHEN t.w1 IS NULL
-        |              THEN (coalesce(u2.cu, 0) + 1) * 1.0 / (ktot.n + ktot.v)
-        |              ELSE 0.9 * (CASE WHEN u1.cu IS NOT NULL
-        |                               THEN coalesce(b.cb, 0) * 1.0 / u1.cu
-        |                               ELSE 0.0 END)
-        |                   + (1.0 - 0.9) *
-        |                     ((coalesce(u2.cu, 0) + 1) * 1.0 / (ktot.n + ktot.v))
-        |         END AS p
-        |  FROM kterms t
-        |  LEFT JOIN kuni u2 ON t.w2 = u2.w
-        |  LEFT JOIN kuni u1 ON t.w1 = u1.w
-        |  LEFT JOIN kbi b ON t.w1 = b.w1 AND t.w2 = b.w2
-        |  CROSS JOIN ktot
-        |), kagg AS (
-        |  SELECT doc_id,
-        |         sum(CAST(round(-log2(p), 9) AS DECIMAL(38,9))) AS sb,
-        |         count(*) AS n_tokens
-        |  FROM kscored GROUP BY 1
-        |), klm AS (
-        |  SELECT doc_id, round(CAST(sb AS DOUBLE) / n_tokens, 6) AS bits_per_token
-        |  FROM kagg
-        |), rw AS (
-        |  SELECT doc_id, unnest(ws) AS w FROM karr WHERE len(ws) > 0
-        |), rwc AS (
-        |  SELECT doc_id, w, count(*) AS c FROM rw GROUP BY 1, 2
-        |), krep AS (
-        |  SELECT doc_id, round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_word_frac
-        |  FROM rwc GROUP BY doc_id
-        |), pd AS (
-        |  SELECT doc_id,
-        |         text || ' u' || doc_id || '@ex' || (doc_id % 5) || '.org' ||
-        |         CASE WHEN doc_id % 3 = 0
-        |              THEN ' ' || (doc_id % 900 + 100) || '-555-' ||
-        |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 4 = 0
-        |              THEN ' 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 5 = 0
-        |              THEN ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
-        |              ELSE '' END AS text
-        |  FROM documents
-        |), ps1 AS (
-        |  SELECT doc_id, text,
-        |         regexp_replace(text,
-        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
-        |           '<EMAIL>', 'g') AS r1
-        |  FROM pd
-        |), ps2 AS (
-        |  SELECT *, regexp_replace(r1, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}',
-        |                           '<PHONE>', 'g') AS r2
-        |  FROM ps1
-        |), ps3 AS (
-        |  SELECT *, regexp_replace(r2,
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
-        |    '<IP>', 'g') AS r3
-        |  FROM ps2
-        |), kpii AS (
-        |  SELECT doc_id,
-        |         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
-        |         CAST(len(regexp_extract_all(r1, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
-        |         CAST(len(regexp_extract_all(r2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
-        |         CAST(len(regexp_extract_all(r3, '[0-9]{9,}')) AS INT) AS n_id_runs
-        |  FROM ps3
-        |), dd2 AS (
-        |  SELECT doc_id,
-        |         text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||
-        |         CASE WHEN doc_id % 3 = 0
-        |              THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x'
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 11 = 0
-        |              THEN ' via https://bad' || (doc_id % 2) || '.spam.io/z'
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 6 = 0
-        |              THEN ' again https://site' || (doc_id % 7) || '.example.com/q'
-        |              ELSE '' END AS text
-        |  FROM documents
-        |), kdom AS (
-        |  SELECT doc_id,
-        |         len(list_intersect(
-        |           regexp_extract_all(lower(text), 'https?://([a-zA-Z0-9.-]+)', 1),
-        |           ['bad0.spam.io', 'bad1.spam.io'])) > 0 AS blocked
-        |  FROM dd2
-        |), ks AS (
-        |  SELECT d.doc_id,
-        |         CASE WHEN klm.bits_per_token IS NULL THEN CAST(0.0 AS DOUBLE)
-        |              ELSE greatest(CAST(0.0 AS DOUBLE),
-        |                            1.0 - klm.bits_per_token / 16.0)
-        |         END AS s_lm,
-        |         CASE WHEN krep.dup_word_frac IS NULL THEN CAST(0.0 AS DOUBLE)
-        |              ELSE 1.0 - krep.dup_word_frac END AS s_rep,
-        |         1.0 / (1.0 + CAST(coalesce(
-        |           kpii.n_emails + kpii.n_phones + kpii.n_ips + kpii.n_id_runs,
-        |           0) AS DOUBLE)) AS s_pii,
-        |         CASE WHEN coalesce(kdom.blocked, FALSE)
-        |              THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE)
-        |         END AS s_domain
-        |  FROM documents d
-        |  LEFT JOIN klm USING (doc_id)
-        |  LEFT JOIN krep USING (doc_id)
-        |  LEFT JOIN kpii USING (doc_id)
-        |  LEFT JOIN kdom USING (doc_id)
-        |)
-        |SELECT doc_id, s_lm, s_rep, s_pii, s_domain,
-        |       0.4 * s_lm + 0.3 * s_rep + 0.2 * s_pii + 0.1 * s_domain AS keep_score,
-        |       (0.4 * s_lm + 0.3 * s_rep + 0.2 * s_pii + 0.1 * s_domain >= 0.5) AS keep
-        |FROM ks""".stripMargin,
+      (s"""WITH ${lmCtes("k")}, klm AS (
+         |  SELECT doc_id, round(CAST(sb AS DOUBLE) / n_tokens, 6) AS bits_per_token
+         |  FROM kagg
+         |), rw AS (
+         |  SELECT doc_id, unnest(ws) AS w FROM karr WHERE len(ws) > 0
+         |), rwc AS (
+         |  SELECT doc_id, w, count(*) AS c FROM rw GROUP BY 1, 2
+         |), krep AS (
+         |  SELECT doc_id, round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_word_frac
+         |  FROM rwc GROUP BY doc_id
+         |), ${piiSeedCte("pd")}, ${piiChainCtes("pd", "p")}, kpii AS (
+         |  SELECT doc_id,
+         |       $piiCountCols
+         |  FROM ps3
+         |), ${domainSeedCte("dd2")}, kdom AS (
+         |  SELECT doc_id,
+         |         len(list_intersect(
+         |           regexp_extract_all(lower(text), 'https?://([a-zA-Z0-9.-]+)', 1),
+         |           ['bad0.spam.io', 'bad1.spam.io'])) > 0 AS blocked
+         |  FROM dd2
+         |), ks AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN klm.bits_per_token IS NULL THEN CAST(0.0 AS DOUBLE)
+         |              ELSE greatest(CAST(0.0 AS DOUBLE),
+         |                            1.0 - klm.bits_per_token / 16.0)
+         |         END AS s_lm,
+         |         CASE WHEN krep.dup_word_frac IS NULL THEN CAST(0.0 AS DOUBLE)
+         |              ELSE 1.0 - krep.dup_word_frac END AS s_rep,
+         |         1.0 / (1.0 + CAST(coalesce(
+         |           kpii.n_emails + kpii.n_phones + kpii.n_ips + kpii.n_id_runs,
+         |           0) AS DOUBLE)) AS s_pii,
+         |         CASE WHEN coalesce(kdom.blocked, FALSE)
+         |              THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE)
+         |         END AS s_domain
+         |  FROM documents d
+         |  LEFT JOIN klm USING (doc_id)
+         |  LEFT JOIN krep USING (doc_id)
+         |  LEFT JOIN kpii USING (doc_id)
+         |  LEFT JOIN kdom USING (doc_id)
+         |)
+         |SELECT doc_id, s_lm, s_rep, s_pii, s_domain,
+         |       0.4 * s_lm + 0.3 * s_rep + 0.2 * s_pii + 0.1 * s_domain AS keep_score,
+         |       (0.4 * s_lm + 0.3 * s_rep + 0.2 * s_pii + 0.1 * s_domain >= 0.5) AS keep
+         |FROM ks""".stripMargin),
 
     "q_fingerprint" ->
       (shingleCte(3) +

@@ -451,15 +451,17 @@ object Similarity {
     * divided out — elements quantize to 3-dp integers (round of an
     * arbitrary float: a midpoint collision is measure-zero, unlike
     * rounding decimal-grid-constructed values) and every sum and
-    * product after that is EXACT BIGINT on both engines; the single
-    * int→double conversion at the end is IEEE round-to-nearest on
-    * both, and the final 6-dp round acts on an irrational-valued
-    * cosine (sqrt), again measure-zero. 3-dp quantization on
-    * unit-scale embeddings bounds the drift_cos perturbation at
-    * ~1e-3 — a monitoring statistic, not a ranking key. Headroom:
-    * |elem| ≤ 10 ⇒ corpus-dim sums ≤ 1e4·n_vecs, squares ≤ 1e8·n²;
-    * int64 holds the 64-dim norm sum to ~1e9 vectors per corpus.
-    * Output: source, n_vecs, drift_cos.
+    * product after that is EXACT on both engines: per-dim sums stay
+    * BIGINT (|sum| ≤ 1e4·n, int64-safe to n ≈ 9e14 vectors at the
+    * |elem| ≤ 10 design bound), while the dot/norm terms — which are
+    * n²-scaled and would overflow int64 from n ≈ 3e6 same-sign
+    * vectors — multiply and sum as DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB), exact to ~1e38 ⇒ n ≈ 1e14 vectors. The two exact
+    * totals convert to double once at the end, and the final 6-dp
+    * round acts on an irrational-valued cosine (sqrt) — measure-zero.
+    * 3-dp quantization on unit-scale embeddings bounds the drift_cos
+    * perturbation at ~1e-3 — a monitoring statistic, not a ranking
+    * key. Output: source, n_vecs, drift_cos.
     */
   def centroidDrift(df: DataFrame, source: String, vec: String)
       : DataFrame = {
@@ -471,12 +473,15 @@ object Similarity {
     val bySrc = q.groupBy("source", "dim")
       .agg(sum("iv").as("sv"), count(lit(1)).as("n"))
     val corpus = q.groupBy("dim").agg(sum("iv").as("sc"))
+    // n²-scaled terms in exact decimal — int64 would overflow here
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     bySrc.join(broadcast(corpus), "dim")
       .groupBy("source")
-      .agg(first(col("n")).as("n_vecs"),
-        sum(col("sv") * col("sc")).as("__dot"),
-        sum(col("sv") * col("sv")).as("__ss"),
-        sum(col("sc") * col("sc")).as("__cc"))
+      .agg(min(col("n")).as("n_vecs"), // min mirrors the oracle; ragged
+        // vector lengths make per-dim counts differ and first() flap
+        sum(d19(col("sv")) * d19(col("sc"))).as("__dot"),
+        sum(d19(col("sv")) * d19(col("sv"))).as("__ss"),
+        sum(d19(col("sc")) * d19(col("sc"))).as("__cc"))
       .select(col("source"), col("n_vecs"),
         when(col("__ss") > 0 && col("__cc") > 0,
           round(col("__dot").cast("double") /
