@@ -1042,6 +1042,34 @@ object SparkEntry {
       TextStats.encodeBpe(docs, "doc_id", "text", merges)
     }),
 
+    // semi-oracle companion for the two rows-only BPE queries (the
+    // q_wrtds_check pattern): the oracle reproduces the corpus-level
+    // structural counts EXACTLY (docs-with-words, total words, total
+    // tokenized chars — pure whitespace-token SQL, no BPE needed) and
+    // expects the in-band assertions TRUE: every doc's BPE token
+    // count sits in [n_words, n_chars] (each word encodes to between
+    // 1 and len(word) symbols), and the merge table is structurally
+    // sound (merged ≡ left||right, ranks dense 1..m, m ≤ 12). BpeSpec
+    // still pins the merge SEQUENCE against a literal reference
+    // implementation; this adds the driver-gate signal.
+    "q_bpe_check" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+      val enc = TextStats.encodeBpe(docs, "doc_id", "text", merges)
+      val encAgg = enc.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_chars_tokenized").as("total_chars"),
+        min(col("n_words") <= col("n_bpe_tokens") &&
+          col("n_bpe_tokens") <= col("n_chars_tokenized"))
+          .as("bpe_bounds_ok"))
+      val mAgg = merges.agg(
+        (min(col("merged") === concat(col("left"), col("right"))) &&
+          max(col("rank")) === count(lit(1)) &&
+          count(lit(1)) <= 12).as("merges_ok"))
+      encAgg.crossJoin(broadcast(mAgg))
+    }),
+
     // exact 1%-heavy-hitter tokens with BOUNDED state end to end:
     // Misra-Gries sketch (native TypedImperativeAggregate, O(capacity)
     // per task, mergeable) -> <= 127 candidates -> broadcast semi-join
@@ -3312,6 +3340,21 @@ object SparkEntry {
         |       count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY 1
         |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
+
+    // BPE semi-oracle: exact whitespace-token structural counts + the
+    // in-band bound/soundness assertions TRUE
+    "q_bpe_check" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents
+        |)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS total_words,
+        |       CAST(sum(length(word)) AS BIGINT) AS total_chars,
+        |       TRUE AS bpe_bounds_ok, TRUE AS merges_ok
+        |FROM w""".stripMargin,
 
     // exact phi-heavy-hitters: the sketch pass is lossless for the
     // threshold (supportPpm > 1e6/(capacity+1)), so plain exact SQL is
