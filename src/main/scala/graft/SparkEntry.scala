@@ -1059,14 +1059,15 @@ object SparkEntry {
       val encAgg = enc.agg(
         countDistinct(col("doc_id")).as("n_docs"),
         sum("n_words").as("total_words"),
-        sum("n_chars_tokenized").as("total_chars"),
-        min(col("n_words") <= col("n_bpe_tokens") &&
-          col("n_bpe_tokens") <= col("n_chars_tokenized"))
+        sum("n_bytes_tokenized").as("total_bytes"),
+        coalesce(min(col("n_words") <= col("n_bpe_tokens") &&
+          col("n_bpe_tokens") <= col("n_bytes_tokenized")), lit(false))
           .as("bpe_bounds_ok"))
       val mAgg = merges.agg(
-        (min(col("merged") === concat(col("left"), col("right"))) &&
+        coalesce(min(col("merged") === concat(col("left"), col("right"))) &&
           max(col("rank")) === count(lit(1)) &&
-          count(lit(1)) <= 12).as("merges_ok"))
+          countDistinct(col("rank")) === count(lit(1)) &&
+          count(lit(1)) <= 12, lit(false)).as("merges_ok"))
       encAgg.crossJoin(broadcast(mAgg))
     }),
 
@@ -2300,7 +2301,7 @@ object SparkEntry {
         |)
         |SELECT source, CAST(min(n) AS BIGINT) AS n_tokens,
         |       CAST(count(*) AS BIGINT) AS n_terms,
-        |       round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl_bits
+        |       CAST(round(sum(kl_term), 6) AS DOUBLE) AS kl_bits
         |FROM term GROUP BY source""".stripMargin,
 
     "q_snapshot_diff" ->
@@ -3036,7 +3037,7 @@ object SparkEntry {
         |)
         |SELECT event_type, window_id, CAST(min(n_prev) AS BIGINT) AS n_prev,
         |       CAST(min(n_cur) AS BIGINT) AS n_cur,
-        |       round(CAST(sum(t) AS DOUBLE), 6) AS psi
+        |       CAST(round(sum(t), 6) AS DOUBLE) AS psi
         |FROM j GROUP BY 1, 2""".stripMargin,
 
     // identical index/scoring CTEs as q_bm25; the positive pair is
@@ -3260,11 +3261,13 @@ object SparkEntry {
          |         END AS s_lm,
          |         CASE WHEN krep.dup_word_frac IS NULL THEN CAST(0.0 AS DOUBLE)
          |              ELSE 1.0 - krep.dup_word_frac END AS s_rep,
-         |         1.0 / (1.0 + CAST(coalesce(
-         |           kpii.n_emails + kpii.n_phones + kpii.n_ips + kpii.n_id_runs,
-         |           0) AS DOUBLE)) AS s_pii,
-         |         CASE WHEN coalesce(kdom.blocked, FALSE)
-         |              THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE)
+         |         CASE WHEN kpii.n_emails IS NULL THEN CAST(0.0 AS DOUBLE)
+         |              ELSE 1.0 / (1.0 + CAST(kpii.n_emails + kpii.n_phones
+         |                                     + kpii.n_ips + kpii.n_id_runs
+         |                                     AS DOUBLE)) END AS s_pii,
+         |         CASE WHEN kdom.blocked IS NULL THEN CAST(0.0 AS DOUBLE)
+         |              WHEN kdom.blocked THEN CAST(0.0 AS DOUBLE)
+         |              ELSE CAST(1.0 AS DOUBLE)
          |         END AS s_domain
          |  FROM documents d
          |  LEFT JOIN klm USING (doc_id)
@@ -3342,7 +3345,10 @@ object SparkEntry {
         |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
 
     // BPE semi-oracle: exact whitespace-token structural counts + the
-    // in-band bound/soundness assertions TRUE
+    // in-band bound/soundness assertions TRUE. Word width is UTF-8
+    // BYTES on both engines (Spark octet_length ≡ DuckDB strlen) —
+    // code-unit/code-point counts diverge cross-engine on
+    // supplementary-plane characters, byte length never does.
     "q_bpe_check" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -3352,7 +3358,7 @@ object SparkEntry {
         |)
         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       CAST(count(*) AS BIGINT) AS total_words,
-        |       CAST(sum(length(word)) AS BIGINT) AS total_chars,
+        |       CAST(sum(strlen(word)) AS BIGINT) AS total_bytes,
         |       TRUE AS bpe_bounds_ok, TRUE AS merges_ok
         |FROM w""".stripMargin,
 

@@ -456,7 +456,15 @@ object Similarity {
     * |elem| ≤ 10 design bound), while the dot/norm terms — which are
     * n²-scaled and would overflow int64 from n ≈ 3e6 same-sign
     * vectors — multiply and sum as DECIMAL(38,0) (Spark) / HUGEINT
-    * (DuckDB), exact to ~1e38 ⇒ n ≈ 1e14 vectors. The two exact
+    * (DuckDB). The headroom bound must count the over-DIMS sum, not
+    * just one product: each |sv·sc| ≤ (1e4·n)² = 1e8·n², so the
+    * accumulated total is ≤ dims·1e8·n² and exactness to ~1e38
+    * requires n ≤ 1e15/√dims — ≈ 3e13 vectors at dims = 1024, still
+    * ≥ 4 orders of magnitude past a 100 TB corpus of 1 KB+ vectors.
+    * Past the bound the decimal sum overflows to NULL (ANSI off),
+    * which would silently report "no drift"; an assert_true guard
+    * turns that into a loud analysis error instead (spec'd at the
+    * bound in ExtSpec). The two exact
     * totals convert to double once at the end, and the final 6-dp
     * round acts on an irrational-valued cosine (sqrt) — measure-zero.
     * 3-dp quantization on unit-scale embeddings bounds the drift_cos
@@ -481,9 +489,19 @@ object Similarity {
         // vector lengths make per-dim counts differ and first() flap
         sum(d19(col("sv")) * d19(col("sc"))).as("__dot"),
         sum(d19(col("sv")) * d19(col("sv"))).as("__ss"),
-        sum(d19(col("sc")) * d19(col("sc"))).as("__cc"))
+        sum(d19(col("sc")) * d19(col("sc"))).as("__cc"),
+        // overflow sentinel: with ANSI off a DECIMAL(38,0) sum
+        // overflow yields NULL while its count stays > 0 — the one
+        // state the exact accumulators can't reach legitimately
+        count(col("sv")).as("__nsv"))
+      .withColumn("__guard", when(
+        col("__nsv") > 0 &&
+          (col("__dot").isNull || col("__ss").isNull || col("__cc").isNull),
+        assert_true(lit(false), lit(
+          "centroidDrift: exact DECIMAL(38,0) accumulator overflowed — " +
+            "dims*n beyond the documented n <= 1e15/sqrt(dims) bound"))))
       .select(col("source"), col("n_vecs"),
-        when(col("__ss") > 0 && col("__cc") > 0,
+        when(col("__guard").isNull && col("__ss") > 0 && col("__cc") > 0,
           round(col("__dot").cast("double") /
             (sqrt(col("__ss").cast("double")) *
              sqrt(col("__cc").cast("double"))), 6)).as("drift_cos"))

@@ -614,7 +614,14 @@ object TextStats {
     * is per-row imperative with a shared lookup map, it runs on the
     * vocab axis (never the corpus axis), and the corpus-axis work —
     * explode, count, join, sum — all stays codegen'd.
-    * Output: id, n_words, n_bpe_tokens, n_chars_tokenized.
+    * Output: id, n_words, n_bpe_tokens, n_bytes_tokenized. The size
+    * column is UTF-8 BYTES, not characters, deliberately: Spark's
+    * split("") yields UTF-16 code units while SQL length() counts
+    * code points, so a supplementary-plane character (emoji) makes
+    * "characters" engine-dependent — byte length (octet_length /
+    * strlen) is the one width both engines and the token bound agree
+    * on (symbols-from-split ≤ UTF-16 units ≤ UTF-8 bytes, per code
+    * point: 1–3-byte forms are 1 unit, the 4-byte form is 2 units).
     */
   def encodeBpe(df: DataFrame, id: String, text: String,
       merges: DataFrame): DataFrame = {
@@ -655,7 +662,7 @@ object TextStats {
       .groupBy(id)
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"),
-        sum(col("cnt") * length(col("word"))).as("n_chars_tokenized"))
+        sum(col("cnt") * octet_length(col("word"))).as("n_bytes_tokenized"))
   }
 
   /** Global bigram-frequency top-k — the n-gram extension of
@@ -945,9 +952,11 @@ object TextStats {
     * (exact-integer-valued double products, one division, one log2),
     * rounded to 9 dp and summed as DECIMAL(38,9) — order-free, so
     * neither engine's shuffle order can perturb the total — and the
-    * reported statistic re-rounds that exact sum to a 6-dp double
-    * (the lmScore/bm25TopK recipe) so a 1-ulp libm difference in a
-    * single log2 term can never flip the emitted value.
+    * reported statistic re-rounds that exact sum to 6 dp IN DECIMAL
+    * SPACE (both engines round decimals half-away-from-zero exactly)
+    * before the single cast to double, so neither a 1-ulp libm
+    * difference in a log2 term nor a 6-dp midpoint sitting on the
+    * 9-dp grid can flip the emitted value.
     * Output: source, n_tokens, n_terms, kl_bits (double).
     */
   def sourceDivergence(df: DataFrame, source: String, text: String)
@@ -969,7 +978,7 @@ object TextStats {
     term.groupBy("source")
       .agg(first(col("n")).as("n_tokens"),
         count(lit(1)).as("n_terms"),
-        round(sum(col("kl_term")).cast("double"), 6).as("kl_bits"))
+        round(sum(col("kl_term")), 6).cast("double").as("kl_bits"))
   }
 
   /** Calibrated curation keep-score — the one-number composite every
@@ -986,8 +995,12 @@ object TextStats {
     *   s_pii    = 1 / (1 + n_pii)                 (total audit count)
     *   s_domain = blocked ? 0 : 1
     *   keep_score = 0.4·s_lm + 0.3·s_rep + 0.2·s_pii + 0.1·s_domain
-    * Missing signals (zero-token docs) contribute 0 — absence of
-    * evidence of quality is evidence of junk in a curation pass.
+    * Missing signals contribute 0 — a doc absent from ANY signal
+    * table (zero-token docs for lm/rep, docs never audited for
+    * pii/domains) scores 0 on that component: absence of evidence of
+    * quality is evidence of junk in a curation pass. (Presence-with-
+    * zero-findings is different and scores best: a doc the pii audit
+    * DID scan and found clean gets s_pii = 1.)
     *
     * Determinism: the combiner NEVER rounds. Its inputs are already
     * cross-engine-deterministic (6-dp-rounded signal outputs and
@@ -1012,12 +1025,12 @@ object TextStats {
         lit(1.0) - col("bits_per_token") / lit(16.0)))
     val sRep = when(col("dup_word_frac").isNull, lit(0.0))
       .otherwise(lit(1.0) - col("dup_word_frac"))
-    val nPii = coalesce(
-      col("n_emails") + col("n_phones") + col("n_ips") + col("n_id_runs"),
-      lit(0))
-    val sPii = lit(1.0) / (lit(1.0) + nPii.cast("double"))
-    val sDom = when(coalesce(col("blocked"), lit(false)), lit(0.0))
-      .otherwise(lit(1.0))
+    val nPii =
+      col("n_emails") + col("n_phones") + col("n_ips") + col("n_id_runs")
+    val sPii = when(col("n_emails").isNull, lit(0.0))
+      .otherwise(lit(1.0) / (lit(1.0) + nPii.cast("double")))
+    val sDom = when(col("blocked").isNull, lit(0.0))
+      .otherwise(when(col("blocked"), lit(0.0)).otherwise(lit(1.0)))
     base.select(col(id))
       .join(lm.select(col(id), col("bits_per_token")), Seq(id), "left")
       .join(rep.select(col(id), col("dup_word_frac")), Seq(id), "left")

@@ -295,9 +295,12 @@ object Diagnostics {
     * stay BIGINT; each bin term mirrors identically-shaped double
     * expressions, rounds to 9 dp and sums as DECIMAL(38,9)
     * (order-free); the reported statistic re-rounds the exact sum to
-    * a 6-dp double (the lmScore/bm25TopK recipe) so a 1-ulp libm
-    * difference in a single ln term can never flip the emitted
-    * value. Output: group*, window_id, n_prev, n_cur, psi (double).
+    * 6 dp IN DECIMAL SPACE (both engines round decimals
+    * half-away-from-zero exactly) before the single cast to double,
+    * so neither a 1-ulp libm difference in a single ln term nor a
+    * 6-dp midpoint sitting exactly on the 9-dp grid can flip the
+    * emitted value.
+    * Output: group*, window_id, n_prev, n_cur, psi (double).
     */
   def psiDrift(df: DataFrame, groupCols: Seq[String], tsUs: String,
       value: String, windowUs: Long, lo: Double, hi: Double,
@@ -336,6 +339,6 @@ object Diagnostics {
       .groupBy((groupCols :+ "window_id").map(col): _*)
       .agg(first(col("n_prev")).as("n_prev"),
         first(col("n_cur")).as("n_cur"),
-        round(sum(col("t")).cast("double"), 6).as("psi"))
+        round(sum(col("t")), 6).cast("double").as("psi"))
   }
 }

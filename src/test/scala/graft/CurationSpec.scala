@@ -211,9 +211,11 @@ class CurationSpec extends SparkTestBase {
 
   test("keepScore: fixed calibration over four signals; absent signals score 0") {
     import spark.implicits._
-    val base = Seq(1L, 2L, 3L).toDF("doc_id")
-    val lm = Seq((1L, 8.0), (2L, 24.0)).toDF("doc_id", "bits_per_token")
-    val rep = Seq((1L, 0.25), (2L, 0.0)).toDF("doc_id", "dup_word_frac")
+    val base = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val lm = Seq((1L, 8.0), (2L, 24.0), (4L, 8.0))
+      .toDF("doc_id", "bits_per_token")
+    val rep = Seq((1L, 0.25), (2L, 0.0), (4L, 0.0))
+      .toDF("doc_id", "dup_word_frac")
     val pii = Seq((1L, 0, 0, 0, 0), (2L, 1, 1, 1, 1), (3L, 0, 0, 0, 0))
       .toDF("doc_id", "n_emails", "n_phones", "n_ips", "n_id_runs")
     val dom = Seq((1L, false), (2L, true), (3L, false))
@@ -234,6 +236,12 @@ class CurationSpec extends SparkTestBase {
     assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(2) === 0.0)
     assert(math.abs(out(2).getDouble(5) - 0.3) < 1e-12)
     assert(!out(2).getBoolean(6))
+    // doc 4: pii/domain signals ABSENT → 0 contribution (NOT the
+    // presence-with-zero-findings best score docs 1/3 get); good
+    // lm/rep → 0.4·0.5 + 0.3·1.0 = 0.5, keep at threshold
+    assert(out(3).getDouble(3) === 0.0 && out(3).getDouble(4) === 0.0)
+    assert(math.abs(out(3).getDouble(5) - 0.5) < 1e-12)
+    assert(out(3).getBoolean(6))
   }
 
   test("psiDrift: stable window scores 0, flipped distribution scores 2*0.4*ln(7/3)") {

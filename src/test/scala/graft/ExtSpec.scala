@@ -176,6 +176,27 @@ class ExtSpec extends SparkTestBase {
     assert(out(2).isNullAt(2)) // zero-norm source has no direction
   }
 
+  test("centroidDrift: decimal accumulator overflow is loud, never silent NULL") {
+    import spark.implicits._
+    // per-dim sums land near int64 max (iv ≈ 9.2e18); the over-dims
+    // Σ sc² ≈ 2·8.5e37 = 1.7e38 > 1e38 overflows DECIMAL(38,0) — under
+    // ANSI that throws in the sum, with ANSI off the assert_true guard
+    // fires on the NULL accumulator. Either way: an error, not a NULL
+    // row pretending "no drift".
+    val big = 9.2e15f // iv = round(v·1000) ≈ 9.2e18
+    val df = Seq(
+      ("A", Array(big, big)), ("B", Array(big, big)))
+      .toDF("source", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.centroidDrift(df, "source", "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.toLowerCase.contains("overflow") || m.contains("centroidDrift")))
+  }
+
   test("semanticDecontaminate flags cosine neighbors of the benchmark only") {
     import spark.implicits._
     // bench = axis e1; train: id 1 ≈ e1 (cos≈0.995), id 2 ⟂ e1,
