@@ -27,6 +27,26 @@ object OpsScaleBench {
     val spark = Sessions.local()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    // stage-level shuffle-write accumulator for the shuffle-volume
+    // rows: the listener sums bytesWritten per completed stage; reads
+    // go through ListenerFlush.flush (drain the async bus) so the
+    // counter is exact per measured run, never racing delivery.
+    val shuffleWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleWritten.addAndGet(
+            e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def measuredShuffleMb(run: () => Long): Double = {
+      org.apache.spark.graftbridge.ListenerFlush.flush(spark.sparkContext)
+      val before = shuffleWritten.get()
+      run()
+      org.apache.spark.graftbridge.ListenerFlush.flush(spark.sparkContext)
+      (shuffleWritten.get() - before) / 1e6
+    }
+
     def bench(name: String, n: Int, inRows: Long)(run: () => Long): Unit = {
       run() // warmup: codegen + JIT
       val times = (1 to 3).map { _ =>
@@ -35,6 +55,21 @@ object OpsScaleBench {
       val med = times(1)
       println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
         f"median=$med%7.3f s thru=${inRows / med / 1e6}%6.2f Mrows/s")
+    }
+
+    /** bench + exact shuffle-write bytes of the MEDIAN-adjacent run
+      * (one extra measured pass after the timing passes — shuffle
+      * volume is deterministic per plan, unlike wall time).
+      */
+    def benchShuffle(name: String, n: Int, inRows: Long)(run: () => Long): Unit = {
+      run() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val mb = measuredShuffleMb(run)
+      println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
+        f"median=${times(1)}%7.3f s thru=${inRows / times(1) / 1e6}%6.2f Mrows/s " +
+        f"shuffle=$mb%9.3f MB")
     }
 
     /** n× replication along `idCol` with replica-offset remapping —
@@ -177,6 +212,50 @@ object OpsScaleBench {
           corpus.filter(col("vec_id") % 29 =!= 0),
           emb0.filter(col("vec_id") % 29 === 0),
           "vec_id", "embedding", threshold = 0.3).count())
+
+      // decontamination SHUFFLE-VOLUME contrast on the same corpus
+      // axis (fixed bench side = every 29th doc): the bloom form's
+      // entire 100 TB claim is that the broadcast filter drops corpus
+      // shingles in map work BEFORE any exchange, so the bytes
+      // entering the verify join stay proportional to the (fixed)
+      // bench vocabulary's matches while the plain inverted-index
+      // join shuffles EVERY corpus shingle. Wall time on a 32-thread
+      // local box under-sells that (both scans are memory-local); the
+      // shuffle=MB column is the cluster-relevant curve.
+      val trainDocs = docs.filter(col("doc_id") % 29 =!= 0)
+      val benchDocs = docs0.filter(col("doc_id") % 29 === 0)
+      benchShuffle("decont_plain", n, nDocs * n)(() =>
+        graft.ext.Dedup.decontaminate(trainDocs, benchDocs,
+          "doc_id", "text", k = 3, minShared = 5).count())
+      benchShuffle("decont_bloom", n, nDocs * n) { () =>
+        val c = graft.ext.Dedup.decontaminateBloom(trainDocs, benchDocs,
+          "doc_id", "text", k = 3, minShared = 5).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
+      // SemDeDup embedding-cluster dedup on the corpus axis: replicas
+      // are ROTATED copies (a rotation of iid-random dims is
+      // decorrelated from every other rotation), so near-dup families
+      // never span replicas — answer volume grows linearly, and the
+      // bench measures the operator, not quadratic answer growth. The
+      // seed count scales with the corpus (the SemDeDup contract:
+      // k ∝ n keeps E|cell| constant, so the within-cell pair phase
+      // stays linear); the assignment term is inherently n·k for a
+      // flat quantizer — the row's claim is pair-phase linearity, not
+      // assignment flatness.
+      val embRot = if (n <= 1) emb0 else emb0
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("__rr", (col("__r") % size(col("embedding"))).cast("int"))
+        .withColumn("vec_id", col("vec_id") + col("__r") * 10000019L)
+        .withColumn("embedding",
+          concat(slice(col("embedding"), col("__rr") + 1,
+            size(col("embedding")) - col("__rr")),
+            slice(col("embedding"), lit(1), col("__rr"))))
+        .drop("__r", "__rr")
+      bench("dedup_sem", n, nVecs * n)(() =>
+        Similarity.semanticDedup(embRot, "vec_id", "embedding",
+          nSeeds = 16 * n, tau = 0.35).count())
     }
     spark.stop()
   }

@@ -793,6 +793,22 @@ object SparkEntry {
       Dedup.dupClusters(emb.select("vec_id"), pairs, "vec_id")
     }),
 
+    // SemDeDup-style embedding-cluster dedup: assignment to pinned
+    // deterministic centroids (the 16 smallest-id vectors) is a pure
+    // projection; the τ-prune self-join never leaves a cell — Σ|cell|²
+    // candidates, not n². Fully oracled (the trained-k-means variant
+    // of this family is q_ann_ivf's declared no-oracle contract).
+    "q_dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", nSeeds = 16, tau = 0.35)),
+
+    // recall companion: what fraction of ALL τ-pairs (brute force —
+    // declared bounded baseline, test-SF only) the cell partition
+    // keeps intra-cell. Exact integer cross-multiplication bound.
+    "q_dedup_semantic_recall" -> ((s, dir) =>
+      Similarity.semanticDedupRecall(Tables.embeddings(s, dir), "vec_id",
+        "embedding", nSeeds = 16, tau = 0.35, minPct = 10)),
+
     "q_ann_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
@@ -1920,6 +1936,28 @@ object SparkEntry {
     (0 until 8).map(j =>
       s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
+  /** semantic-dedup cell-assignment CTE chain (n … cells): pinned
+    * seeds = the nSeeds smallest-id vectors, argmax cosine with ties
+    * to the smaller seed id — mirrors Similarity.semanticDedup's
+    * projection exactly (identically-shaped IEEE folds).
+    */
+  private def semanticCellsCte(nSeeds: Int): String =
+    normCte +
+      s""", sd AS (
+         |  SELECT vec_id AS seed_id, embedding AS sv, nrm AS snrm
+         |  FROM n ORDER BY vec_id LIMIT $nSeeds
+         |), asgall AS (
+         |  SELECT c.vec_id, s.seed_id,
+         |         ${dotSql("c.embedding", "s.sv")} / (c.nrm * s.snrm) AS cos0
+         |  FROM n c CROSS JOIN sd s
+         |), cells AS (
+         |  SELECT vec_id, seed_id AS cell
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY cos0 DESC, seed_id ASC) AS rk
+         |        FROM asgall)
+         |  WHERE rk = 1
+         |)""".stripMargin
+
   /** SimHash candidate-pair CTE chain (wd … cd), shared by the pair
     * query and the cluster query; caller prepends WITH / WITH RECURSIVE
     * and appends its tail.
@@ -2646,6 +2684,37 @@ object SparkEntry {
            |)
            |SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS is_keeper
            |FROM reach GROUP BY id""".stripMargin),
+
+    "q_dedup_semantic" ->
+      (semanticCellsCte(16) +
+        s""", pr AS (
+           |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+           |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+           |  JOIN n na ON na.vec_id = ca.vec_id
+           |  JOIN n nb2 ON nb2.vec_id = cb.vec_id
+           |  WHERE ${dotSql("na.embedding", "nb2.embedding")} / (na.nrm * nb2.nrm) >= 0.35
+           |), d AS (
+           |  SELECT id_b, min(id_a) AS dup_of FROM pr GROUP BY id_b
+           |)
+           |SELECT c.vec_id, c.cell, d.dup_of, (d.dup_of IS NULL) AS keep
+           |FROM cells c LEFT JOIN d ON d.id_b = c.vec_id""".stripMargin),
+
+    "q_dedup_semantic_recall" ->
+      (semanticCellsCte(16) +
+        s""", tp AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+           |), tc AS (
+           |  SELECT tp.id_a, tp.id_b, ca.cell AS cella, cb.cell AS cellb
+           |  FROM tp JOIN cells ca ON ca.vec_id = tp.id_a
+           |          JOIN cells cb ON cb.vec_id = tp.id_b
+           |)
+           |SELECT CAST(count(*) AS BIGINT) AS n_true,
+           |       CAST(COALESCE(SUM(CASE WHEN cella = cellb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught,
+           |       (CAST(COALESCE(SUM(CASE WHEN cella = cellb THEN 1 ELSE 0 END), 0) AS BIGINT) * 100
+           |          >= CAST(count(*) AS BIGINT) * 10) AS recall_ok
+           |FROM tc""".stripMargin),
 
     "q_ann_brute" ->
       (normCte +

@@ -433,6 +433,95 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style embedding-cluster dedup: cluster the corpus by
+    * nearest centroid, then prune within each cluster — a document is
+    * a semantic duplicate if an earlier (smaller-id) document in the
+    * SAME cluster has cosine ≥ `tau`. Pairwise comparison never leaves
+    * a cluster, so the candidate volume is Σ|cell|² instead of n² —
+    * the shape that makes embedding dedup feasible at corpus scale
+    * (SemDeDup, Abbas et al. 2023: clusters are sized so |cell| stays
+    * bounded as k grows with n).
+    *
+    * Centroids are PINNED deterministically — the `nSeeds` smallest-id
+    * vectors — so assignment (argmax cosine, ties → smaller seed id)
+    * is a pure closed-form projection both engines replay exactly:
+    * this is the oracle-checkable member of the family (the k-means
+    * IVF quantizer in [[ivfTopK]] drops in for trained centroids, at
+    * the cost of the declared no-oracle contract). The seed collect is
+    * bounded (nSeeds rows) and mirrors the IVF literal-centroid
+    * pattern; at cluster scale a large centroid table becomes a
+    * broadcast join with the identical plan downstream.
+    *
+    * Shape audit: assignment = projection against the literal seeds
+    * (zero shuffle); within-cell pairs = one self-equi-join shuffled
+    * by cell; the dup-edge reduction and the final id join are
+    * |pairs|- and n-sized exchanges. Nothing is ever all-pairs.
+    *
+    * Determinism: cosines are identically-shaped IEEE folds on the
+    * same float32 inputs in both engines (the green q_embed_pairs /
+    * q_ann_brute contract), so the argmax and the τ threshold compare
+    * bit-agree; ties break on integer seed/doc ids.
+    * Output: one row per input — id, cell (seed id), dup_of (smallest
+    * earlier same-cell id with cosine ≥ τ; NULL for keepers), keep.
+    */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+      nSeeds: Int = 16, tau: Double = 0.35): DataFrame = {
+    // bounded, deterministic seed collect (id-ordered prefix — the
+    // trainPq/ivfTopK sampling contract)
+    val seedRows = df.orderBy(col(id)).limit(nSeeds)
+      .select(col(id).cast("long"), col(vec)).collect()
+    val seedArr = array(seedRows.map { r =>
+      val sv = r.getSeq[Float](1)
+      struct(lit(r.getLong(0)).as("seed_id"),
+        array(sv.map(lit(_)): _*).as("sv"))
+    }: _*)
+    // argmax cosine as a projection: per seed struct(-cos, seed_id),
+    // array_sort, head — double negation is exact, so ascending -cos
+    // ≡ descending cos, ties to the smaller seed id
+    val best = element_at(array_sort(transform(seedArr, st =>
+      struct((lit(0d) - dot(col("__v"), st.getField("sv")) /
+        (col("__n") * norm(st.getField("sv")))).as("negcos"),
+        st.getField("seed_id").as("seed_id")))), 1)
+    val assigned = df
+      .select(col(id), col(vec).as("__v"), norm(col(vec)).as("__n"))
+      .withColumn("cell", best.getField("seed_id"))
+    val a = assigned.select(col(id).as("id_a"), col("__v").as("__va"),
+      col("__n").as("__na"), col("cell"))
+    val b = assigned.select(col(id).as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("cell"))
+    val dupEdges = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= tau)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+    assigned.join(dupEdges, col(id) === col("id_b"), "left")
+      .select(col(id), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** Recall companion for [[semanticDedup]] (the q_ann_ivf_recall
+    * pattern, but fully oracled — both counts are exact relational
+    * facts): n_true = ALL τ-pairs by brute force (the declared bounded
+    * baseline, test-SF only), n_caught = τ-pairs whose endpoints share
+    * a cell. recall_ok compares in exact integer cross-multiplication
+    * (n_caught·100 ≥ n_true·minPct) — no float ratio near a rounding
+    * midpoint. Output: 1 row — n_true, n_caught, recall_ok.
+    */
+  def semanticDedupRecall(df: DataFrame, id: String, vec: String,
+      nSeeds: Int = 16, tau: Double = 0.35, minPct: Int = 10): DataFrame = {
+    val cells = semanticDedup(df, id, vec, nSeeds, tau)
+      .select(col(id), col("cell"))
+    val truePairs = cosinePairs(df, id, vec, tau, bucketBits = 0)
+      .select(col("id_a"), col("id_b"))
+    val ca = cells.select(col(id).as("id_a"), col("cell").as("__cella"))
+    val cb = cells.select(col(id).as("id_b"), col("cell").as("__cellb"))
+    truePairs.join(ca, "id_a").join(cb, "id_b")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(when(col("__cella") === col("__cellb"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_caught"))
+      .select(col("n_true"), col("n_caught"),
+        (col("n_caught") * 100 >= col("n_true") * minPct).as("recall_ok"))
+  }
+
   /** Per-source embedding centroid drift — the embedding-space twin
     * of [[graft.ext.TextStats.sourceDivergence]]'s scorecard: the
     * cosine between each source's mean embedding and the whole-corpus

@@ -116,6 +116,45 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall") // probing half the cells
   }
 
+  test("semanticDedup: pinned-seed cells, keep-first within-cell prune") {
+    import spark.implicits._
+    // seeds (nSeeds=2) are ids 0,1: x-axis and y-axis. 2,3 are near
+    // the x seed (dups of 0), 4 near the y seed (dup of 1), 5 lands in
+    // cell 0 but far from everything (keeper).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(-1.0f, -2.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nSeeds = 2, tau = 0.8).orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("cell")).toSeq == Seq(0L, 1L, 0L, 0L, 1L, 0L))
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ==
+      Seq(true, true, false, false, false, true))
+    assert(out(2).getAs[Long]("dup_of") == 0L) // min earlier id, not 3
+    assert(out(4).getAs[Long]("dup_of") == 1L)
+    assert(out(5).isNullAt(out(5).fieldIndex("dup_of")))
+  }
+
+  test("semanticDedupRecall: every tau-pair here is intra-cell") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(-1.0f, -2.0f, 5.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedupRecall(emb, "vec_id", "embedding",
+      nSeeds = 2, tau = 0.8, minPct = 10).head()
+    // pairs >= 0.8: (0,2) (0,3) (2,3) (1,4) — all within their cell
+    assert(r.getAs[Long]("n_true") == 4L)
+    assert(r.getAs[Long]("n_caught") == 4L)
+    assert(r.getAs[Boolean]("recall_ok"))
+  }
+
   test("token counts and quality signals") {
     val out = TextStats.tokenCounts(docs((1L, "the cat sat, 42 times!")), "doc_id", "text").head()
     assert(out.getAs[Int]("tokens_ws") == 5)
