@@ -1182,6 +1182,20 @@ object SparkEntry {
         Multimodal.mediaMetaRelational(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id", "n_frames", everyN = 4)),
 
+    // perceptual image near-dup: 56-bit dHash over REAL-decoded PNG
+    // raster samples (the q_media_decode codec round-trip), paired by
+    // the pigeonhole Hamming band join (4×14-bit chunks cover
+    // maxDist ≤ 3) — never all-pairs. The fingerprint table is cached:
+    // the band self-join would otherwise run the codec twice per doc.
+    "q_media_neardup" -> ((s, dir) => {
+      val fp = graft.core.Caches.cached(
+        Multimodal.pngPerceptualHash(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+          .select("doc_id", "dhash"))
+      Dedup.hammingPairs(fp, "doc_id", "dhash",
+        nChunks = 4, chunkBits = 14, maxDist = 3)
+    }),
+
     // gap-based sessionization of the event log (6h gap): one shuffle
     // on user_id; the window pass, session grouping and duration all
     // reuse that partitioning.
@@ -1988,6 +2002,30 @@ object SparkEntry {
        |  SELECT DISTINCT x.doc_id AS id_a, x.simhash AS ha, y.doc_id AS id_b, y.simhash AS hb
        |  FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
        |)""".stripMargin
+  }
+
+  /** q_media_neardup oracle: the 56-bit dHash rebuilt term by term
+    * from the closed-form pixel function pixel(x,y) = (31x+17y+id)%256
+    * with w = 1+id%16, h = 1+id%12 — the same formula q_media_decode
+    * already proves the real codec round-trips losslessly.
+    */
+  private val mediaNeardupOracleSql: String = {
+    def px(gx: Int, r: Int) =
+      s"((31*(($gx*w)//8) + 17*(($r*h)//8) + doc_id) % 256)"
+    val terms = (for { r <- 0 until 8; g <- 0 until 7 } yield
+      s"CASE WHEN ${px(g + 1, r)} > ${px(g, r)} THEN CAST(${1L << (r * 7 + g)} AS BIGINT) ELSE 0 END")
+      .mkString("\n           + ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h FROM documents
+       |), fp AS (
+       |  SELECT doc_id,
+       |         $terms AS dhash
+       |  FROM dims
+       |)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |       CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+       |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3640,6 +3678,12 @@ object SparkEntry {
           |FROM dd
           |WINDOW wt AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           |              RANGE BETWEEN 21600000000 PRECEDING AND 21600000000 FOLLOWING)""".stripMargin),
+
+    // dHash replay from the closed-form pixel function (PNG lossless ⇒
+    // decoded raster ≡ formula): per doc, 8×8 nearest-neighbor samples
+    // at (g·w//8, r·h//8), bit r·7+g = gradient sign; brute pair join
+    // (test-SF only — the engine side is the bucketed band join).
+    "q_media_neardup" -> mediaNeardupOracleSql,
 
     "q_media_frames" ->
       """WITH m AS (

@@ -479,27 +479,31 @@ object Dedup {
     sums.select(col(id), fp.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, found by
-    * the pigeonhole band join: with 4 8-bit chunks, any pair within
-    * distance 3 shares at least one chunk — candidates join on chunk
-    * equality, then exact bit_count filter.
-    * Output: id_a < id_b, hamming.
+  /** Near-dup pairs by Hamming distance ≤ maxDist over an arbitrary
+    * integer fingerprint column (text SimHash, perceptual image
+    * dHash/aHash — any ≤ nChunks·chunkBits-bit hash), found by the
+    * pigeonhole band join: with `nChunks` disjoint chunks and
+    * maxDist ≤ nChunks − 1, any pair within distance maxDist agrees
+    * on at least one chunk — candidates join on chunk equality, then
+    * exact bit_count filter. Output: id_a < id_b, hamming.
     */
-  def simHashPairs(df: DataFrame, id: String, text: String,
-      maxDist: Int = 3): DataFrame = {
-    val fp = graft.core.Caches.cached(simHash(df, id, text))
+  def hammingPairs(fp: DataFrame, id: String, hashCol: String,
+      nChunks: Int, chunkBits: Int, maxDist: Int): DataFrame = {
+    require(maxDist < nChunks,
+      s"pigeonhole needs maxDist ($maxDist) < nChunks ($nChunks)")
+    val mask = (1L << chunkBits) - 1
     val chunks = fp.withColumn("chunk",
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until nChunks).map(c =>
         struct(lit(c).as("c"),
-          shiftright(col("simhash"), c * 8).bitwiseAND(255).as("v"))): _*)))
+          shiftright(col(hashCol), c * chunkBits).bitwiseAND(mask).as("v"))): _*)))
     // A pair sharing m chunks would surface m times; instead of a
     // distinct() shuffle over the expanded candidate set, keep only the
     // match on the SMALLEST shared chunk index (earlier chunks must
     // differ) — each pair appears exactly once, no dedup pass.
-    val earlierChunkEqual = (0 until 3).map { ci =>
+    val earlierChunkEqual = (0 until nChunks - 1).map { ci =>
       when(lit(ci) < col("x.chunk.c"),
-        (shiftright(col("x.simhash"), ci * 8).bitwiseAND(255) ===
-          shiftright(col("y.simhash"), ci * 8).bitwiseAND(255)).cast("int"))
+        (shiftright(col(s"x.$hashCol"), ci * chunkBits).bitwiseAND(mask) ===
+          shiftright(col(s"y.$hashCol"), ci * chunkBits).bitwiseAND(mask)).cast("int"))
         .otherwise(0)
     }.reduce(_ + _)
     val cands = chunks.as("x")
@@ -507,12 +511,23 @@ object Dedup {
         col("x.chunk.c") === col("y.chunk.c") && col("x.chunk.v") === col("y.chunk.v") &&
           col(s"x.$id") < col(s"y.$id"))
       .filter(earlierChunkEqual === 0)
-      .select(col(s"x.$id").as("id_a"), col(s"x.simhash").as("ha"),
-        col(s"y.$id").as("id_b"), col(s"y.simhash").as("hb"))
+      .select(col(s"x.$id").as("id_a"), col(s"x.$hashCol").as("ha"),
+        col(s"y.$id").as("id_b"), col(s"y.$hashCol").as("hb"))
     cands
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist: the 32-bit
+    * [[simHash]] fingerprint through [[hammingPairs]]' pigeonhole
+    * band join (4 8-bit chunks cover maxDist ≤ 3).
+    * Output: id_a < id_b, hamming.
+    */
+  def simHashPairs(df: DataFrame, id: String, text: String,
+      maxDist: Int = 3): DataFrame = {
+    val fp = graft.core.Caches.cached(simHash(df, id, text))
+    hammingPairs(fp, id, "simhash", nChunks = 4, chunkBits = 8, maxDist)
   }
 
   /** Train/test DECONTAMINATION sweep — flag training documents whose

@@ -160,6 +160,102 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual image fingerprints over DECODED pixels — the hash
+    * half of image near-duplicate detection (pair finding is
+    * [[graft.ext.Dedup.hammingPairs]]' pigeonhole band join, the same
+    * machinery text SimHash uses). Works on the deterministic PNG
+    * corpus of [[pngRoundTripMeta]]: per id, synthesize the
+    * closed-form image, ENCODE it, then decode the bytes back and
+    * fingerprint only decoded raster samples — PNG is lossless, so an
+    * oracle can replay every bit from the pixel function, while the
+    * values cannot be produced without actually running the codec.
+    *
+    * Both hashes are the standard 8×8-grid forms, truncated to 56
+    * bits (8 rows × 7 columns) so the fingerprint never touches the
+    * sign bit of a 64-bit integer in either engine:
+    * - dhash: bit r·7+g set iff sample(g+1, r) > sample(g, r) —
+    *   horizontal gradient signs, invariant to constant brightness
+    *   shifts except where the 8-bit value wraps (which is what makes
+    *   shifted variants NEAR-dups, not exact ones).
+    * - ahash: bit r·7+g set iff sample(g, r)·56 > Σ samples — the
+    *   mean threshold compared in exact integer cross-multiplication.
+    * Sampling is nearest-neighbor at (⌊g·w/8⌋, ⌊r·h/8⌋), band 0 —
+    * integer-exact, so both engines replay it bit for bit.
+    * Output: id, width, height, dhash, ahash.
+    */
+  def pngPerceptualHash(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val idx = df.schema.fieldIndex(id)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val docId = row.get(idx) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.asInstanceOf[Number].longValue()
+        }
+        val w0 = (1 + docId % 16).toInt
+        val h0 = (1 + docId % 12).toInt
+        val img = new java.awt.image.BufferedImage(
+          w0, h0, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h0) {
+          var x = 0
+          while (x < w0) {
+            val v = ((31L * x + 17L * y + docId) % 256).toInt
+            raster.setSample(x, y, 0, v)
+            raster.setSample(x, y, 1, v)
+            raster.setSample(x, y, 2, v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        // fingerprint path: everything below reads the DECODED image
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(baos.toByteArray))
+        val dr = dec.getRaster
+        val w = dec.getWidth
+        val h = dec.getHeight
+        val s = Array.ofDim[Int](8, 8)
+        var r = 0
+        while (r < 8) {
+          var g = 0
+          while (g < 8) { s(r)(g) = dr.getSample(g * w / 8, r * h / 8, 0); g += 1 }
+          r += 1
+        }
+        var dhash = 0L
+        var ahash = 0L
+        var sum = 0
+        r = 0
+        while (r < 8) {
+          var g = 0
+          while (g < 7) { sum += s(r)(g); g += 1 }
+          r += 1
+        }
+        r = 0
+        while (r < 8) {
+          var g = 0
+          while (g < 7) {
+            val bit = 1L << (r * 7 + g)
+            if (s(r)(g + 1) > s(r)(g)) dhash |= bit
+            if (s(r)(g).toLong * 56 > sum) ahash |= bit
+            g += 1
+          }
+          r += 1
+        }
+        Row(docId, w, h, dhash, ahash)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic frame-sampling plan: one output row per selected
     * frame at a fixed stride, with the frame's timestamp offset — the
     * relational half of video frame extraction (the pixel decode is

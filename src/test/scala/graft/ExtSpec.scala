@@ -116,6 +116,46 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall") // probing half the cells
   }
 
+  test("pngPerceptualHash: decoded dhash matches the pixel formula; " +
+      "hammingPairs finds brightness-shift near-dups") {
+    import spark.implicits._
+    // independent reimplementation of the fingerprint from the pixel
+    // FORMULA (no codec): the operator must reproduce it from the
+    // actually-decoded raster — the same lossless-PNG contract
+    // q_media_decode pins.
+    def expected(id: Long): (Long, Long) = {
+      val w = (1 + id % 16).toInt; val h = (1 + id % 12).toInt
+      def p(gx: Int, r: Int): Long =
+        (31L * (gx * w / 8) + 17L * (r * h / 8) + id) % 256
+      var dh = 0L; var ah = 0L; var sum = 0L
+      for (r <- 0 until 8; g <- 0 until 7) sum += p(g, r)
+      for (r <- 0 until 8; g <- 0 until 7) {
+        if (p(g + 1, r) > p(g, r)) dh |= 1L << (r * 7 + g)
+        if (p(g, r) * 56 > sum) ah |= 1L << (r * 7 + g)
+      }
+      (dh, ah)
+    }
+    val ids = Seq(0L, 16L, 123L, 171L, 443L)
+    val fp = Multimodal.pngPerceptualHash(ids.toDF("doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+    ids.zip(fp).foreach { case (id, row) =>
+      val (dh, ah) = expected(id)
+      assert(row.getAs[Long]("dhash") == dh, s"dhash($id)")
+      assert(row.getAs[Long]("ahash") == ah, s"ahash($id)")
+      assert(row.getAs[Int]("width") == (1 + id % 16).toInt)
+    }
+    // 0 and 16 are both w=1 strips: no horizontal gradients anywhere,
+    // so their dhashes are identical — a distance-0 pair; 123 (15×4)
+    // has rich gradients and must NOT pair with the strips.
+    val pairs = Dedup.hammingPairs(
+      Multimodal.pngPerceptualHash(ids.toDF("doc_id"), "doc_id")
+        .select("doc_id", "dhash"),
+      "doc_id", "dhash", nChunks = 4, chunkBits = 14, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 16L)))
+    assert(!pairs.exists(p => p._1 == 123L || p._2 == 123L))
+  }
+
   test("semanticDedup: pinned-seed cells, keep-first within-cell prune") {
     import spark.implicits._
     // seeds (nSeeds=2) are ids 0,1: x-axis and y-axis. 2,3 are near
