@@ -728,6 +728,25 @@ object SparkEntry {
             lit(true)).as("resid_rms_ok"))
     }),
 
+    // buster spike count, oracled: the robust-z buster re-run over the
+    // hash-exact l2 residuals (q_wrtds_local), so the spike rule itself
+    // — per-series median/MAD/|z| ≥ 4 — is replayed end to end by
+    // DuckDB on identical 6-dp-grid inputs. Closes §2 row 36's last
+    // unoracled sub-signal: q_wrtds's own spikes ride the O(n²)
+    // kernel's declared contract, but the BUSTER's arithmetic is
+    // kernel-independent and exact here.
+    "q_buster_check" -> ((s, dir) => {
+      val loc = Wrtds.local2(Tables.eventsSeries(s, dir), evSpec,
+        htDays = 30.0, supportDays = 90.0, minp = 10)
+      Wrtds.buster(loc, evSpec, residCol = "l2_resid", zThresh = 4.0,
+        keepZ = true)
+        .groupBy("user_id")
+        .agg(count(col("l2_resid")).as("n_resid"),
+          coalesce(sum(when(col("wrtds_spike"), 1L).otherwise(0L)), lit(0L))
+            .as("n_spikes"),
+          round(max(abs(col("wrtds_z"))), 6).as("max_abs_z"))
+    }),
+
     // ---- training-data extension operators (documents/embeddings) ----
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -2004,6 +2023,49 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** q_wrtds_local oracle — identical expression SHAPES to
+    * Wrtds.local2 so both engines quantize and sum the same IEEE
+    * doubles. Shared: q_buster_check wraps it as a CTE and replays
+    * the robust-z buster over its residuals.
+    */
+  private val wrtdsLocalOracleSql: String = {
+    val w = "exp(-(((tj-ti)/30.0)*((tj-ti)/30.0)))"
+    def s(term: String, alias: String) =
+      s"CAST(sum(CAST(round($term, 6) AS DECIMAL(38,6))) AS DOUBLE) AS $alias"
+    seriesCte +
+      s""", b AS (
+         |  SELECT user_id, value, epoch_us(ts) AS us,
+         |         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS mnus
+         |  FROM dd
+         |), t AS (
+         |  SELECT user_id, us, value, (us - mnus) / 86400000000.0 AS t FROM b
+         |), jn AS (
+         |  SELECT i.user_id, i.us AS ius, i.t AS ti, i.value AS yi,
+         |         j.t AS tj, j.value AS yj
+         |  FROM t i LEFT JOIN t j ON i.user_id = j.user_id
+         |    AND j.value IS NOT NULL AND abs(j.t - i.t) <= 90.0
+         |), ag AS (
+         |  SELECT user_id, ius, any_value(ti) AS ti, any_value(yi) AS yi,
+         |         count(yj) AS n,
+         |         ${s(w, "s0")},
+         |         ${s(s"$w * tj", "s1")},
+         |         ${s(s"$w * tj * tj", "s2")},
+         |         ${s(s"$w * yj", "sy")},
+         |         ${s(s"$w * tj * yj", "sty")}
+         |  FROM jn GROUP BY user_id, ius
+         |), sv AS (
+         |  SELECT *, s0*s2 - s1*s1 AS den FROM ag
+         |), f1 AS (
+         |  SELECT *, (s0*sty - s1*sy)/den AS b1 FROM sv
+         |), f2 AS (
+         |  SELECT *, (sy - b1*s1)/s0 AS b0 FROM f1
+         |)
+         |SELECT user_id, ius AS ts_us, yi AS value,
+         |       round(CASE WHEN n >= 10 AND abs(den) > 1e-9 THEN b0 + b1*ti END, 6) AS l2_yhat,
+         |       round(yi - (CASE WHEN n >= 10 AND abs(den) > 1e-9 THEN b0 + b1*ti END), 6) AS l2_resid
+         |FROM f2""".stripMargin
+  }
+
   /** q_media_neardup oracle: the 56-bit dHash rebuilt term by term
     * from the closed-form pixel function pixel(x,y) = (31x+17y+id)%256
     * with w = 1+id%16, h = 1+id%12 — the same formula q_media_decode
@@ -2559,45 +2621,33 @@ object SparkEntry {
         |       min(value) AS min_val, max(value) AS max_val
         |FROM events GROUP BY event_type""".stripMargin,
 
-    "q_wrtds_local" -> {
-      // identical expression SHAPES to Wrtds.local2 so both engines
-      // quantize and sum the same IEEE doubles
-      val w = "exp(-(((tj-ti)/30.0)*((tj-ti)/30.0)))"
-      def s(term: String, alias: String) =
-        s"CAST(sum(CAST(round($term, 6) AS DECIMAL(38,6))) AS DOUBLE) AS $alias"
-      seriesCte +
-        s""", b AS (
-           |  SELECT user_id, value, epoch_us(ts) AS us,
-           |         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS mnus
-           |  FROM dd
-           |), t AS (
-           |  SELECT user_id, us, value, (us - mnus) / 86400000000.0 AS t FROM b
-           |), jn AS (
-           |  SELECT i.user_id, i.us AS ius, i.t AS ti, i.value AS yi,
-           |         j.t AS tj, j.value AS yj
-           |  FROM t i LEFT JOIN t j ON i.user_id = j.user_id
-           |    AND j.value IS NOT NULL AND abs(j.t - i.t) <= 90.0
-           |), ag AS (
-           |  SELECT user_id, ius, any_value(ti) AS ti, any_value(yi) AS yi,
-           |         count(yj) AS n,
-           |         ${s(w, "s0")},
-           |         ${s(s"$w * tj", "s1")},
-           |         ${s(s"$w * tj * tj", "s2")},
-           |         ${s(s"$w * yj", "sy")},
-           |         ${s(s"$w * tj * yj", "sty")}
-           |  FROM jn GROUP BY user_id, ius
-           |), sv AS (
-           |  SELECT *, s0*s2 - s1*s1 AS den FROM ag
-           |), f1 AS (
-           |  SELECT *, (s0*sty - s1*sy)/den AS b1 FROM sv
-           |), f2 AS (
-           |  SELECT *, (sy - b1*s1)/s0 AS b0 FROM f1
-           |)
-           |SELECT user_id, ius AS ts_us, yi AS value,
-           |       round(CASE WHEN n >= 10 AND abs(den) > 1e-9 THEN b0 + b1*ti END, 6) AS l2_yhat,
-           |       round(yi - (CASE WHEN n >= 10 AND abs(den) > 1e-9 THEN b0 + b1*ti END), 6) AS l2_resid
-           |FROM f2""".stripMargin
-    },
+    "q_wrtds_local" -> wrtdsLocalOracleSql,
+
+    // buster replay over the exact-green l2 residuals: per-series
+    // median/MAD/robust-z recomputed by DuckDB from the SAME 6-dp-grid
+    // residual values (both engines interpolate even-count medians as
+    // lower + (upper-lower)·0.5 — identical IEEE shape), spike
+    // threshold |z| ≥ 4 compared on bit-identical doubles. max_abs_z
+    // rounds an already de-gridded quotient (the lmScore-tail rule).
+    "q_buster_check" ->
+      (s"WITH loc AS (\n$wrtdsLocalOracleSql\n)" +
+        """, med AS (
+          |  SELECT user_id, median(l2_resid) AS rmed
+          |  FROM loc WHERE l2_resid IS NOT NULL GROUP BY user_id
+          |), mad AS (
+          |  SELECT l.user_id, median(abs(l.l2_resid - m.rmed)) AS rmad
+          |  FROM loc l JOIN med m USING (user_id)
+          |  WHERE l.l2_resid IS NOT NULL GROUP BY l.user_id
+          |), z AS (
+          |  SELECT l.user_id, l.l2_resid,
+          |         (l.l2_resid - m.rmed) / (1.4826 * d.rmad + 1e-9) AS zv
+          |  FROM loc l JOIN med m USING (user_id) JOIN mad d USING (user_id)
+          |)
+          |SELECT user_id,
+          |       CAST(count(l2_resid) AS BIGINT) AS n_resid,
+          |       CAST(COALESCE(SUM(CASE WHEN abs(zv) >= 4.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_spikes,
+          |       round(max(abs(zv)), 6) AS max_abs_z
+          |FROM z GROUP BY user_id""".stripMargin),
 
     // q_wrtds semi-oracle: exact structural counts (the support
     // predicate mirrors the engine's IEEE shapes — square vs the

@@ -317,9 +317,12 @@ object Wrtds {
   /** Global robust-z spike detection on residuals (`wrtds_buster`):
     * z = (r − median(r)) / (1.4826·median(|r − median(r)|) + 1e−9);
     * spike = |z| ≥ zThresh. Two-pass exact medians per series.
+    * `keepZ` additionally emits the z score itself as `wrtds_z`
+    * (opt-in so the pipeline's wide table keeps its schema) — the
+    * oracled q_buster_check companion hashes its per-series max.
     */
   def buster(df: DataFrame, spec: SeriesSpec, residCol: String = "wrtds_resid",
-      zThresh: Double = 4.0): DataFrame = {
+      zThresh: Double = 4.0, keepZ: Boolean = false): DataFrame = {
     val med = df.groupBy(spec.keyCols: _*)
       .agg(median(col(residCol)).as("__rmed"))
     val withMed = df.join(med, spec.keys)
@@ -327,8 +330,11 @@ object Wrtds {
       .agg(median(abs(col(residCol) - col("__rmed"))).as("__rmad"))
     val z = (col(residCol) - col("__rmed")) /
       (lit(1.4826) * col("__rmad") + lit(1e-9))
-    withMed.join(mad, spec.keys)
-      .withColumn("wrtds_spike", coalesce(abs(z) >= zThresh, lit(false)))
+    val out = withMed.join(mad, spec.keys)
+      .withColumn("wrtds_z", z)
+      .withColumn("wrtds_spike",
+        coalesce(abs(col("wrtds_z")) >= zThresh, lit(false)))
       .drop("__rmed", "__rmad")
+    if (keepZ) out else out.drop("wrtds_z")
   }
 }
