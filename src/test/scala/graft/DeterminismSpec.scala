@@ -9,22 +9,27 @@ package graft
   * exact-hash gate and for cluster-layout independence at 100 TB: an
   * operator whose emitted floats depend on double-sum accumulation
   * order will flap here long before it flaps on a 1000-executor
-  * layout. The suite targets the queries with floating-point
-  * aggregate tails — exactly the class that produced the round-7
-  * q_psi_drift/q_source_kl driver hash-fails (raw decimal sums of
-  * libm terms) and the round-8 q_keep_score midpoint lesson.
+  * layout. Round 8 ran a hand-picked float-tail list (the class that
+  * produced the round-7 q_psi_drift/q_source_kl driver hash-fails);
+  * round 9 sweeps the FULL registry at sf0.001 — the next float tail
+  * is caught automatically, not when someone remembers to add it.
   */
 class DeterminismSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Queries with float/decimal aggregate tails, plus the round-8
-    * companions whose in-band assertions must not flap.
+  /** The registry, swept in full. No exception list: every query is
+    * partition-invariant (k-means/PQ/BPE train on deterministic
+    * id-ordered bounded samples included).
     */
-  private val targets = Seq(
-    "q_psi_drift", "q_source_kl", "q_keep_score", "q_embed_drift",
-    "q_lm_score", "q_temp_mix", "q_decontaminate_semantic",
-    "q_wrtds_check", "q_bpe_check")
+  private val targets = SparkEntry.queries.keys.toSeq.sorted
+
+  /** Queries legitimately empty at this SF (the determinism contract
+    * still holds — two empty outputs are equal — but the nonEmpty
+    * guard is waived). q_binary_switches: sf0.001's event slice has
+    * no binary-valued series, so there is no switch to report.
+    */
+  private val allowedEmpty = Set("q_binary_switches")
 
   /** Canonical rendering: rows sorted by their full string form.
     * Doubles render via toString — bit-identical doubles render
@@ -50,7 +55,8 @@ class DeterminismSpec extends SparkTestBase {
         graft.core.Caches.unpersistAll()
         spark.conf.set("spark.sql.shuffle.partitions", "13")
         val b = canon(name)
-        assert(a.nonEmpty, s"$name returned no rows at sf0.001")
+        assert(a.nonEmpty || allowedEmpty.contains(name),
+          s"$name returned no rows at sf0.001")
         assert(a === b,
           s"$name output depends on the shuffle layout — first diff: " +
             a.zip(b).collectFirst { case (x, y) if x != y => s"$x vs $y" }
