@@ -47,30 +47,38 @@ object OpsScaleBench {
       (shuffleWritten.get() - before) / 1e6
     }
 
-    def bench(name: String, n: Int, inRows: Long)(run: () => Long): Unit = {
-      run() // warmup: codegen + JIT
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val med = times(1)
-      println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
-        f"median=$med%7.3f s thru=${inRows / med / 1e6}%6.2f Mrows/s")
-    }
+    // dev-only row filter (comma-separated op names): re-measure one
+    // axis without paying the full ~30 min sweep. Unset runs all.
+    val onlyOps = sys.env.get("SPARK_GRAFT_OPS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = onlyOps.forall(_.contains(name))
+
+    def bench(name: String, n: Int, inRows: Long)(run: () => Long): Unit =
+      if (selected(name)) {
+        run() // warmup: codegen + JIT
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val med = times(1)
+        println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
+          f"median=$med%7.3f s thru=${inRows / med / 1e6}%6.2f Mrows/s")
+      }
 
     /** bench + exact shuffle-write bytes of the MEDIAN-adjacent run
       * (one extra measured pass after the timing passes — shuffle
       * volume is deterministic per plan, unlike wall time).
       */
-    def benchShuffle(name: String, n: Int, inRows: Long)(run: () => Long): Unit = {
-      run() // warmup
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val mb = measuredShuffleMb(run)
-      println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
-        f"median=${times(1)}%7.3f s thru=${inRows / times(1) / 1e6}%6.2f Mrows/s " +
-        f"shuffle=$mb%9.3f MB")
-    }
+    def benchShuffle(name: String, n: Int, inRows: Long)(run: () => Long): Unit =
+      if (selected(name)) {
+        run() // warmup
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val mb = measuredShuffleMb(run)
+        println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
+          f"median=${times(1)}%7.3f s thru=${inRows / times(1) / 1e6}%6.2f Mrows/s " +
+          f"shuffle=$mb%9.3f MB")
+      }
 
     /** n× replication along `idCol` with replica-offset remapping —
       * the shared axis-widening idiom of every row below. `offset`
@@ -213,16 +221,26 @@ object OpsScaleBench {
           emb0.filter(col("vec_id") % 29 === 0),
           "vec_id", "embedding", threshold = 0.3).count())
 
-      // decontamination SHUFFLE-VOLUME contrast on the same corpus
-      // axis (fixed bench side = every 29th doc): the bloom form's
-      // entire 100 TB claim is that the broadcast filter drops corpus
+      // decontamination SHUFFLE-VOLUME contrast on the realistic
+      // 100 TB axis — the CORPUS grows n× while the bench set AND the
+      // amount of actual contamination stay fixed (replicas r > 0 get
+      // a vocab-disjoint suffix, so added corpus text shares no
+      // shingle with the bench; a bigger web crawl does not contain
+      // proportionally more copies of a fixed eval suite). The bloom
+      // form's entire claim is that the broadcast filter drops corpus
       // shingles in map work BEFORE any exchange, so the bytes
-      // entering the verify join stay proportional to the (fixed)
-      // bench vocabulary's matches while the plain inverted-index
-      // join shuffles EVERY corpus shingle. Wall time on a 32-thread
-      // local box under-sells that (both scans are memory-local); the
-      // shuffle=MB column is the cluster-relevant curve.
-      val trainDocs = docs.filter(col("doc_id") % 29 =!= 0)
+      // entering the verify join track the FIXED match volume while
+      // the plain inverted-index join shuffles EVERY corpus shingle —
+      // flat-vs-linear in the shuffle=MB column, the cluster-relevant
+      // curve (wall time on a 32-thread local box under-sells it).
+      val trainDocs = (if (n <= 1) docs0 else docs0
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
+        .withColumn("text", when(col("__r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("__r")))))
+        .drop("__r"))
+        .filter(col("doc_id") % 29 =!= 0)
       val benchDocs = docs0.filter(col("doc_id") % 29 === 0)
       benchShuffle("decont_plain", n, nDocs * n)(() =>
         graft.ext.Dedup.decontaminate(trainDocs, benchDocs,

@@ -285,4 +285,58 @@ class PlanGuardSpec extends SparkTestBase {
         s"time-slice bounds not pushed to the scan:\n$plan")
     }
   }
+
+  private def allPairsJoins(df: DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+
+  test("semanticDedup: assignment legs are exchange-free projections; " +
+      "pair phase never all-pairs") {
+    withStaticPlans {
+      val emb = Tables.embeddings(spark, sfDir)
+      val df = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nSeeds = 8, tau = 0.35)
+      assert(allPairsJoins(df).isEmpty,
+        "all-pairs join in the semanticDedup plan")
+      // the centroid argmax is a pure projection: the bottom-most
+      // join is the within-cell self-join, and BOTH its legs must be
+      // scan→project only — no aggregate, window or further join
+      // below (the join's own distribution exchanges are expected).
+      // If assignment ever grows heavier plumbing, the 100 TB story
+      // gains a corpus-sized pre-join stage.
+      val joins = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      val bottomJoins = joins.filter(j =>
+        j.collect {
+          case jj: org.apache.spark.sql.execution.joins.BaseJoinExec => jj
+        }.size == 1)
+      assert(bottomJoins.nonEmpty, "no bottom-most join found")
+      bottomJoins.foreach { j =>
+        val heavy = j.children.flatMap(_.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        })
+        assert(heavy.isEmpty,
+          s"assignment leg carries non-projection work:\n" +
+            heavy.headOption.map(_.toString).getOrElse(""))
+      }
+    }
+  }
+
+  test("perceptual-hash hamming pairs join on chunk equality, never all-pairs") {
+    withStaticPlans {
+      val fp = graft.ext.Multimodal.pngPerceptualHash(
+        Tables.documents(spark, sfDir).select("doc_id"), "doc_id")
+        .select("doc_id", "dhash")
+      val df = Dedup.hammingPairs(fp, "doc_id", "dhash",
+        nChunks = 4, chunkBits = 14, maxDist = 3)
+      assert(allPairsJoins(df).isEmpty,
+        "hamming pair join planned as all-pairs")
+    }
+  }
 }
