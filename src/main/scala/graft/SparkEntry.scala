@@ -812,6 +812,19 @@ object SparkEntry {
       Dedup.dupClusters(emb.select("vec_id"), pairs, "vec_id")
     }),
 
+    // margin-based pair mining (Artetxe & Schwenk ratio margin): the
+    // hubness-robust cross-pool pair selector — label<2 is the source
+    // pool, label>=2 the target pool; retrieval is the declared brute
+    // baseline (bucketed ANN drops in at scale), the margin stage
+    // touches only |src|·k candidates joined to two id-keyed
+    // neighborhood-sum tables.
+    "q_margin_mine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginMine(emb.filter(col("label") < 2),
+        emb.filter(col("label") >= 2), "vec_id", "embedding",
+        k = 4, minMargin = 1.2)
+    }),
+
     // SemDeDup-style embedding-cluster dedup: assignment to pinned
     // deterministic centroids (the 16 smallest-id vectors) is a pure
     // projection; the τ-prune self-join never leaves a cell — Σ|cell|²
@@ -2772,6 +2785,49 @@ object SparkEntry {
            |)
            |SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS is_keeper
            |FROM reach GROUP BY id""".stripMargin),
+
+    // margin mining replay: both kNN directions by raw-cosine rank,
+    // 6-dp candidate cosines summed in exact DECIMAL(38,6), one
+    // double conversion in the denominator, margin top-1 per source
+    "q_margin_mine" -> {
+      val nk = 4
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), s AS (SELECT * FROM n WHERE label < 2
+         |), t AS (SELECT * FROM n WHERE label >= 2
+         |), fa AS (
+         |  SELECT s.vec_id AS qid, t.vec_id AS cid,
+         |         ${dotSql("s.embedding", "t.embedding")} / (s.nrm * t.nrm) AS cos0
+         |  FROM s, t
+         |), fr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos0 DESC, cid ASC) AS rk FROM fa
+         |), fwd AS (
+         |  SELECT qid, cid, round(cos0, 6) AS cos6 FROM fr WHERE rk <= $nk
+         |), ba AS (
+         |  SELECT t.vec_id AS qid, s.vec_id AS cid,
+         |         ${dotSql("t.embedding", "s.embedding")} / (t.nrm * s.nrm) AS cos0
+         |  FROM t, s
+         |), br AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos0 DESC, cid ASC) AS rk FROM ba
+         |), bwd AS (
+         |  SELECT qid, round(cos0, 6) AS cos6 FROM br WHERE rk <= $nk
+         |), sx AS (
+         |  SELECT qid, sum(CAST(cos6 AS DECIMAL(38,6))) AS sxv FROM fwd GROUP BY qid
+         |), sy AS (
+         |  SELECT qid AS cid, sum(CAST(cos6 AS DECIMAL(38,6))) AS syv FROM bwd GROUP BY qid
+         |), m AS (
+         |  SELECT f.qid, f.cid, f.cos6,
+         |         f.cos6 / (CAST(sx.sxv + sy.syv AS DOUBLE) / ${2.0 * nk}) AS marg
+         |  FROM fwd f JOIN sx ON f.qid = sx.qid JOIN sy ON f.cid = sy.cid
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY marg DESC, cid ASC) AS rk FROM m
+         |)
+         |SELECT qid AS src_id, cid AS tgt_id, cos6 AS cosine,
+         |       round(marg, 6) AS margin
+         |FROM r WHERE rk = 1 AND marg >= 1.2""".stripMargin
+    },
 
     "q_dedup_semantic" ->
       (semanticCellsCte(16) +

@@ -522,6 +522,56 @@ object Similarity {
         (col("n_caught") * 100 >= col("n_true") * minPct).as("recall_ok"))
   }
 
+  /** Margin-based nearest-neighbor pair mining — the ratio-margin
+    * criterion of Artetxe & Schwenk 2019 ("Margin-based Parallel
+    * Corpus Mining"), the standard hubness-robust selector for bitext
+    * / cross-corpus pair mining: raw cosine top-1 over-selects hub
+    * vectors that are near EVERYTHING, so each candidate pair (x, y)
+    * is scored by its cosine relative to both endpoints' neighborhood
+    * densities, margin(x,y) = cos(x,y) /
+    * ((Σ_{z∈NNk(x)} cos + Σ_{z∈NNk(y)} cos) / 2k),
+    * and each source keeps its best-margin candidate iff margin ≥
+    * `minMargin`.
+    *
+    * Retrieval here is the exact brute-force baseline (the declared
+    * [[bruteForceTopK]] contract — test-SF exactness so the oracle
+    * replays every stage); at corpus scale [[lshTopK]] /
+    * [[lshTopKMultiProbe]] / [[ivfTopK]] drop in for both directions
+    * (same candidate schema), and the margin stage itself only ever
+    * touches |src|·k candidate rows joined to two id-keyed
+    * neighborhood-sum tables — never a pair matrix.
+    *
+    * Determinism: candidate ranks ride raw bit-identical cosines;
+    * the 6-dp-rounded cosines then make every sum a DECIMAL(38,6)
+    * exact fold, the denominator converts to double once, and the
+    * margin is a de-gridded quotient (grid-constructed inputs, safe
+    * to round at 6 dp; threshold and rank compares act on
+    * bit-identical doubles).
+    * Output: src_id, tgt_id, cosine (6 dp), margin (6 dp) — one row
+    * per source whose best candidate clears the margin.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, id: String, vec: String,
+      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    def sumK(topk: DataFrame, key: String) = topk
+      .groupBy(col(key))
+      .agg(sum(col("cosine").cast("decimal(38,6)")).as("__sumk"))
+    val fwd = bruteForceTopK(src, tgt, id, vec, k)
+    val bwd = bruteForceTopK(tgt, src, id, vec, k)
+    val sumX = sumK(fwd, "query_id")
+      .select(col("query_id"), col("__sumk").as("__sx"))
+    val sumY = sumK(bwd, "query_id")
+      .select(col("query_id").as("vec_id"), col("__sumk").as("__sy"))
+    val denom = ((col("__sx") + col("__sy")).cast("double")) / lit(2.0 * k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__margin").desc, col("vec_id").asc)
+    fwd.join(sumX, "query_id").join(sumY, "vec_id")
+      .withColumn("__margin", col("cosine") / denom)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && col("__margin") >= minMargin)
+      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
+        col("cosine"), round(col("__margin"), 6).as("margin"))
+  }
+
   /** Per-source embedding centroid drift — the embedding-space twin
     * of [[graft.ext.TextStats.sourceDivergence]]'s scorecard: the
     * cosine between each source's mean embedding and the whole-corpus

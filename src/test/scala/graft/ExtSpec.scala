@@ -156,6 +156,30 @@ class ExtSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 123L || p._2 == 123L))
   }
 
+  test("marginMine suppresses the hub: best-margin partner beats best-cosine hub") {
+    import spark.implicits._
+    // tgt 10 is a hub (diagonal — close to EVERYTHING, the highest
+    // raw cosine for src 1), but its own dense neighborhood inflates
+    // the margin denominator; the true partners 11/12 win by margin.
+    val src = Seq(
+      (1L, Array(0.75f, 0.65f, 0.3f)),
+      (2L, Array(0.2f, 0.9f, 0.4f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Array(1.0f, 1.0f, 1.0f)), // hub
+      (11L, Array(1.0f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f)),
+      (13L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // raw cosine top-1 for src 1 IS the hub
+    val raw = Similarity.bruteForceTopK(src.filter($"vec_id" === 1), tgt,
+      "vec_id", "embedding", k = 1).head()
+    assert(raw.getAs[Long]("vec_id") == 10L)
+    val mined = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 2, minMargin = 1.0)
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id"))
+      .toMap
+    assert(mined == Map(1L -> 11L, 2L -> 12L), s"mined=$mined")
+  }
+
   test("semanticDedup: pinned-seed cells, keep-first within-cell prune") {
     import spark.implicits._
     // seeds (nSeeds=2) are ids 0,1: x-axis and y-axis. 2,3 are near
