@@ -571,6 +571,18 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // incremental NEAR-dup: the same ingest split, but by SimHash
+    // Hamming proximity — catches boilerplate variants the exact
+    // hash misses; the known corpus contributes one reusable chunk
+    // index and is never re-paired against itself.
+    "q_dedup_incr_near" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.simHashIncremental(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", maxDist = 3)
+    }),
+
     // hopping-window event rates: 2-hour windows sliding every hour
     // (each event lands in exactly 2 windows), counted per type —
     // the batch form of the standard streaming rate monitor.
@@ -2004,15 +2016,40 @@ object SparkEntry {
          |  WHERE rk = 1
          |)""".stripMargin
 
+  private val simhashBitSums: String = (0 until 32).map(j =>
+    s"sum((((h >> $j) & 1)*2 - 1) * c) AS s$j").mkString(",\n         ")
+  private val simhashFpExpr: String = (0 until 32).map(j =>
+    s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+
+  /** Parameterized SimHash fingerprint CTE chain over a filtered
+    * slice of `documents`: produces `fp$sfx(doc_id, simhash)` (CTE
+    * names suffixed so two slices coexist in one statement). Shares
+    * its term builders with [[simhashCteBody]], whose generated text
+    * is unchanged.
+    */
+  private def simhashFpCte(sfx: String, where: String): String =
+    s"""wd$sfx AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents WHERE $where
+       |), wc$sfx AS (
+       |  SELECT doc_id, w, count(*) AS c FROM wd$sfx GROUP BY doc_id, w
+       |), wh$sfx AS (
+       |  SELECT doc_id, c, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM wc$sfx
+       |), bs$sfx AS (
+       |  SELECT doc_id,
+       |         $simhashBitSums
+       |  FROM wh$sfx GROUP BY doc_id
+       |), fp$sfx AS (
+       |  SELECT doc_id, $simhashFpExpr AS simhash FROM bs$sfx
+       |)""".stripMargin
+
   /** SimHash candidate-pair CTE chain (wd … cd), shared by the pair
     * query and the cluster query; caller prepends WITH / WITH RECURSIVE
     * and appends its tail.
     */
   private val simhashCteBody: String = {
-    val bitSums = (0 until 32).map(j =>
-      s"sum((((h >> $j) & 1)*2 - 1) * c) AS s$j").mkString(",\n         ")
-    val fpExpr = (0 until 32).map(j =>
-      s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    val bitSums = simhashBitSums
+    val fpExpr = simhashFpExpr
     val chunkRows = (0 until 4).map(cI =>
       s"SELECT doc_id, simhash, $cI AS c, (simhash >> ${cI * 8}) & 255 AS v FROM fp")
       .mkString("\n  UNION ALL ")
@@ -2576,6 +2613,34 @@ object SparkEntry {
         |SELECT b.doc_id, b.text_hash,
         |       (k.text_hash IS NOT NULL) AS is_known
         |FROM b LEFT JOIN known k USING (text_hash)""".stripMargin,
+
+    // near-dup ingest replay: fingerprints per slice, banded cross
+    // candidates (multiplicity harmless under min), brute intra-batch
+    // pairs (the fresh batch is the small side — test-SF baseline)
+    "q_dedup_incr_near" ->
+      (s"WITH ${simhashFpCte("k", "doc_id % 5 <> 0")},\n" +
+        s"${simhashFpCte("n", "doc_id % 5 = 0")},\n" +
+        s"""chk AS (
+           |  ${(0 until 4).map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * 8}) & 255 AS v FROM fpk").mkString("\n  UNION ALL ")}
+           |), chn AS (
+           |  ${(0 until 4).map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * 8}) & 255 AS v FROM fpn").mkString("\n  UNION ALL ")}
+           |), cm AS (
+           |  SELECT n.doc_id AS nid, min(k.doc_id) AS dup_known
+           |  FROM chk k JOIN chn n ON k.c = n.c AND k.v = n.v
+           |  WHERE bit_count(xor(k.simhash, n.simhash)) <= 3
+           |  GROUP BY n.doc_id
+           |), im AS (
+           |  SELECT y.doc_id AS nid, min(x.doc_id) AS dup_batch
+           |  FROM fpn x JOIN fpn y ON x.doc_id < y.doc_id
+           |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+           |  GROUP BY y.doc_id
+           |)
+           |SELECT f.doc_id, cm.dup_known AS dup_of_known,
+           |       im.dup_batch AS dup_of_batch,
+           |       (cm.dup_known IS NULL AND im.dup_batch IS NULL) AS keep
+           |FROM fpn f
+           |LEFT JOIN cm ON f.doc_id = cm.nid
+           |LEFT JOIN im ON f.doc_id = im.nid""".stripMargin),
 
     "q_hop_windows" ->
       """WITH e AS (

@@ -530,6 +530,49 @@ object Dedup {
     hammingPairs(fp, id, "simhash", nChunks = 4, chunkBits = 8, maxDist)
   }
 
+  /** Incremental NEAR-dup against a known corpus — the append-only
+    * ingest twin of [[dedupAgainstKnown]] (which catches only exact
+    * normalized matches): each fresh-batch doc is checked for SimHash
+    * Hamming proximity to (a) the known corpus and (b) earlier docs of
+    * its own batch. The scale contract is the one incremental
+    * ingestion needs: the known side contributes its (reusable,
+    * index-shaped) chunk table to ONE equi-join keyed on the fresh
+    * batch's chunks — the known corpus is never re-paired against
+    * itself, so per-ingest cost is O(|batch| + matches), not
+    * O(|corpus|²). Candidate multiplicity (a pair sharing m chunks
+    * surfaces m times) is harmless here because the reduction is a
+    * min/agg per fresh doc, so no distinct pass and no
+    * smallest-chunk trick is needed on the cross join.
+    * Output: one row per fresh doc — id, dup_of_known (min known id
+    * within maxDist), dup_of_batch (min earlier same-batch id within
+    * maxDist), keep = both NULL.
+    */
+  def simHashIncremental(fresh: DataFrame, known: DataFrame, id: String,
+      text: String, maxDist: Int = 3): DataFrame = {
+    val fpF = graft.core.Caches.cached(simHash(fresh, id, text))
+    val fpK = simHash(known, id, text)
+    def chunked(fp: DataFrame, side: String) = fp.select(
+      col(id).as(s"${side}_id"), col("simhash").as(s"${side}_sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(255).as("v"))): _*))
+        .as("chunk"))
+    val crossMatch = chunked(fpK, "k")
+      .join(chunked(fpF, "f"), Seq("chunk"))
+      .filter(bit_count(col("k_sh").bitwiseXOR(col("f_sh"))) <= maxDist)
+      .groupBy(col("f_id").as(id))
+      .agg(min(col("k_id")).as("dup_of_known"))
+    val intraMatch = hammingPairs(fpF, id, "simhash",
+      nChunks = 4, chunkBits = 8, maxDist)
+      .groupBy(col("id_b").as(id))
+      .agg(min(col("id_a")).as("dup_of_batch"))
+    fpF.select(col(id))
+      .join(crossMatch, Seq(id), "left")
+      .join(intraMatch, Seq(id), "left")
+      .select(col(id), col("dup_of_known"), col("dup_of_batch"),
+        (col("dup_of_known").isNull && col("dup_of_batch").isNull).as("keep"))
+  }
+
   /** Train/test DECONTAMINATION sweep — flag training documents whose
     * k-shingle overlap with any benchmark/eval document reaches
     * `minShared` distinct shingles (the standard pre-training hygiene

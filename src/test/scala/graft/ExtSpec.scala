@@ -39,6 +39,27 @@ class ExtSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(fp(0) ^ fp(2)) <= 6)
   }
 
+  test("simHashIncremental: known near-dup wins over batch dup; unique kept") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val known = docs((1L, base), (2L, (100 to 160).map(i => s"v$i").mkString(" ")))
+    // SimHash is scale-invariant in the word counts, so doubling /
+    // tripling the text keeps the fingerprint bit-identical: 10 and
+    // 11 are hamming-0 variants of known 1 (and 11 of earlier batch
+    // 10); 12 is unrelated — the only keeper.
+    val fresh = docs(
+      (10L, base + " " + base),
+      (11L, base + " " + base + " " + base),
+      (12L, (200 to 260).map(i => s"u$i").mkString(" ")))
+    val out = Dedup.simHashIncremental(fresh, known, "doc_id", "text",
+      maxDist = 3).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq == Seq(false, false, true))
+    assert(out(0).getAs[Long]("dup_of_known") == 1L)
+    assert(out(0).isNullAt(out(0).fieldIndex("dup_of_batch")))
+    assert(out(1).getAs[Long]("dup_of_known") == 1L)
+    assert(out(1).getAs[Long]("dup_of_batch") == 10L)
+    assert(out(2).isNullAt(out(2).fieldIndex("dup_of_known")))
+  }
+
   test("cosine helpers: orthogonal=0, identical=1; topK ranks correctly") {
     import spark.implicits._
     val emb = Seq(
