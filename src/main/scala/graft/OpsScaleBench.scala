@@ -274,6 +274,38 @@ object OpsScaleBench {
       bench("dedup_sem", n, nVecs * n)(() =>
         Similarity.semanticDedup(embRot, "vec_id", "embedding",
           nSeeds = 16 * n, tau = 0.35).count())
+
+      // incremental near-dup vs full re-pairing on the growing-corpus
+      // axis: the KNOWN corpus widens n× (replicas r>0 vocab-suffixed
+      // — no new matches, same as the decont rows) while the fresh
+      // batch stays fixed. The incremental form's claim is that the
+      // known side contributes ONE linear chunk-index pass and is
+      // never paired against itself, so its wall tracks |known|
+      // linearly with a small constant; the control re-runs the full
+      // pair finder over known∪fresh, paying the known×known
+      // candidate volume every ingest. The wall-time gap between
+      // these two rows IS the reason the incremental operator exists.
+      val knownGrown = (if (n <= 1) docs0 else docs0
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
+        .withColumn("text", when(col("__r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("__r")))))
+        .drop("__r"))
+        .filter(col("doc_id") % 5 =!= 0)
+      val freshBatch = docs0.filter(col("doc_id") % 5 === 0)
+      bench("incr_near", n, nDocs * n) { () =>
+        val c = graft.ext.Dedup.simHashIncremental(freshBatch, knownGrown,
+          "doc_id", "text", maxDist = 3).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+      bench("incr_ctrl", n, nDocs * n) { () =>
+        val c = graft.ext.Dedup.simHashPairs(knownGrown.unionByName(freshBatch),
+          "doc_id", "text", maxDist = 3).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
     }
     spark.stop()
   }
