@@ -53,32 +53,52 @@ object OpsScaleBench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = onlyOps.forall(_.contains(name))
 
+    // one timing protocol for every row: warmup (codegen + JIT), then
+    // median of 3 back-to-back passes
+    def timedMedian(run: () => Long): Double = {
+      run()
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+    }
+
     def bench(name: String, n: Int, inRows: Long)(run: () => Long): Unit =
       if (selected(name)) {
-        run() // warmup: codegen + JIT
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-        }.sorted
-        val med = times(1)
+        val med = timedMedian(run)
         println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
           f"median=$med%7.3f s thru=${inRows / med / 1e6}%6.2f Mrows/s")
       }
 
-    /** bench + exact shuffle-write bytes of the MEDIAN-adjacent run
-      * (one extra measured pass after the timing passes — shuffle
-      * volume is deterministic per plan, unlike wall time).
+    /** bench + exact shuffle-write bytes of one extra measured pass
+      * after the timing passes — shuffle volume is deterministic per
+      * plan, unlike wall time.
       */
     def benchShuffle(name: String, n: Int, inRows: Long)(run: () => Long): Unit =
       if (selected(name)) {
-        run() // warmup
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-        }.sorted
+        val med = timedMedian(run)
         val mb = measuredShuffleMb(run)
         println(f"OPSCALE op=$name%-13s n=$n%2d rows=$inRows%9d " +
-          f"median=${times(1)}%7.3f s thru=${inRows / times(1) / 1e6}%6.2f Mrows/s " +
+          f"median=$med%7.3f s thru=${inRows / med / 1e6}%6.2f Mrows/s " +
           f"shuffle=$mb%9.3f MB")
       }
+
+    /** n× replication with vocab-disjoint suffixing from replica
+      * `suffixFrom` on: every word of a suffixed replica gets a
+      * replica-id tag, so suffixed replicas share no shingle/word
+      * with the originals — the "corpus grows, matches fixed" axis
+      * (suffixFrom = 1) or the fully-disjoint-families axis
+      * (suffixFrom = 0).
+      */
+    def replicateSuffixed(df: org.apache.spark.sql.DataFrame, n: Int,
+        suffixFrom: Int): org.apache.spark.sql.DataFrame =
+      if (n <= 1) df
+      else df
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
+        .withColumn("text", when(col("__r") < suffixFrom, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("__r")))))
+        .drop("__r")
 
     /** n× replication along `idCol` with replica-offset remapping —
       * the shared axis-widening idiom of every row below. `offset`
@@ -145,12 +165,7 @@ object OpsScaleBench {
       // word suffixed with its replica id), so near-dup families never
       // span replicas and the true-pair count grows linearly — the
       // bench measures operator scaling, not quadratic answer growth.
-      val docsV = if (n <= 1) docs0 else docs0
-        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
-        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("$1_"), col("__r"))))
-        .drop("__r")
+      val docsV = replicateSuffixed(docs0, n, suffixFrom = 0)
       bench("jacc_prefix", n, nDocs * n) { () =>
         val c = graft.ext.Dedup.ngramJaccardPrefix(docsV, "doc_id", "text",
           k = 2, threshold = 0.9).count()
@@ -233,13 +248,7 @@ object OpsScaleBench {
       // the plain inverted-index join shuffles EVERY corpus shingle —
       // flat-vs-linear in the shuffle=MB column, the cluster-relevant
       // curve (wall time on a 32-thread local box under-sells it).
-      val trainDocs = (if (n <= 1) docs0 else docs0
-        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
-        .withColumn("text", when(col("__r") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1_"), col("__r")))))
-        .drop("__r"))
+      val trainDocs = replicateSuffixed(docs0, n, suffixFrom = 1)
         .filter(col("doc_id") % 29 =!= 0)
       val benchDocs = docs0.filter(col("doc_id") % 29 === 0)
       benchShuffle("decont_plain", n, nDocs * n)(() =>
@@ -285,22 +294,19 @@ object OpsScaleBench {
       // pair finder over known∪fresh, paying the known×known
       // candidate volume every ingest. The wall-time gap between
       // these two rows IS the reason the incremental operator exists.
-      val knownGrown = (if (n <= 1) docs0 else docs0
-        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("doc_id", col("doc_id") + col("__r") * 10000019L)
-        .withColumn("text", when(col("__r") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1_"), col("__r")))))
-        .drop("__r"))
+      val knownGrown = replicateSuffixed(docs0, n, suffixFrom = 1)
         .filter(col("doc_id") % 5 =!= 0)
       val freshBatch = docs0.filter(col("doc_id") % 5 === 0)
-      bench("incr_near", n, nDocs * n) { () =>
+      // honest input size: the %5 split drops ~1/5 of the replicated
+      // corpus, so nDocs*n would overstate throughput ~24% at n=32
+      val incrRows = knownGrown.count() + freshBatch.count()
+      bench("incr_near", n, incrRows) { () =>
         val c = graft.ext.Dedup.simHashIncremental(freshBatch, knownGrown,
           "doc_id", "text", maxDist = 3).count()
         graft.core.Caches.unpersistAll()
         c
       }
-      bench("incr_ctrl", n, nDocs * n) { () =>
+      bench("incr_ctrl", n, incrRows) { () =>
         val c = graft.ext.Dedup.simHashPairs(knownGrown.unionByName(freshBatch),
           "doc_id", "text", maxDist = 3).count()
         graft.core.Caches.unpersistAll()

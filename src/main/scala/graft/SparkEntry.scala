@@ -2707,6 +2707,9 @@ object SparkEntry {
     // lower + (upper-lower)·0.5 — identical IEEE shape), spike
     // threshold |z| ≥ 4 compared on bit-identical doubles. max_abs_z
     // rounds an already de-gridded quotient (the lmScore-tail rule).
+    // med/mad attach by LEFT join: a series whose residuals are ALL
+    // NULL has no median row but must still emit (n_resid=0,
+    // n_spikes=0, max_abs_z NULL) exactly as the engine does.
     "q_buster_check" ->
       (s"WITH loc AS (\n$wrtdsLocalOracleSql\n)" +
         """, med AS (
@@ -2719,7 +2722,8 @@ object SparkEntry {
           |), z AS (
           |  SELECT l.user_id, l.l2_resid,
           |         (l.l2_resid - m.rmed) / (1.4826 * d.rmad + 1e-9) AS zv
-          |  FROM loc l JOIN med m USING (user_id) JOIN mad d USING (user_id)
+          |  FROM loc l LEFT JOIN med m USING (user_id)
+          |            LEFT JOIN mad d USING (user_id)
           |)
           |SELECT user_id,
           |       CAST(count(l2_resid) AS BIGINT) AS n_resid,

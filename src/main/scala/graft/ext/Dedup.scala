@@ -487,15 +487,31 @@ object Dedup {
     * on at least one chunk — candidates join on chunk equality, then
     * exact bit_count filter. Output: id_a < id_b, hamming.
     */
+  /** Explode a fingerprint into one row per (chunk index, chunk
+    * value) — the band key of every pigeonhole Hamming join (the
+    * self-pair finder and the incremental cross-corpus form share
+    * this single definition of the chunking).
+    */
+  private def chunkExploded(fp: DataFrame, hashCol: String, nChunks: Int,
+      chunkBits: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    fp.withColumn("chunk",
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col(hashCol), c * chunkBits).bitwiseAND(mask).as("v"))): _*)))
+  }
+
   def hammingPairs(fp: DataFrame, id: String, hashCol: String,
       nChunks: Int, chunkBits: Int, maxDist: Int): DataFrame = {
     require(maxDist < nChunks,
       s"pigeonhole needs maxDist ($maxDist) < nChunks ($nChunks)")
+    // Java/Spark shifts mask the amount mod 64, so a config whose top
+    // chunk starts at bit >= 64 would silently ALIAS chunks onto low
+    // bits and lose pairs the pigeonhole contract promises
+    require(nChunks * chunkBits <= 64,
+      s"chunks must fit a 64-bit hash: nChunks*chunkBits = ${nChunks * chunkBits}")
     val mask = (1L << chunkBits) - 1
-    val chunks = fp.withColumn("chunk",
-      explode(array((0 until nChunks).map(c =>
-        struct(lit(c).as("c"),
-          shiftright(col(hashCol), c * chunkBits).bitwiseAND(mask).as("v"))): _*)))
+    val chunks = chunkExploded(fp, hashCol, nChunks, chunkBits)
     // A pair sharing m chunks would surface m times; instead of a
     // distinct() shuffle over the expanded candidate set, keep only the
     // match on the SMALLEST shared chunk index (earlier chunks must
@@ -549,21 +565,20 @@ object Dedup {
     */
   def simHashIncremental(fresh: DataFrame, known: DataFrame, id: String,
       text: String, maxDist: Int = 3): DataFrame = {
+    val nChunks = 4
+    val chunkBits = 8
     val fpF = graft.core.Caches.cached(simHash(fresh, id, text))
     val fpK = simHash(known, id, text)
-    def chunked(fp: DataFrame, side: String) = fp.select(
-      col(id).as(s"${side}_id"), col("simhash").as(s"${side}_sh"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"),
-          shiftright(col("simhash"), c * 8).bitwiseAND(255).as("v"))): _*))
-        .as("chunk"))
+    def chunked(fp: DataFrame, side: String) = chunkExploded(
+      fp.select(col(id).as(s"${side}_id"), col("simhash").as(s"${side}_sh")),
+      s"${side}_sh", nChunks, chunkBits)
     val crossMatch = chunked(fpK, "k")
       .join(chunked(fpF, "f"), Seq("chunk"))
       .filter(bit_count(col("k_sh").bitwiseXOR(col("f_sh"))) <= maxDist)
       .groupBy(col("f_id").as(id))
       .agg(min(col("k_id")).as("dup_of_known"))
     val intraMatch = hammingPairs(fpF, id, "simhash",
-      nChunks = 4, chunkBits = 8, maxDist)
+      nChunks, chunkBits, maxDist)
       .groupBy(col("id_b").as(id))
       .agg(min(col("id_a")).as("dup_of_batch"))
     fpF.select(col(id))

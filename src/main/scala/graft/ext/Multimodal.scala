@@ -92,6 +92,48 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Shared synthesize→encode→DECODE round-trip for the deterministic
+    * PNG corpus (one definition of the pixel formula for both the
+    * metadata and the perceptual-hash operators): w = 1 + id % 16,
+    * h = 1 + id % 12, pixel(x,y) = (31x + 17y + id) mod 256 in every
+    * channel. Returns the image decoded BACK from the encoded bytes —
+    * callers may only report decoded facts. Disables ImageIO's
+    * temp-FILE stream cache in the calling JVM first: executors that
+    * never initialize this object would otherwise pay two temp-file
+    * create/delete round-trips per row (and fail outright on an
+    * unwritable java.io.tmpdir).
+    */
+  private def synthDecodeRoundTrip(docId: Long): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = (1 + docId % 16).toInt
+    val h = (1 + docId % 12).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((31L * x + 17L * y + docId) % 256).toInt
+        raster.setSample(x, y, 0, v)
+        raster.setSample(x, y, 1, v)
+        raster.setSample(x, y, 2, v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+  }
+
+  private def rowId(row: Row, idx: Int): Long = row.get(idx) match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case other => other.asInstanceOf[Number].longValue()
+  }
+
   /** End-to-end proof that the REAL codec runs on the executors: per
     * input row, synthesize a PNG whose dimensions and pixel values are
     * pure functions of the id (w = 1 + id % 16, h = 1 + id % 12,
@@ -116,34 +158,9 @@ object Multimodal {
     val idx = df.schema.fieldIndex(id)
     val rdd = df.rdd.mapPartitions { it =>
       it.map { row =>
-        val docId = row.get(idx) match {
-          case l: java.lang.Long => l.longValue()
-          case i: java.lang.Integer => i.longValue()
-          case other => other.asInstanceOf[Number].longValue()
-        }
-        val w = (1 + docId % 16).toInt
-        val h = (1 + docId % 12).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = ((31L * x + 17L * y + docId) % 256).toInt
-            raster.setSample(x, y, 0, v)
-            raster.setSample(x, y, 1, v)
-            raster.setSample(x, y, 2, v)
-            x += 1
-          }
-          y += 1
-        }
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
-        val bytes = baos.toByteArray
-        // decode path: everything below comes from the DECODED image
-        val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        val docId = rowId(row, idx)
+        // everything below comes from the DECODED image
+        val dec = synthDecodeRoundTrip(docId)
         val dr = dec.getRaster
         val dw = dec.getWidth
         val dh = dec.getHeight
@@ -193,33 +210,9 @@ object Multimodal {
     val idx = df.schema.fieldIndex(id)
     val rdd = df.rdd.mapPartitions { it =>
       it.map { row =>
-        val docId = row.get(idx) match {
-          case l: java.lang.Long => l.longValue()
-          case i: java.lang.Integer => i.longValue()
-          case other => other.asInstanceOf[Number].longValue()
-        }
-        val w0 = (1 + docId % 16).toInt
-        val h0 = (1 + docId % 12).toInt
-        val img = new java.awt.image.BufferedImage(
-          w0, h0, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h0) {
-          var x = 0
-          while (x < w0) {
-            val v = ((31L * x + 17L * y + docId) % 256).toInt
-            raster.setSample(x, y, 0, v)
-            raster.setSample(x, y, 1, v)
-            raster.setSample(x, y, 2, v)
-            x += 1
-          }
-          y += 1
-        }
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
+        val docId = rowId(row, idx)
         // fingerprint path: everything below reads the DECODED image
-        val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(baos.toByteArray))
+        val dec = synthDecodeRoundTrip(docId)
         val dr = dec.getRaster
         val w = dec.getWidth
         val h = dec.getHeight

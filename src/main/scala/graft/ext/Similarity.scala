@@ -30,17 +30,22 @@ object Similarity {
     * is the small one by construction, while the corpus is the 100 TB
     * axis and must stay partitioned so every executor scans only its
     * corpus slice against the replicated queries).
+    * `excludeSelf` skips candidates whose id equals the query id —
+    * right when queries ⊆ corpus (the default self-search shape);
+    * pass false for CROSS-pool search where an id collision between
+    * two different tables is a legitimate candidate, not a self-pair.
     * Output: query_id, vec_id, cosine, rank (ties → smaller vec_id).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
-      vec: String, k: Int): DataFrame = {
+      vec: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     // norms are per-ROW, computed before the join — cosine inside the
     // pair loop would re-fold both arrays for every candidate pair
     val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
       norm(col(vec)).as("__qn"))
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
       norm(col(vec)).as("__cn"))
-    val scored = broadcast(q).join(c, col("query_id") =!= col("vec_id"))
+    val scored = broadcast(q).join(c,
+      if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -555,8 +560,10 @@ object Similarity {
     def sumK(topk: DataFrame, key: String) = topk
       .groupBy(col(key))
       .agg(sum(col("cosine").cast("decimal(38,6)")).as("__sumk"))
-    val fwd = bruteForceTopK(src, tgt, id, vec, k)
-    val bwd = bruteForceTopK(tgt, src, id, vec, k)
+    // cross-pool: an id shared by a src row and a tgt row is two
+    // different vectors, so the self-pair exclusion must be off
+    val fwd = bruteForceTopK(src, tgt, id, vec, k, excludeSelf = false)
+    val bwd = bruteForceTopK(tgt, src, id, vec, k, excludeSelf = false)
     val sumX = sumK(fwd, "query_id")
       .select(col("query_id"), col("__sumk").as("__sx"))
     val sumY = sumK(bwd, "query_id")
