@@ -2006,7 +2006,9 @@ object SparkEntry {
          |  FROM n ORDER BY vec_id LIMIT $nSeeds
          |), asgall AS (
          |  SELECT c.vec_id, s.seed_id,
-         |         ${dotSql("c.embedding", "s.sv")} / (c.nrm * s.snrm) AS cos0
+         |         CASE WHEN c.nrm * s.snrm > 0
+         |              THEN ${dotSql("c.embedding", "s.sv")} / (c.nrm * s.snrm)
+         |              ELSE -2.0 END AS cos0
          |  FROM n c CROSS JOIN sd s
          |), cells AS (
          |  SELECT vec_id, seed_id AS cell
@@ -2905,7 +2907,9 @@ object SparkEntry {
            |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
            |  JOIN n na ON na.vec_id = ca.vec_id
            |  JOIN n nb2 ON nb2.vec_id = cb.vec_id
-           |  WHERE ${dotSql("na.embedding", "nb2.embedding")} / (na.nrm * nb2.nrm) >= 0.35
+           |  WHERE CASE WHEN na.nrm * nb2.nrm > 0
+           |             THEN ${dotSql("na.embedding", "nb2.embedding")} / (na.nrm * nb2.nrm)
+           |             ELSE -2.0 END >= 0.35
            |), d AS (
            |  SELECT id_b, min(id_a) AS dup_of FROM pr GROUP BY id_b
            |)
@@ -3543,9 +3547,13 @@ object SparkEntry {
          |         END AS s_lm,
          |         CASE WHEN krep.dup_word_frac IS NULL THEN CAST(0.0 AS DOUBLE)
          |              ELSE 1.0 - krep.dup_word_frac END AS s_rep,
-         |         CASE WHEN kpii.n_emails IS NULL THEN CAST(0.0 AS DOUBLE)
-         |              ELSE 1.0 / (1.0 + CAST(kpii.n_emails + kpii.n_phones
-         |                                     + kpii.n_ips + kpii.n_id_runs
+         |         CASE WHEN coalesce(kpii.n_emails, kpii.n_phones,
+         |                            kpii.n_ips, kpii.n_id_runs) IS NULL
+         |              THEN CAST(0.0 AS DOUBLE)
+         |              ELSE 1.0 / (1.0 + CAST(coalesce(kpii.n_emails, 0)
+         |                                     + coalesce(kpii.n_phones, 0)
+         |                                     + coalesce(kpii.n_ips, 0)
+         |                                     + coalesce(kpii.n_id_runs, 0)
          |                                     AS DOUBLE)) END AS s_pii,
          |         CASE WHEN kdom.blocked IS NULL THEN CAST(0.0 AS DOUBLE)
          |              WHEN kdom.blocked THEN CAST(0.0 AS DOUBLE)

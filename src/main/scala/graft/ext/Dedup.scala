@@ -505,6 +505,10 @@ object Dedup {
       nChunks: Int, chunkBits: Int, maxDist: Int): DataFrame = {
     require(maxDist < nChunks,
       s"pigeonhole needs maxDist ($maxDist) < nChunks ($nChunks)")
+    // chunkBits = 64 would make the mask (1L << 64) - 1 = 0 (Java
+    // shifts mask the amount mod 64) and alias every chunk to 0
+    require(chunkBits >= 1 && chunkBits <= 63,
+      s"chunkBits must be in [1, 63], got $chunkBits")
     // Java/Spark shifts mask the amount mod 64, so a config whose top
     // chunk starts at bit >= 64 would silently ALIAS chunks onto low
     // bits and lose pairs the pigeonhole contract promises
@@ -516,12 +520,15 @@ object Dedup {
     // distinct() shuffle over the expanded candidate set, keep only the
     // match on the SMALLEST shared chunk index (earlier chunks must
     // differ) — each pair appears exactly once, no dedup pass.
+    // foldLeft over lit(0), not reduce: nChunks = 1 (maxDist = 0 —
+    // exact fingerprint equality) has NO earlier chunks and a bare
+    // reduce would throw on the empty sequence.
     val earlierChunkEqual = (0 until nChunks - 1).map { ci =>
       when(lit(ci) < col("x.chunk.c"),
         (shiftright(col(s"x.$hashCol"), ci * chunkBits).bitwiseAND(mask) ===
           shiftright(col(s"y.$hashCol"), ci * chunkBits).bitwiseAND(mask)).cast("int"))
         .otherwise(0)
-    }.reduce(_ + _)
+    }.foldLeft(lit(0): Column)(_ + _)
     val cands = chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk.c") === col("y.chunk.c") && col("x.chunk.v") === col("y.chunk.v") &&
@@ -551,11 +558,17 @@ object Dedup {
     * normalized matches): each fresh-batch doc is checked for SimHash
     * Hamming proximity to (a) the known corpus and (b) earlier docs of
     * its own batch. The scale contract is the one incremental
-    * ingestion needs: the known side contributes its (reusable,
-    * index-shaped) chunk table to ONE equi-join keyed on the fresh
-    * batch's chunks — the known corpus is never re-paired against
-    * itself, so per-ingest cost is O(|batch| + matches), not
-    * O(|corpus|²). Candidate multiplicity (a pair sharing m chunks
+    * ingestion needs: the known side is never re-paired against
+    * itself — its chunk table feeds ONE equi-join keyed on the fresh
+    * batch's chunks. Per-ingest cost is O(|corpus| + |batch| +
+    * matches) when the known fingerprints are recomputed (the corpus
+    * term is a single map-side SimHash pass — no corpus×corpus
+    * pairing), and O(|batch| + matches) when the caller passes the
+    * persisted fingerprint index via `knownFp`: the output of
+    * [[simHash]](known) from a previous ingest (or the previous
+    * index unioned with the batch fingerprints this call computes) —
+    * the index-maintenance shape a real append-only pipeline runs.
+    * Candidate multiplicity (a pair sharing m chunks
     * surfaces m times) is harmless here because the reduction is a
     * min/agg per fresh doc, so no distinct pass and no
     * smallest-chunk trick is needed on the cross join.
@@ -564,11 +577,12 @@ object Dedup {
     * maxDist), keep = both NULL.
     */
   def simHashIncremental(fresh: DataFrame, known: DataFrame, id: String,
-      text: String, maxDist: Int = 3): DataFrame = {
+      text: String, maxDist: Int = 3,
+      knownFp: Option[DataFrame] = None): DataFrame = {
     val nChunks = 4
     val chunkBits = 8
     val fpF = graft.core.Caches.cached(simHash(fresh, id, text))
-    val fpK = simHash(known, id, text)
+    val fpK = knownFp.getOrElse(simHash(known, id, text))
     def chunked(fp: DataFrame, side: String) = chunkExploded(
       fp.select(col(id).as(s"${side}_id"), col("simhash").as(s"${side}_sh")),
       s"${side}_sh", nChunks, chunkBits)

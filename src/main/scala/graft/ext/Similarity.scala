@@ -465,7 +465,13 @@ object Similarity {
     * Determinism: cosines are identically-shaped IEEE folds on the
     * same float32 inputs in both engines (the green q_embed_pairs /
     * q_ann_brute contract), so the argmax and the τ threshold compare
-    * bit-agree; ties break on integer seed/doc ids.
+    * bit-agree; ties break on integer seed/doc ids. A ZERO-NORM vector
+    * (all-zero embedding) would make the cosine NaN — and the two
+    * engines order NaN differently in the argmax (Spark's array_sort
+    * puts NaN last; DuckDB's ORDER BY DESC puts it first), so the
+    * undefined cosine is pinned to −2.0 (below any real cosine) on
+    * BOTH sides: a zero-norm vector deterministically lands in the
+    * smallest seed's cell and never forms a τ-pair.
     * Output: one row per input — id, cell (seed id), dup_of (smallest
     * earlier same-cell id with cosine ≥ τ; NULL for keepers), keep.
     */
@@ -482,10 +488,14 @@ object Similarity {
     }: _*)
     // argmax cosine as a projection: per seed struct(-cos, seed_id),
     // array_sort, head — double negation is exact, so ascending -cos
-    // ≡ descending cos, ties to the smaller seed id
+    // ≡ descending cos, ties to the smaller seed id. Zero-norm guard:
+    // an undefined cosine (either norm 0) is pinned to -2.0 so the
+    // NaN ordering divergence between engines can never decide a cell.
+    def safeCos(d: Column, den: Column): Column =
+      when(den > 0, d / den).otherwise(lit(-2.0))
     val best = element_at(array_sort(transform(seedArr, st =>
-      struct((lit(0d) - dot(col("__v"), st.getField("sv")) /
-        (col("__n") * norm(st.getField("sv")))).as("negcos"),
+      struct((lit(0d) - safeCos(dot(col("__v"), st.getField("sv")),
+        col("__n") * norm(st.getField("sv")))).as("negcos"),
         st.getField("seed_id").as("seed_id")))), 1)
     val assigned = df
       .select(col(id), col(vec).as("__v"), norm(col(vec)).as("__n"))
@@ -496,7 +506,8 @@ object Similarity {
       col("__n").as("__nb"), col("cell"))
     val dupEdges = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= tau)
+      .filter(safeCos(dot(col("__va"), col("__vb")),
+        col("__na") * col("__nb")) >= tau)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
     assigned.join(dupEdges, col(id) === col("id_b"), "left")
       .select(col(id), col("cell"), col("dup_of"),

@@ -1025,9 +1025,15 @@ object TextStats {
         lit(1.0) - col("bits_per_token") / lit(16.0)))
     val sRep = when(col("dup_word_frac").isNull, lit(0.0))
       .otherwise(lit(1.0) - col("dup_word_frac"))
-    val nPii =
-      col("n_emails") + col("n_phones") + col("n_ips") + col("n_id_runs")
-    val sPii = when(col("n_emails").isNull, lit(0.0))
+    // per-column coalesce INSIDE the sum: a pii row with one non-null
+    // count but a NULL sibling must not propagate NULL into the score
+    // (the never-null contract); row ABSENCE is any-of-four-null —
+    // equivalently all-null, since piiRedact emits the four together
+    val nPii = coalesce(col("n_emails"), lit(0)) +
+      coalesce(col("n_phones"), lit(0)) +
+      coalesce(col("n_ips"), lit(0)) + coalesce(col("n_id_runs"), lit(0))
+    val sPii = when(coalesce(col("n_emails"), col("n_phones"),
+        col("n_ips"), col("n_id_runs")).isNull, lit(0.0))
       .otherwise(lit(1.0) / (lit(1.0) + nPii.cast("double")))
     val sDom = when(col("blocked").isNull, lit(0.0))
       .otherwise(when(col("blocked"), lit(0.0)).otherwise(lit(1.0)))

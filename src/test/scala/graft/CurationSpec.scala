@@ -244,6 +244,31 @@ class CurationSpec extends SparkTestBase {
     assert(out(3).getBoolean(6))
   }
 
+  test("keepScore: a pii row with NULL sibling counts never yields a NULL score") {
+    import spark.implicits._
+    // doc 1: present pii row with one non-null count and NULL siblings
+    // — the combiner must coalesce per column, not propagate NULL into
+    // keep_score (the never-null contract); doc 2: all-null pii row ≡
+    // absence, scores 0 on the pii component.
+    val base = Seq(1L, 2L).toDF("doc_id")
+    val lm = Seq((1L, 8.0), (2L, 8.0)).toDF("doc_id", "bits_per_token")
+    val rep = Seq((1L, 0.0), (2L, 0.0)).toDF("doc_id", "dup_word_frac")
+    val pii = Seq(
+      (1L, Some(4), None: Option[Int], None: Option[Int], None: Option[Int]),
+      (2L, None: Option[Int], None: Option[Int], None: Option[Int],
+        None: Option[Int]))
+      .toDF("doc_id", "n_emails", "n_phones", "n_ips", "n_id_runs")
+    val dom = Seq((1L, false), (2L, false)).toDF("doc_id", "blocked")
+    val out = TextStats.keepScore(base, "doc_id", lm, rep, pii, dom,
+      threshold = 0.5).orderBy("doc_id").collect()
+    // doc 1: s_pii = 1/(1+4) = 0.2 → 0.4·0.5 + 0.3 + 0.2·0.2 + 0.1 = 0.64
+    assert(math.abs(out(0).getDouble(3) - 0.2) < 1e-12)
+    assert(math.abs(out(0).getDouble(5) - 0.64) < 1e-12)
+    // doc 2: all-null pii row is absence → s_pii = 0
+    assert(out(1).getDouble(3) === 0.0)
+    out.foreach(r => assert(!r.isNullAt(5), s"NULL keep_score: $r"))
+  }
+
   test("psiDrift: stable window scores 0, flipped distribution scores 2*0.4*ln(7/3)") {
     import spark.implicits._
     // windows of 100us, 2 bins over [0,10): window 0 = [3 low, 1 high],

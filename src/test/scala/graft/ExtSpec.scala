@@ -223,6 +223,61 @@ class ExtSpec extends SparkTestBase {
     assert(out(5).isNullAt(out(5).fieldIndex("dup_of")))
   }
 
+  test("semanticDedup: zero-norm vector assigns deterministically, never pairs") {
+    import spark.implicits._
+    // id 2 is the all-zero vector: every cosine with it is undefined
+    // (0/0). The engine pins undefined cosines to -2.0, so it lands in
+    // the smallest seed's cell by the tie rule and never forms a
+    // τ-pair — identical semantics to the oracle's CASE guard (without
+    // the guard, Spark's array_sort and DuckDB's ORDER BY DESC order
+    // the NaN opposite ways and the cell assignment diverges).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nSeeds = 2, tau = 0.8).orderBy("vec_id").collect()
+    assert(out(2).getAs[Long]("cell") == 0L) // all cosines -2.0 → tie → seed 0
+    assert(out(2).getAs[Boolean]("keep")) // never a τ-pair
+    assert(out(2).isNullAt(out(2).fieldIndex("dup_of")))
+    assert(out(3).getAs[Long]("dup_of") == 0L) // real pairs unaffected
+  }
+
+  test("hammingPairs: nChunks=1 is exact fingerprint equality; bad chunkBits rejected") {
+    import spark.implicits._
+    val fp = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("doc_id", "h")
+    val out = Dedup.hammingPairs(fp, "doc_id", "h",
+      nChunks = 1, chunkBits = 8, maxDist = 0).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1L &&
+      out.head.getAs[Long]("id_b") == 2L &&
+      out.head.getAs[Int]("hamming") == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(fp, "doc_id", "h", nChunks = 1, chunkBits = 64,
+        maxDist = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(fp, "doc_id", "h", nChunks = 2, chunkBits = 0,
+        maxDist = 1)
+    }
+  }
+
+  test("simHashIncremental: precomputed known-side index reproduces the recomputed path") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val known = docs((1L, base), (2L, (100 to 160).map(i => s"v$i").mkString(" ")))
+    val fresh = docs((10L, base + " " + base),
+      (12L, (200 to 260).map(i => s"u$i").mkString(" ")))
+    val fpK = Dedup.simHash(known, "doc_id", "text")
+    val viaIndex = Dedup.simHashIncremental(fresh, known, "doc_id", "text",
+      maxDist = 3, knownFp = Some(fpK)).orderBy("doc_id").collect()
+    val recomputed = Dedup.simHashIncremental(fresh, known, "doc_id", "text",
+      maxDist = 3).orderBy("doc_id").collect()
+    assert(viaIndex.toSeq == recomputed.toSeq)
+    assert(viaIndex(0).getAs[Long]("dup_of_known") == 1L)
+    assert(viaIndex(1).getAs[Boolean]("keep"))
+  }
+
   test("semanticDedupRecall: every tau-pair here is intra-cell") {
     import spark.implicits._
     val emb = Seq(
