@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Similarity, TextStats}
+import graft.ext.{Multimodal, Similarity, TextStats}
 import graft.operators.Diagnostics
 
 /** Scale-evidence microbench for the round-7 operators, each
@@ -173,6 +173,17 @@ object OpsScaleBench {
         c
       }
 
+      // substring spans on the corpus axis: replicas get disjoint
+      // vocabularies so spans never cross replicas — per-anchor df
+      // stays flat and the candidate volume (Σ df² over anchors)
+      // grows linearly with the corpus, as does the island pass.
+      bench("substr_spans", n, nDocs * n) { () =>
+        val c = graft.ext.Dedup.substringSpans(docsV, "doc_id", "text",
+          minLen = 8, maxDf = 20).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
       // capped bm25 on the SAME harsh axis as the bm25 row: with
       // dfCapFrac=0.5 only the rare tail of the vocabulary generates
       // candidates, so the candidate join stays proportional to the
@@ -271,18 +282,50 @@ object OpsScaleBench {
       // stays linear); the assignment term is inherently n·k for a
       // flat quantizer — the row's claim is pair-phase linearity, not
       // assignment flatness.
-      val embRot = if (n <= 1) emb0 else emb0
-        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("__rr", (col("__r") % size(col("embedding"))).cast("int"))
-        .withColumn("vec_id", col("vec_id") + col("__r") * 10000019L)
-        .withColumn("embedding",
-          concat(slice(col("embedding"), col("__rr") + 1,
-            size(col("embedding")) - col("__rr")),
-            slice(col("embedding"), lit(1), col("__rr"))))
-        .drop("__r", "__rr")
+      def rotReplicate(df: org.apache.spark.sql.DataFrame, n: Int)
+          : org.apache.spark.sql.DataFrame =
+        if (n <= 1) df else df
+          .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+          .withColumn("__rr", (col("__r") % size(col("embedding"))).cast("int"))
+          .withColumn("vec_id", col("vec_id") + col("__r") * 10000019L)
+          .withColumn("embedding",
+            concat(slice(col("embedding"), col("__rr") + 1,
+              size(col("embedding")) - col("__rr")),
+              slice(col("embedding"), lit(1), col("__rr"))))
+          .drop("__r", "__rr")
+      val embRot = rotReplicate(emb0, n)
       bench("dedup_sem", n, nVecs * n)(() =>
         Similarity.semanticDedup(embRot, "vec_id", "embedding",
           nSeeds = 16 * n, tau = 0.35).count())
+
+      // margin mining, brute vs bucketed retrieval on the BOTH-pools
+      // axis (rotated replicas — decorrelated, so mined-pair volume
+      // grows linearly and the bench measures the operator): the brute
+      // control's candidate volume is |src|·|tgt| — quadratic on this
+      // axis, which is exactly why the bucketed form exists — so it is
+      // capped at n ≤ 8; the LSH form rides the multi-probe bucket
+      // equi-join with bucket count grown with the corpus
+      // (bits = 4 + log₂ n — the k ∝ n contract), holding per-bucket
+      // candidate density flat.
+      val srcPool = rotReplicate(emb0.filter(col("vec_id") % 5 < 2), n)
+      val tgtPool = rotReplicate(emb0.filter(col("vec_id") % 5 >= 2), n)
+      if (n <= 8)
+        bench("margin_brute", n, nVecs * n)(() =>
+          Similarity.marginMine(srcPool, tgtPool, "vec_id", "embedding",
+            k = 4, minMargin = 1.2).count())
+      val marginBits = 4 + (31 - Integer.numberOfLeadingZeros(math.max(n, 1)))
+      bench("margin_lsh", n, nVecs * n)(() =>
+        Similarity.marginMine(srcPool, tgtPool, "vec_id", "embedding",
+          k = 4, minMargin = 1.2,
+          retrieve = Similarity.lshRetriever(marginBits)).count())
+
+      // perceptual-hash codec axis: per-doc PNG synth→encode→decode→
+      // fingerprint is pure map work, so wall must scale linearly in
+      // docs (flat Mrows/s). The pair phase is hammingPairs' band
+      // join — covered by the incr_near/incr_ctrl rows below.
+      val mediaIds = replicate(docs0.select("doc_id"), "doc_id", 10000019L, n)
+      bench("media_hash", n, nDocs * n)(() =>
+        Multimodal.pngPerceptualHash(mediaIds, "doc_id").count())
 
       // incremental near-dup vs full re-pairing on the growing-corpus
       // axis: the KNOWN corpus widens n× (replicas r>0 vocab-suffixed

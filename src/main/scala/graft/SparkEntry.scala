@@ -583,6 +583,28 @@ object SparkEntry {
         "doc_id", "text", maxDist = 3)
     }),
 
+    // UNIFIED ingest: exact AND near verdicts from one pass over the
+    // fresh batch — the call a real append-only pipeline makes per
+    // ingest. The fresh slice is normalized/hashed once into a cached
+    // base; exact leg, fingerprint pass and output all read it.
+    "q_dedup_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupIngest(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", maxDist = 3)
+    }),
+
+    // substring-level exact dedup (Lee et al. 2022): maximal
+    // cross-document repeated token spans (>= 8 tokens) via df-capped
+    // positioned-anchor groups + constant-diagonal run merging — the
+    // repeated-span axis that doc-level hashing and shingle-set
+    // jaccard both miss (a license header pasted into two otherwise
+    // unrelated documents).
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.substringSpans(Tables.documents(s, dir), "doc_id", "text",
+        minLen = 8, maxDf = 20)),
+
     // hopping-window event rates: 2-hour windows sliding every hour
     // (each event lands in exactly 2 windows), counted per type —
     // the batch form of the standard streaming rate monitor.
@@ -835,6 +857,29 @@ object SparkEntry {
       Similarity.marginMine(emb.filter(col("label") < 2),
         emb.filter(col("label") >= 2), "vec_id", "embedding",
         k = 4, minMargin = 1.2)
+    }),
+
+    // BUCKETED margin mining — the scale path: identical margin stage,
+    // but both retrieval directions ride the multi-probe sign-LSH
+    // bucket equi-join instead of the pool×pool brute pass. Fully
+    // oracled (the probe expansion, bucket join and margin chain are
+    // all closed-form SQL), unlike the trained-quantizer ANN variants.
+    "q_margin_mine_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginMine(emb.filter(col("label") < 2),
+        emb.filter(col("label") >= 2), "vec_id", "embedding",
+        k = 4, minMargin = 1.2, retrieve = Similarity.lshRetriever(4))
+    }),
+
+    // agreement companion: how many brute-margin pairs the bucketed
+    // path reproduces exactly (same src → same tgt). Exact integer
+    // cross-multiplication bound, fully oracled.
+    "q_margin_mine_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginMineAgreement(emb.filter(col("label") < 2),
+        emb.filter(col("label") >= 2), "vec_id", "embedding",
+        k = 4, minMargin = 1.2, retrieve = Similarity.lshRetriever(4),
+        minPct = 40)
     }),
 
     // SemDeDup-style embedding-cluster dedup: assignment to pinned
@@ -1237,6 +1282,37 @@ object SparkEntry {
           Tables.documents(s, dir).select("doc_id"), "doc_id")
           .select("doc_id", "dhash"))
       Dedup.hammingPairs(fp, "doc_id", "dhash",
+        nChunks = 4, chunkBits = 14, maxDist = 3)
+    }),
+
+    // BOTH perceptual-hash channels as a directly-oracled table: the
+    // near-dup query exercises only the dhash channel, so this pins
+    // ahash — and the decoded dimensions — to the closed-form pixel
+    // function; no shipped output column without a driver-checked
+    // signal.
+    "q_media_hashes" -> ((s, dir) =>
+      Multimodal.pngPerceptualHash(
+        Tables.documents(s, dir).select("doc_id"), "doc_id")),
+
+    // REAL audio codec round-trip: per-doc PCM synthesized, framed as
+    // WAV by javax.sound on the executors, decoded back; every output
+    // column comes from the DECODED stream, verified by the oracle's
+    // closed-form sample formula (lossless PCM ⇒ exact integer match).
+    "q_audio_meta" -> ((s, dir) =>
+      Multimodal.wavRoundTripMeta(
+        Tables.documents(s, dir).select("doc_id"), "doc_id")),
+
+    // audio near-dup: 56-bit delta-sign fingerprint over REAL-decoded
+    // WAV samples, paired by the same pigeonhole Hamming band join the
+    // text SimHash and image dHash ride (4×14-bit chunks cover
+    // maxDist ≤ 3). Fingerprints cached: the band self-join would
+    // otherwise run the codec twice per doc.
+    "q_audio_neardup" -> ((s, dir) => {
+      val fp = graft.core.Caches.cached(
+        Multimodal.wavFingerprint(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+          .select("doc_id", "afp"))
+      Dedup.hammingPairs(fp, "doc_id", "afp",
         nChunks = 4, chunkBits = 14, maxDist = 3)
     }),
 
@@ -2018,6 +2094,28 @@ object SparkEntry {
          |  WHERE rk = 1
          |)""".stripMargin
 
+  /** The two incremental-ingest match legs over fpk/fpn fingerprint
+    * CTEs — chunk tables, fresh×known banded match (cm), intra-batch
+    * pigeonhole pairs (im). Shared by q_dedup_incr_near and
+    * q_dedup_ingest so the match semantics can never drift.
+    */
+  private val simhashIncrMatchCtes: String =
+    s"""chk AS (
+       |  ${(0 until 4).map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * 8}) & 255 AS v FROM fpk").mkString("\n  UNION ALL ")}
+       |), chn AS (
+       |  ${(0 until 4).map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * 8}) & 255 AS v FROM fpn").mkString("\n  UNION ALL ")}
+       |), cm AS (
+       |  SELECT n.doc_id AS nid, min(k.doc_id) AS dup_known
+       |  FROM chk k JOIN chn n ON k.c = n.c AND k.v = n.v
+       |  WHERE bit_count(xor(k.simhash, n.simhash)) <= 3
+       |  GROUP BY n.doc_id
+       |), im AS (
+       |  SELECT y.doc_id AS nid, min(x.doc_id) AS dup_batch
+       |  FROM fpn x JOIN fpn y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |  GROUP BY y.doc_id
+       |)""".stripMargin
+
   private val simhashBitSums: String = (0 until 32).map(j =>
     s"sum((((h >> $j) & 1)*2 - 1) * c) AS s$j").mkString(",\n         ")
   private val simhashFpExpr: String = (0 until 32).map(j =>
@@ -2118,6 +2216,75 @@ object SparkEntry {
          |FROM f2""".stripMargin
   }
 
+  /** Shared pools for the margin-mine oracle family: src (label < 2)
+    * and tgt (label >= 2) with norms and the 8-bit sign-LSH bucket
+    * (unused by the brute chain, harmless to carry).
+    */
+  private def marginPoolsCte(bits: Int): String = {
+    val bkt = (0 until bits).map(j =>
+      s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), sp0 AS (SELECT *, $bkt AS bkt FROM n WHERE label < 2
+       |), tp0 AS (SELECT *, $bkt AS bkt FROM n WHERE label >= 2
+       |)""".stripMargin
+  }
+
+  /** Margin-mine CTE chain, suffixed so the brute and LSH variants
+    * coexist in one statement (the recall companion needs both): ends
+    * in mm$sfx(src_id, tgt_id, cosine, marg). `lsh` switches the two
+    * retrieval directions between the brute pool×pool pass and the
+    * multi-probe bucket equi-join — mirroring Similarity.marginMine's
+    * pluggable retriever (excludeSelf = false, 9 probes = own bucket
+    * + every 1-bit flip, rank over the raw cosine).
+    */
+  private def marginChainCtes(sfx: String, lsh: Boolean, nk: Int,
+      bits: Int): String = {
+    val probeList = ("bkt" +: (0 until bits).map(j =>
+      s"xor(bkt, ${1L << j})")).mkString(", ")
+    def cand(alias: String, qPool: String, cPool: String): String =
+      if (lsh)
+        s"""qp$alias$sfx AS (
+           |  SELECT vec_id, embedding, nrm, unnest([$probeList]) AS probe
+           |  FROM $qPool
+           |), $alias$sfx AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |  FROM qp$alias$sfx q JOIN $cPool c ON q.probe = c.bkt
+           |)""".stripMargin
+      else
+        s"""$alias$sfx AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |  FROM $qPool q, $cPool c
+           |)""".stripMargin
+    s"""${cand("fa", "sp0", "tp0")}, fr$sfx AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos0 DESC, cid ASC) AS rk FROM fa$sfx
+       |), fwd$sfx AS (
+       |  SELECT qid, cid, round(cos0, 6) AS cos6 FROM fr$sfx WHERE rk <= $nk
+       |), ${cand("ba", "tp0", "sp0")}, br$sfx AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos0 DESC, cid ASC) AS rk FROM ba$sfx
+       |), bwd$sfx AS (
+       |  SELECT qid, round(cos0, 6) AS cos6 FROM br$sfx WHERE rk <= $nk
+       |), sx$sfx AS (
+       |  SELECT qid, sum(CAST(cos6 AS DECIMAL(38,6))) AS sxv FROM fwd$sfx GROUP BY qid
+       |), sy$sfx AS (
+       |  SELECT qid AS cid, sum(CAST(cos6 AS DECIMAL(38,6))) AS syv FROM bwd$sfx GROUP BY qid
+       |), m$sfx AS (
+       |  SELECT f.qid, f.cid, f.cos6,
+       |         f.cos6 / (CAST(sx.sxv + sy.syv AS DOUBLE) / ${2.0 * nk}) AS marg
+       |  FROM fwd$sfx f JOIN sx$sfx sx ON f.qid = sx.qid JOIN sy$sfx sy ON f.cid = sy.cid
+       |), r$sfx AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY marg DESC, cid ASC) AS rk FROM m$sfx
+       |), mm$sfx AS (
+       |  SELECT qid AS src_id, cid AS tgt_id, cos6 AS cosine, marg
+       |  FROM r$sfx WHERE rk = 1 AND marg >= 1.2
+       |)""".stripMargin
+  }
+
   /** q_media_neardup oracle: the 56-bit dHash rebuilt term by term
     * from the closed-form pixel function pixel(x,y) = (31x+17y+id)%256
     * with w = 1+id%16, h = 1+id%12 — the same formula q_media_decode
@@ -2140,6 +2307,58 @@ object SparkEntry {
        |       CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3""".stripMargin
+  }
+
+  /** q_media_hashes oracle: BOTH 56-bit perceptual-hash channels
+    * rebuilt term by term from the closed-form pixel function —
+    * dhash from horizontal gradient signs, ahash from the exact
+    * integer mean-threshold cross-multiplication s(r,g)·56 > Σs.
+    */
+  private val mediaHashesOracleSql: String = {
+    def px(gx: Int, r: Int) =
+      s"((31*(($gx*w)//8) + 17*(($r*h)//8) + doc_id) % 256)"
+    val dterms = (for { r <- 0 until 8; g <- 0 until 7 } yield
+      s"CASE WHEN ${px(g + 1, r)} > ${px(g, r)} THEN CAST(${1L << (r * 7 + g)} AS BIGINT) ELSE 0 END")
+      .mkString("\n           + ")
+    val sumTerms = (for { r <- 0 until 8; g <- 0 until 7 } yield px(g, r))
+      .mkString(" + ")
+    val aterms = (for { r <- 0 until 8; g <- 0 until 7 } yield
+      s"CASE WHEN ${px(g, r)} * 56 > spx THEN CAST(${1L << (r * 7 + g)} AS BIGINT) ELSE 0 END")
+      .mkString("\n           + ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h FROM documents
+       |), spx0 AS (
+       |  SELECT doc_id, w, h, $sumTerms AS spx FROM dims
+       |)
+       |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |       $dterms AS dhash,
+       |       $aterms AS ahash
+       |FROM spx0""".stripMargin
+  }
+
+  /** q_audio_neardup oracle: the 56-bit delta-sign fingerprint rebuilt
+    * term by term from the closed-form sample formula
+    * sample(i) = ((31i + id) mod 256 − 128)·256 with n = 64 +
+    * (id % 12)·4 — the formula q_audio_meta proves the real WAV codec
+    * round-trips losslessly. The oracle compares the un-scaled values
+    * (the ·256 gain is sign-preserving, so the delta signs agree).
+    */
+  private val audioNeardupOracleSql: String = {
+    def v(p: String) = s"((31*($p) + doc_id) % 256 - 128)"
+    val terms = (0 until 56).map(j =>
+      s"CASE WHEN ${v(s"((${j + 1})*(n-1))//56")} > ${v(s"(($j)*(n-1))//56")} THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString("\n           + ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(64 + (doc_id % 12) * 4 AS INT) AS n FROM documents
+       |), fp AS (
+       |  SELECT doc_id,
+       |         $terms AS afp
+       |  FROM dims
+       |)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |       CAST(bit_count(xor(x.afp, y.afp)) AS INT) AS hamming
+       |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.afp, y.afp)) <= 3""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2189,6 +2408,32 @@ object SparkEntry {
           |       round(iv.inter * 1.0 / (sa.n + sb.n - iv.inter), 6) AS jaccard
           |FROM iv JOIN sz sa ON iv.id_a = sa.doc_id JOIN sz sb ON iv.id_b = sb.doc_id
           |WHERE iv.inter * 1.0 / (sa.n + sb.n - iv.inter) >= 0.5""".stripMargin),
+
+    // positioned anchors (same tokenization/hash as the shingle
+    // family), occurrence cap, diagonal gaps-and-islands — replays
+    // substringSpans stage by stage.
+    "q_dedup_substring" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+        |), an AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |         CAST(('0x' || substr(md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')), 1, 15)) AS BIGINT) AS ah
+        |  FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
+        |), rare AS (
+        |  SELECT ah FROM an GROUP BY ah HAVING count(*) <= 20
+        |), ix AS (
+        |  SELECT an.doc_id, an.pos, an.ah FROM an JOIN rare USING (ah)
+        |), m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+        |         b.pos - a.pos AS diag
+        |  FROM ix a JOIN ix b ON a.ah = b.ah AND a.doc_id < b.doc_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS rn FROM m
+        |)
+        |SELECT id_a, id_b, CAST(min(pa) AS INT) AS a_start,
+        |       CAST(min(pa) + diag AS INT) AS b_start,
+        |       CAST(count(*) + 7 AS BIGINT) AS span_len
+        |FROM r GROUP BY id_a, id_b, diag, pa - rn""".stripMargin,
 
     // keep-first is total-ordered (doc_id, seg_id), so the window
     // form is the exact oracle; grouping by seg_text ≡ grouping by
@@ -2622,27 +2867,39 @@ object SparkEntry {
     "q_dedup_incr_near" ->
       (s"WITH ${simhashFpCte("k", "doc_id % 5 <> 0")},\n" +
         s"${simhashFpCte("n", "doc_id % 5 = 0")},\n" +
-        s"""chk AS (
-           |  ${(0 until 4).map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * 8}) & 255 AS v FROM fpk").mkString("\n  UNION ALL ")}
-           |), chn AS (
-           |  ${(0 until 4).map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * 8}) & 255 AS v FROM fpn").mkString("\n  UNION ALL ")}
-           |), cm AS (
-           |  SELECT n.doc_id AS nid, min(k.doc_id) AS dup_known
-           |  FROM chk k JOIN chn n ON k.c = n.c AND k.v = n.v
-           |  WHERE bit_count(xor(k.simhash, n.simhash)) <= 3
-           |  GROUP BY n.doc_id
-           |), im AS (
-           |  SELECT y.doc_id AS nid, min(x.doc_id) AS dup_batch
-           |  FROM fpn x JOIN fpn y ON x.doc_id < y.doc_id
-           |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
-           |  GROUP BY y.doc_id
-           |)
+        simhashIncrMatchCtes +
+        """
            |SELECT f.doc_id, cm.dup_known AS dup_of_known,
            |       im.dup_batch AS dup_of_batch,
            |       (cm.dup_known IS NULL AND im.dup_batch IS NULL) AS keep
            |FROM fpn f
            |LEFT JOIN cm ON f.doc_id = cm.nid
            |LEFT JOIN im ON f.doc_id = im.nid""".stripMargin),
+
+    // unified ingest replay: the exact leg is q_dedup_incremental's
+    // hash join, the near legs are q_dedup_incr_near's shared match
+    // CTEs — composed over the same slices.
+    "q_dedup_ingest" ->
+      (s"WITH ${simhashFpCte("k", "doc_id % 5 <> 0")},\n" +
+        s"${simhashFpCte("n", "doc_id % 5 = 0")},\n" +
+        simhashIncrMatchCtes +
+        """, known AS (
+           |  SELECT DISTINCT md5(lower(trim(text))) AS text_hash
+           |  FROM documents WHERE doc_id % 5 <> 0
+           |), bh AS (
+           |  SELECT doc_id, md5(lower(trim(text))) AS text_hash
+           |  FROM documents WHERE doc_id % 5 = 0
+           |)
+           |SELECT b.doc_id, b.text_hash,
+           |       (k2.text_hash IS NOT NULL) AS is_known,
+           |       cm.dup_known AS dup_of_known,
+           |       im.dup_batch AS dup_of_batch,
+           |       (k2.text_hash IS NULL AND cm.dup_known IS NULL
+           |          AND im.dup_batch IS NULL) AS keep
+           |FROM bh b
+           |LEFT JOIN known k2 USING (text_hash)
+           |LEFT JOIN cm ON b.doc_id = cm.nid
+           |LEFT JOIN im ON b.doc_id = im.nid""".stripMargin),
 
     "q_hop_windows" ->
       """WITH e AS (
@@ -2860,45 +3117,26 @@ object SparkEntry {
     // margin mining replay: both kNN directions by raw-cosine rank,
     // 6-dp candidate cosines summed in exact DECIMAL(38,6), one
     // double conversion in the denominator, margin top-1 per source
-    "q_margin_mine" -> {
-      val nk = 4
-      s"""WITH n AS (
-         |  SELECT vec_id, label, embedding,
-         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
-         |), s AS (SELECT * FROM n WHERE label < 2
-         |), t AS (SELECT * FROM n WHERE label >= 2
-         |), fa AS (
-         |  SELECT s.vec_id AS qid, t.vec_id AS cid,
-         |         ${dotSql("s.embedding", "t.embedding")} / (s.nrm * t.nrm) AS cos0
-         |  FROM s, t
-         |), fr AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos0 DESC, cid ASC) AS rk FROM fa
-         |), fwd AS (
-         |  SELECT qid, cid, round(cos0, 6) AS cos6 FROM fr WHERE rk <= $nk
-         |), ba AS (
-         |  SELECT t.vec_id AS qid, s.vec_id AS cid,
-         |         ${dotSql("t.embedding", "s.embedding")} / (t.nrm * s.nrm) AS cos0
-         |  FROM t, s
-         |), br AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos0 DESC, cid ASC) AS rk FROM ba
-         |), bwd AS (
-         |  SELECT qid, round(cos0, 6) AS cos6 FROM br WHERE rk <= $nk
-         |), sx AS (
-         |  SELECT qid, sum(CAST(cos6 AS DECIMAL(38,6))) AS sxv FROM fwd GROUP BY qid
-         |), sy AS (
-         |  SELECT qid AS cid, sum(CAST(cos6 AS DECIMAL(38,6))) AS syv FROM bwd GROUP BY qid
-         |), m AS (
-         |  SELECT f.qid, f.cid, f.cos6,
-         |         f.cos6 / (CAST(sx.sxv + sy.syv AS DOUBLE) / ${2.0 * nk}) AS marg
-         |  FROM fwd f JOIN sx ON f.qid = sx.qid JOIN sy ON f.cid = sy.cid
-         |), r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY marg DESC, cid ASC) AS rk FROM m
-         |)
-         |SELECT qid AS src_id, cid AS tgt_id, cos6 AS cosine,
-         |       round(marg, 6) AS margin
-         |FROM r WHERE rk = 1 AND marg >= 1.2""".stripMargin
-    },
+    "q_margin_mine" ->
+      (marginPoolsCte(4) + ", " +
+        marginChainCtes("b", lsh = false, nk = 4, bits = 4) +
+        "\nSELECT src_id, tgt_id, cosine, round(marg, 6) AS margin FROM mmb"),
+
+    "q_margin_mine_lsh" ->
+      (marginPoolsCte(4) + ", " +
+        marginChainCtes("l", lsh = true, nk = 4, bits = 4) +
+        "\nSELECT src_id, tgt_id, cosine, round(marg, 6) AS margin FROM mml"),
+
+    "q_margin_mine_recall" ->
+      (marginPoolsCte(4) + ", " +
+        marginChainCtes("b", lsh = false, nk = 4, bits = 4) +
+        ", " + marginChainCtes("l", lsh = true, nk = 4, bits = 4) +
+        """
+          |SELECT CAST(count(*) AS BIGINT) AS n_brute,
+          |       CAST(COALESCE(SUM(CASE WHEN l.tgt_id = b.tgt_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agree,
+          |       (CAST(COALESCE(SUM(CASE WHEN l.tgt_id = b.tgt_id THEN 1 ELSE 0 END), 0) AS BIGINT) * 100
+          |          >= CAST(count(*) AS BIGINT) * 40) AS agree_ok
+          |FROM mmb b LEFT JOIN mml l ON b.src_id = l.src_id""".stripMargin),
 
     "q_dedup_semantic" ->
       (semanticCellsCte(16) +
@@ -3867,6 +4105,20 @@ object SparkEntry {
     // at (g·w//8, r·h//8), bit r·7+g = gradient sign; brute pair join
     // (test-SF only — the engine side is the bucketed band join).
     "q_media_neardup" -> mediaNeardupOracleSql,
+
+    "q_media_hashes" -> mediaHashesOracleSql,
+
+    "q_audio_meta" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(64 + (doc_id % 12) * 4 AS INT) AS n FROM documents
+        |)
+        |SELECT doc_id, n AS n_samples, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)),
+        |              i -> ((31*i + doc_id) % 256 - 128) * 256)) AS BIGINT) AS sum_samples
+        |FROM dims""".stripMargin,
+
+    "q_audio_neardup" -> audioNeardupOracleSql,
 
     "q_media_frames" ->
       """WITH m AS (

@@ -579,10 +579,27 @@ object Dedup {
   def simHashIncremental(fresh: DataFrame, known: DataFrame, id: String,
       text: String, maxDist: Int = 3,
       knownFp: Option[DataFrame] = None): DataFrame = {
-    val nChunks = 4
-    val chunkBits = 8
     val fpF = graft.core.Caches.cached(simHash(fresh, id, text))
     val fpK = knownFp.getOrElse(simHash(known, id, text))
+    val (crossMatch, intraMatch) = simHashIncrMatches(fpF, fpK, id, maxDist)
+    fpF.select(col(id))
+      .join(crossMatch, Seq(id), "left")
+      .join(intraMatch, Seq(id), "left")
+      .select(col(id), col("dup_of_known"), col("dup_of_batch"),
+        (col("dup_of_known").isNull && col("dup_of_batch").isNull).as("keep"))
+  }
+
+  /** The two near-dup match legs of incremental ingest over prebuilt
+    * fingerprint tables (id, simhash): the fresh×known chunk
+    * equi-join (dup_of_known — min known id within maxDist) and the
+    * intra-batch pigeonhole pairs (dup_of_batch — min earlier
+    * same-batch id). One definition so [[simHashIncremental]] and
+    * [[dedupIngest]] can never drift.
+    */
+  private def simHashIncrMatches(fpF: DataFrame, fpK: DataFrame,
+      id: String, maxDist: Int): (DataFrame, DataFrame) = {
+    val nChunks = 4
+    val chunkBits = 8
     def chunked(fp: DataFrame, side: String) = chunkExploded(
       fp.select(col(id).as(s"${side}_id"), col("simhash").as(s"${side}_sh")),
       s"${side}_sh", nChunks, chunkBits)
@@ -595,11 +612,105 @@ object Dedup {
       nChunks, chunkBits, maxDist)
       .groupBy(col("id_b").as(id))
       .agg(min(col("id_a")).as("dup_of_batch"))
-    fpF.select(col(id))
+    (crossMatch, intraMatch)
+  }
+
+  /** UNIFIED incremental-ingest dedup — the one call a real
+    * append-only pipeline makes per batch: exact verdicts
+    * ([[dedupAgainstKnown]]'s content-hash check) AND near verdicts
+    * ([[simHashIncremental]]'s SimHash proximity, cross-corpus +
+    * intra-batch) from a SINGLE pass over the fresh batch. The fresh
+    * side is normalized/hashed once into a cached base projection;
+    * the exact leg and the fingerprint pass both read that cache, so
+    * the batch input is scanned exactly once (PlanGuardSpec pins one
+    * materialization feeding all legs). The known side contributes
+    * its two index shapes — distinct content hashes and the SimHash
+    * chunk table — each one map-side pass, reusable across ingests
+    * (pass `knownFp` to skip the fingerprint recompute, as in
+    * [[simHashIncremental]]).
+    * Output: one row per fresh doc — id, text_hash, is_known (exact
+    * match in corpus), dup_of_known, dup_of_batch (near matches),
+    * keep = none of the three fired.
+    */
+  def dedupIngest(fresh: DataFrame, known: DataFrame, id: String,
+      text: String, maxDist: Int = 3,
+      knownFp: Option[DataFrame] = None): DataFrame = {
+    val base = graft.core.Caches.cached(
+      fresh.select(col(id), col(text), normHash(col(text)).as("text_hash")))
+    val index = known.select(normHash(col(text)).as("text_hash")).distinct()
+      .withColumn("__k", lit(true))
+    val fpF = graft.core.Caches.cached(simHash(base, id, text))
+    val fpK = knownFp.getOrElse(simHash(known, id, text))
+    val (crossMatch, intraMatch) = simHashIncrMatches(fpF, fpK, id, maxDist)
+    base.select(col(id), col("text_hash"))
+      .join(index, Seq("text_hash"), "left")
       .join(crossMatch, Seq(id), "left")
       .join(intraMatch, Seq(id), "left")
-      .select(col(id), col("dup_of_known"), col("dup_of_batch"),
-        (col("dup_of_known").isNull && col("dup_of_batch").isNull).as("keep"))
+      .select(col(id), col("text_hash"),
+        coalesce(col("__k"), lit(false)).as("is_known"),
+        col("dup_of_known"), col("dup_of_batch"),
+        (!coalesce(col("__k"), lit(false)) &&
+          col("dup_of_known").isNull && col("dup_of_batch").isNull).as("keep"))
+  }
+
+  /** Cross-document repeated-SPAN detection — the substring-level
+    * exact-dedup axis of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"), which doc-level hashing and
+    * shingle-set jaccard both structurally miss: a 60-token license
+    * header pasted into two otherwise-unrelated documents. Their
+    * suffix-array formulation is single-machine; the Spark-shaped
+    * equivalent anchors on fixed-L positioned shingles: every
+    * repeated token span of length M ≥ L contains exactly M−L+1
+    * consecutive L-shingle matches at a CONSTANT position offset, so
+    * grouping anchor matches by (doc pair, offset diagonal) and
+    * merging consecutive runs (gaps-and-islands) reconstructs every
+    * maximal repeated span — span_len = run_length + L − 1, exact.
+    *
+    * Scale shape: anchors meet through an inverted-index equi-join on
+    * the 60-bit shingle hash with an occurrence cap (`maxDf` — the
+    * [[ngramJaccardCapped]] hot-key bound: an anchor occurring d
+    * times yields up to d² candidate rows, so boilerplate anchors
+    * are dropped before the join; a true span broken by a dropped
+    * hot anchor surfaces as two shorter spans — recall is lost only
+    * for spans made PURELY of hot anchors). Candidate volume is
+    * Σ_anchor df² with df ≤ maxDf — never all-pairs; the islands
+    * pass windows over (id_a, id_b, diag) partitions, bounded by the
+    * per-pair match count, never the corpus.
+    *
+    * Output: id_a < id_b, a_start, b_start (0-based token positions),
+    * span_len (tokens, ≥ minLen) — one row per maximal shared span.
+    */
+  def substringSpans(df: DataFrame, id: String, text: String,
+      minLen: Int = 8, maxDf: Int = 20): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val words = split(lower(trim(col(text))), "\\s+")
+    val positions = when(size(col("__words")) >= minLen,
+      sequence(lit(1), size(col("__words")) - (minLen - 1)))
+      .otherwise(array().cast("array<int>"))
+    // positioned anchors — NOT distinct: the same shingle at two
+    // positions of one doc is two anchors on two diagonals
+    val anch = graft.core.Caches.cached(df
+      .withColumn("__words", words)
+      .withColumn("__i", explode(positions))
+      .select(col(id), (col("__i") - 1).as("pos"),
+        hash60(array_join(slice(col("__words"), col("__i"), lit(minLen)), " "))
+          .as("ah")))
+    val rare = anch.groupBy("ah").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("ah")
+    val idx = anch.join(rare, "ah")
+    val m = idx.as("a")
+      .join(idx.as("b"),
+        col("a.ah") === col("b.ah") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.pos").as("pa"), (col("b.pos") - col("a.pos")).as("diag"))
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy(col("pa"))
+    m.withColumn("__rn", row_number().over(w))
+      .withColumn("__grp", col("pa") - col("__rn"))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("__grp"))
+      .agg(min(col("pa")).as("a_start"), count(lit(1)).as("__n"))
+      .select(col("id_a"), col("id_b"), col("a_start"),
+        (col("a_start") + col("diag")).as("b_start"),
+        (col("__n") + (minLen - 1)).as("span_len"))
   }
 
   /** Train/test DECONTAMINATION sweep — flag training documents whose

@@ -249,6 +249,127 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Shared synthesize→encode→DECODE round-trip for the deterministic
+    * WAV corpus — the audio twin of [[synthDecodeRoundTrip]], making
+    * "multimodal" mean two REAL codecs: 16-bit mono PCM at 8 kHz,
+    * n = 64 + (id % 12)·4 samples, sample(i) = (((31·i + id) mod 256)
+    * − 128)·256. The PCM block is framed with javax.sound's real WAV
+    * writer (RIFF header, chunk layout) and decoded back with
+    * AudioSystem's WAV reader — callers may only report DECODED facts
+    * (format fields, frame count, sample values read back per the
+    * decoded format's endianness). WAV PCM is lossless, so every
+    * decoded sample is oracle-checkable from the closed-form formula,
+    * and the values cannot be produced without actually running the
+    * codec round-trip.
+    */
+  private def synthWavRoundTrip(docId: Long)
+      : (javax.sound.sampled.AudioFormat, Array[Short]) = {
+    import javax.sound.sampled._
+    val n = (64 + (docId % 12) * 4).toInt
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed PCM LE
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((31L * i + docId) % 256) - 128).toInt * 256
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val dec = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    val dfmt = dec.getFormat
+    val out = dec.readAllBytes()
+    dec.close()
+    // samples re-read per the DECODED format's frame size/endianness
+    val frame = dfmt.getFrameSize
+    val m = out.length / frame
+    val samples = new Array[Short](m)
+    val be = dfmt.isBigEndian
+    var k = 0
+    while (k < m) {
+      val b0 = out(k * frame) & 0xff
+      val b1 = out(k * frame + 1) & 0xff
+      samples(k) =
+        (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+      k += 1
+    }
+    (dfmt, samples)
+  }
+
+  /** End-to-end proof that the REAL WAV codec runs on the executors —
+    * the audio twin of [[pngRoundTripMeta]]: per input row, synthesize
+    * the closed-form PCM block, frame it as a WAV with
+    * javax.sound.sampled, decode the bytes back, and report only
+    * decoded facts — sample rate/channels from the decoded format,
+    * n_samples from the decoded frame count, sum_samples over the
+    * decoded sample values. Lossless PCM ⇒ the DuckDB oracle verifies
+    * every column from the sample formula.
+    * Output: id, n_samples, sample_rate, channels, sum_samples.
+    */
+  def wavRoundTripMeta(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false)))
+    val idx = df.schema.fieldIndex(id)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val docId = rowId(row, idx)
+        val (fmt, samples) = synthWavRoundTrip(docId)
+        var sum = 0L
+        var i = 0
+        while (i < samples.length) { sum += samples(i); i += 1 }
+        Row(docId, samples.length, fmt.getSampleRate.toInt,
+          fmt.getChannels, sum)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio fingerprint over DECODED samples — the hash half of audio
+    * near-duplicate detection (pair finding is
+    * [[graft.ext.Dedup.hammingPairs]]' pigeonhole band join, shared
+    * with text SimHash and image dHash): 56 delta-sign bits over 57
+    * probe points spread evenly across the decoded clip, bit j set
+    * iff sample(p_{j+1}) > sample(p_j) with p_j = ⌊j·(n−1)/56⌋ —
+    * integer-exact probe positions, so both engines replay the bits
+    * exactly; delta signs are invariant to constant gain shifts
+    * except where the synth formula's 8-bit value wraps (which is
+    * what makes shifted variants NEAR-dups rather than exact ones —
+    * the same contract as the image dHash).
+    * Output: id, n_samples, afp (long, 56 bits).
+    */
+  def wavFingerprint(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("afp", LongType, nullable = false)))
+    val idx = df.schema.fieldIndex(id)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val docId = rowId(row, idx)
+        val (_, s) = synthWavRoundTrip(docId)
+        val n = s.length
+        var fp = 0L
+        var j = 0
+        while (j < 56) {
+          val p0 = j * (n - 1) / 56
+          val p1 = (j + 1) * (n - 1) / 56
+          if (s(p1) > s(p0)) fp |= 1L << j
+          j += 1
+        }
+        Row(docId, n, fp)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic frame-sampling plan: one output row per selected
     * frame at a fixed stride, with the frame's timestamp offset — the
     * relational half of video frame extraction (the pixel decode is

@@ -97,7 +97,8 @@ object Similarity {
     * Output: query_id, vec_id, cosine, rank.
     */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, id: String,
-      vec: String, k: Int, bitsUsed: Int = 8): DataFrame = {
+      vec: String, k: Int, bitsUsed: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
     val base = signBucket(col(vec), bitsUsed)
     val probes = array((base +: (0 until bitsUsed).map(j =>
       base.bitwiseXOR(lit(1L << j)))): _*)
@@ -106,7 +107,7 @@ object Similarity {
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("__cv"),
       norm(col(vec)).as("__cn"), signBucket(col(vec), bitsUsed).as("__bucket"))
     val scored = q.join(c, Seq("__bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -549,13 +550,17 @@ object Similarity {
     * and each source keeps its best-margin candidate iff margin ≥
     * `minMargin`.
     *
-    * Retrieval here is the exact brute-force baseline (the declared
-    * [[bruteForceTopK]] contract — test-SF exactness so the oracle
-    * replays every stage); at corpus scale [[lshTopK]] /
-    * [[lshTopKMultiProbe]] / [[ivfTopK]] drop in for both directions
-    * (same candidate schema), and the margin stage itself only ever
+    * Retrieval is PLUGGABLE (`retrieve`): the default is the exact
+    * brute-force baseline (the declared [[bruteForceTopK]] contract —
+    * test-SF exactness so the oracle replays every stage); at corpus
+    * scale pass [[lshRetriever]] / an [[ivfTopK]] closure for both
+    * directions (same candidate schema: query_id, vec_id, cosine,
+    * rank). The margin stage itself only ever
     * touches |src|·k candidate rows joined to two id-keyed
-    * neighborhood-sum tables — never a pair matrix.
+    * neighborhood-sum tables — never a pair matrix. With bucketed
+    * retrieval a target that retrieves no backward candidates has no
+    * neighborhood sum, so its forward candidates drop at the inner
+    * join — the defined (and oracle-replayed) recall trade.
     *
     * Determinism: candidate ranks ride raw bit-identical cosines;
     * the 6-dp-rounded cosines then make every sum a DECIMAL(38,6)
@@ -567,14 +572,14 @@ object Similarity {
     * per source whose best candidate clears the margin.
     */
   def marginMine(src: DataFrame, tgt: DataFrame, id: String, vec: String,
-      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+      k: Int = 4, minMargin: Double = 1.0,
+      retrieve: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+        bruteRetriever): DataFrame = {
     def sumK(topk: DataFrame, key: String) = topk
       .groupBy(col(key))
       .agg(sum(col("cosine").cast("decimal(38,6)")).as("__sumk"))
-    // cross-pool: an id shared by a src row and a tgt row is two
-    // different vectors, so the self-pair exclusion must be off
-    val fwd = bruteForceTopK(src, tgt, id, vec, k, excludeSelf = false)
-    val bwd = bruteForceTopK(tgt, src, id, vec, k, excludeSelf = false)
+    val fwd = retrieve(src, tgt, id, vec, k)
+    val bwd = retrieve(tgt, src, id, vec, k)
     val sumX = sumK(fwd, "query_id")
       .select(col("query_id"), col("__sumk").as("__sx"))
     val sumY = sumK(bwd, "query_id")
@@ -588,6 +593,49 @@ object Similarity {
       .filter(col("__rk") === 1 && col("__margin") >= minMargin)
       .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
         col("cosine"), round(col("__margin"), 6).as("margin"))
+  }
+
+  /** Default [[marginMine]] retriever — the exact brute baseline.
+    * Cross-pool, so the self-pair exclusion is off: an id shared by a
+    * src row and a tgt row is two different vectors.
+    */
+  val bruteRetriever: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+    (q, c, i, v, k) => bruteForceTopK(q, c, i, v, k, excludeSelf = false)
+
+  /** Bucketed [[marginMine]] retriever — multi-probe sign-LSH, the
+    * scale path: the fwd/bwd retrieval becomes a bucket equi-join
+    * (probe side exploded bitsUsed+1×) instead of a pool×pool
+    * broadcast-nested-loop. At cluster scale bitsUsed grows with the
+    * corpus (bucket count ∝ n keeps per-bucket candidate volume flat —
+    * the same k ∝ n contract [[semanticDedup]] documents).
+    */
+  def lshRetriever(bitsUsed: Int = 8)
+      : (DataFrame, DataFrame, String, String, Int) => DataFrame =
+    (q, c, i, v, k) =>
+      lshTopKMultiProbe(q, c, i, v, k, bitsUsed, excludeSelf = false)
+
+  /** Agreement companion for bucketed [[marginMine]] (the
+    * semanticDedupRecall pattern — both counts are exact relational
+    * facts an oracle replays): n_brute = pairs mined by the exact
+    * brute baseline, n_agree = sources where the bucketed path mines
+    * the SAME target. agree_ok compares in exact integer
+    * cross-multiplication (n_agree·100 ≥ n_brute·minPct).
+    * Output: 1 row — n_brute, n_agree, agree_ok.
+    */
+  def marginMineAgreement(src: DataFrame, tgt: DataFrame, id: String,
+      vec: String, k: Int, minMargin: Double,
+      retrieve: (DataFrame, DataFrame, String, String, Int) => DataFrame,
+      minPct: Int): DataFrame = {
+    val brute = marginMine(src, tgt, id, vec, k, minMargin)
+      .select(col("src_id"), col("tgt_id").as("__bt"))
+    val bucketed = marginMine(src, tgt, id, vec, k, minMargin, retrieve)
+      .select(col("src_id"), col("tgt_id").as("__lt"))
+    brute.join(bucketed, Seq("src_id"), "left")
+      .agg(count(lit(1)).as("n_brute"),
+        coalesce(sum(when(col("__lt") === col("__bt"), 1L).otherwise(0L)),
+          lit(0L)).as("n_agree"))
+      .select(col("n_brute"), col("n_agree"),
+        (col("n_agree") * 100 >= col("n_brute") * minPct).as("agree_ok"))
   }
 
   /** Per-source embedding centroid drift — the embedding-space twin

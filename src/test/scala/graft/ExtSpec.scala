@@ -60,6 +60,38 @@ class ExtSpec extends SparkTestBase {
     assert(out(2).isNullAt(out(2).fieldIndex("dup_of_known")))
   }
 
+  test("substringSpans: planted repeated spans found with exact bounds") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ") // 20-token span
+    val shortRun = (1 to 9).map(i => s"r$i").mkString(" ") // 9-token span
+    val a = (1 to 5).map(i => s"a$i").mkString(" ") + " " + shared +
+      " " + (6 to 10).map(i => s"a$i").mkString(" ") + " " + shortRun
+    val b = (1 to 3).map(i => s"b$i").mkString(" ") + " " + shared +
+      " " + shortRun + " " + (4 to 8).map(i => s"b$i").mkString(" ")
+    val c = (100 to 140).map(i => s"c$i").mkString(" ") // unrelated
+    val out = Dedup.substringSpans(docs((1L, a), (2L, b), (3L, c)),
+      "doc_id", "text", minLen = 8, maxDf = 20)
+      .orderBy("a_start").collect()
+    // two maximal spans between docs 1 and 2, on different diagonals:
+    // `shared` at a[5..24] / b[3..22] (len 20), `shortRun` at
+    // a[30..38] / b[23..31] (len 9); doc 3 pairs with nothing
+    assert(out.length == 2, out.mkString(";"))
+    assert(out.forall(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L))
+    assert(out(0).getAs[Int]("a_start") == 5 &&
+      out(0).getAs[Int]("b_start") == 3 &&
+      out(0).getAs[Long]("span_len") == 20L)
+    assert(out(1).getAs[Int]("a_start") == 30 &&
+      out(1).getAs[Int]("b_start") == 23 &&
+      out(1).getAs[Long]("span_len") == 9L)
+    // sub-minLen shared runs are invisible: 7 shared tokens, no row
+    val p = (1 to 7).map(i => s"p$i").mkString(" ")
+    val none = Dedup.substringSpans(
+      docs((1L, "x1 x2 x3 x4 " + p + " x5 x6 x7 x8"),
+        (2L, "y1 y2 y3 y4 " + p + " y5 y6 y7 y8")),
+      "doc_id", "text", minLen = 8, maxDf = 20).count()
+    assert(none == 0L)
+  }
+
   test("cosine helpers: orthogonal=0, identical=1; topK ranks correctly") {
     import spark.implicits._
     val emb = Seq(
@@ -177,6 +209,51 @@ class ExtSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 123L || p._2 == 123L))
   }
 
+  test("wavRoundTripMeta + wavFingerprint: decoded facts match the sample " +
+      "formula; hammingPairs finds gain-shift audio near-dups") {
+    import spark.implicits._
+    // independent reimplementation from the sample FORMULA (no codec):
+    // the operators must reproduce it from the actually-DECODED WAV
+    // stream — the lossless-PCM contract, the audio twin of the
+    // q_media_decode lossless-PNG contract.
+    def expected(id: Long): (Int, Long, Long) = {
+      val n = (64 + (id % 12) * 4).toInt
+      def v(i: Int): Long = (31L * i + id) % 256 - 128
+      var sum = 0L
+      (0 until n).foreach(i => sum += v(i) * 256)
+      var f = 0L
+      for (j <- 0 until 56) {
+        val p0 = j * (n - 1) / 56; val p1 = (j + 1) * (n - 1) / 56
+        if (v(p1) > v(p0)) f |= 1L << j
+      }
+      (n, sum, f)
+    }
+    val ids = Seq(0L, 123L, 252L, 264L, 443L)
+    val meta = Multimodal.wavRoundTripMeta(ids.toDF("doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+    ids.zip(meta).foreach { case (id, row) =>
+      val (n, sum, _) = expected(id)
+      assert(row.getAs[Int]("n_samples") == n, s"n_samples($id)")
+      assert(row.getAs[Int]("sample_rate") == 8000)
+      assert(row.getAs[Int]("channels") == 1)
+      assert(row.getAs[Long]("sum_samples") == sum, s"sum_samples($id)")
+    }
+    val fp = Multimodal.wavFingerprint(ids.toDF("doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+    ids.zip(fp).foreach { case (id, row) =>
+      assert(row.getAs[Long]("afp") == expected(id)._3, s"afp($id)")
+    }
+    // 252/264 share 0's probe grid (n = 64) with samples shifted by a
+    // near-multiple of 256 — delta signs flip only at moved wraps:
+    // distances 1/2/3. 123 (n = 76) and 443 (n = 108) pair with none.
+    val pairs = Dedup.hammingPairs(
+      Multimodal.wavFingerprint(ids.toDF("doc_id"), "doc_id")
+        .select("doc_id", "afp"),
+      "doc_id", "afp", nChunks = 4, chunkBits = 14, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 252L), (0L, 264L), (252L, 264L)), s"pairs=$pairs")
+  }
+
   test("marginMine suppresses the hub: best-margin partner beats best-cosine hub") {
     import spark.implicits._
     // tgt 10 is a hub (diagonal — close to EVERYTHING, the highest
@@ -199,6 +276,27 @@ class ExtSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id"))
       .toMap
     assert(mined == Map(1L -> 11L, 2L -> 12L), s"mined=$mined")
+  }
+
+  test("marginMine with LSH retrieval: bucketed pairs agree with brute on real data") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val src = emb.filter(col("label") < 2)
+    val tgt = emb.filter(col("label") >= 2)
+    val brute = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4, minMargin = 1.2)
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    val lsh = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4, minMargin = 1.2, retrieve = Similarity.lshRetriever(4))
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    assert(brute.nonEmpty, "brute margin mining found no pairs at sf0.001")
+    val agree = brute.count { case (s, t) => lsh.get(s).contains(t) }
+    assert(agree * 100 >= brute.size * 40,
+      s"LSH margin agreement $agree/${brute.size} below 40%")
+    val rep = Similarity.marginMineAgreement(src, tgt, "vec_id", "embedding",
+      k = 4, minMargin = 1.2, Similarity.lshRetriever(4), minPct = 40).head()
+    assert(rep.getAs[Long]("n_brute") == brute.size.toLong)
+    assert(rep.getAs[Long]("n_agree") == agree.toLong)
+    assert(rep.getAs[Boolean]("agree_ok"))
   }
 
   test("semanticDedup: pinned-seed cells, keep-first within-cell prune") {
@@ -260,6 +358,42 @@ class ExtSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.hammingPairs(fp, "doc_id", "h", nChunks = 2, chunkBits = 0,
         maxDist = 1)
+    }
+  }
+
+  test("dedupIngest: exact + near verdicts in one call, keep only when all clear") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val known = docs((1L, base), (2L, (100 to 160).map(i => s"v$i").mkString(" ")))
+    val fresh = docs(
+      (10L, base), // exact copy of known 1: is_known AND near-dup
+      (11L, base + " " + base), // near-dup only (simhash scale-invariant)
+      (12L, (200 to 260).map(i => s"u$i").mkString(" "))) // unique
+    val out = Dedup.dedupIngest(fresh, known, "doc_id", "text", maxDist = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("is_known"))
+    assert(out(0).getAs[Long]("dup_of_known") == 1L)
+    assert(!out(0).getAs[Boolean]("keep"))
+    assert(!out(1).getAs[Boolean]("is_known")) // doubled text ≠ exact
+    assert(out(1).getAs[Long]("dup_of_known") == 1L)
+    assert(out(1).getAs[Long]("dup_of_batch") == 10L)
+    assert(!out(1).getAs[Boolean]("keep"))
+    assert(!out(2).getAs[Boolean]("is_known"))
+    assert(out(2).isNullAt(out(2).fieldIndex("dup_of_known")))
+    assert(out(2).getAs[Boolean]("keep"))
+    // agrees with the two single-axis operators it unifies
+    val exact = Dedup.dedupAgainstKnown(fresh, known, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val near = Dedup.simHashIncremental(fresh, known, "doc_id", "text",
+      maxDist = 3).orderBy("doc_id").collect()
+    out.zip(exact).foreach { case (u, e) =>
+      assert(u.getAs[Boolean]("is_known") == e.getAs[Boolean]("is_known"))
+      assert(u.getAs[String]("text_hash") == e.getAs[String]("text_hash"))
+    }
+    out.zip(near).foreach { case (u, n) =>
+      assert(u.get(u.fieldIndex("dup_of_known")) ==
+        n.get(n.fieldIndex("dup_of_known")))
+      assert(u.get(u.fieldIndex("dup_of_batch")) ==
+        n.get(n.fieldIndex("dup_of_batch")))
     }
   }
 

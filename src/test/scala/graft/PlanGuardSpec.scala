@@ -328,6 +328,34 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("dedupIngest: fresh batch is scanned once — all legs read the cached base") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, sfDir)
+      val df = Dedup.dedupIngest(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", maxDist = 3)
+      // live FileScans = the known side's two index passes ONLY (hash
+      // index + fingerprint build); every fresh-side leg must read the
+      // cached base/fingerprint tables — a third FileScan means the
+      // one-batch-scan contract broke and ingest re-reads its input.
+      val fileScans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(fileScans.size == 2,
+        s"expected exactly the known side's 2 scans, got ${fileScans.size}:\n" +
+          fileScans.mkString("\n"))
+      val memScans = df.queryExecution.executedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+      }
+      assert(memScans.size >= 3,
+        s"fresh-side legs must read the cached base/fingerprints, " +
+          s"got ${memScans.size} in-memory scans")
+      assert(allPairsJoins(df).isEmpty, "all-pairs join in the ingest plan")
+      graft.core.Caches.unpersistAll()
+    }
+  }
+
   test("perceptual-hash hamming pairs join on chunk equality, never all-pairs") {
     withStaticPlans {
       val fp = graft.ext.Multimodal.pngPerceptualHash(
