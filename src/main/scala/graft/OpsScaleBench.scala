@@ -355,6 +355,39 @@ object OpsScaleBench {
         graft.core.Caches.unpersistAll()
         c
       }
+
+      // unified ingest, persisted-index vs recompute-per-ingest on the
+      // same growing-known axis: with both known-side indexes passed
+      // in (the fingerprint table and the distinct hash index,
+      // materialized once outside the timed region — the state a real
+      // pipeline carries between batches), the per-ingest known-side
+      // work drops from two corpus-TEXT passes (tokenize + md5 +
+      // simhash) to index-sized map work (the chunk-explode of
+      // 16-byte fingerprint rows); both rows stay scheduling-bound at
+      // this SF — the contrast is the work class, and the text-pass
+      // saving grows with document size.
+      if (selected("ingest_reuse") || selected("ingest_fresh")) {
+        val fpKnownIdx = graft.ext.Dedup
+          .simHash(knownGrown, "doc_id", "text").cache()
+        val hashKnownIdx = knownGrown
+          .select(graft.ext.Dedup.normHash(col("text")).as("text_hash"))
+          .distinct().cache()
+        fpKnownIdx.count(); hashKnownIdx.count() // materialize outside timing
+        bench("ingest_reuse", n, incrRows) { () =>
+          val c = graft.ext.Dedup.dedupIngest(freshBatch, knownGrown,
+            "doc_id", "text", maxDist = 3,
+            knownFp = Some(fpKnownIdx), knownIndex = Some(hashKnownIdx)).count()
+          graft.core.Caches.unpersistAll()
+          c
+        }
+        bench("ingest_fresh", n, incrRows) { () =>
+          val c = graft.ext.Dedup.dedupIngest(freshBatch, knownGrown,
+            "doc_id", "text", maxDist = 3).count()
+          graft.core.Caches.unpersistAll()
+          c
+        }
+        fpKnownIdx.unpersist(); hashKnownIdx.unpersist()
+      }
     }
     spark.stop()
   }

@@ -2238,11 +2238,11 @@ object SparkEntry {
     * in mm$sfx(src_id, tgt_id, cosine, marg). `lsh` switches the two
     * retrieval directions between the brute pool×pool pass and the
     * multi-probe bucket equi-join — mirroring Similarity.marginMine's
-    * pluggable retriever (excludeSelf = false, 9 probes = own bucket
-    * + every 1-bit flip, rank over the raw cosine).
+    * pluggable retriever (excludeSelf = false, bits+1 probes = own
+    * bucket + every 1-bit flip, rank over the raw cosine).
     */
   private def marginChainCtes(sfx: String, lsh: Boolean, nk: Int,
-      bits: Int): String = {
+      bits: Int, minMargin: Double): String = {
     val probeList = ("bkt" +: (0 until bits).map(j =>
       s"xor(bkt, ${1L << j})")).mkString(", ")
     def cand(alias: String, qPool: String, cPool: String): String =
@@ -2281,7 +2281,7 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY marg DESC, cid ASC) AS rk FROM m$sfx
        |), mm$sfx AS (
        |  SELECT qid AS src_id, cid AS tgt_id, cos6 AS cosine, marg
-       |  FROM r$sfx WHERE rk = 1 AND marg >= 1.2
+       |  FROM r$sfx WHERE rk = 1 AND marg >= $minMargin
        |)""".stripMargin
   }
 
@@ -3119,18 +3119,18 @@ object SparkEntry {
     // double conversion in the denominator, margin top-1 per source
     "q_margin_mine" ->
       (marginPoolsCte(4) + ", " +
-        marginChainCtes("b", lsh = false, nk = 4, bits = 4) +
+        marginChainCtes("b", lsh = false, nk = 4, bits = 4, minMargin = 1.2) +
         "\nSELECT src_id, tgt_id, cosine, round(marg, 6) AS margin FROM mmb"),
 
     "q_margin_mine_lsh" ->
       (marginPoolsCte(4) + ", " +
-        marginChainCtes("l", lsh = true, nk = 4, bits = 4) +
+        marginChainCtes("l", lsh = true, nk = 4, bits = 4, minMargin = 1.2) +
         "\nSELECT src_id, tgt_id, cosine, round(marg, 6) AS margin FROM mml"),
 
     "q_margin_mine_recall" ->
       (marginPoolsCte(4) + ", " +
-        marginChainCtes("b", lsh = false, nk = 4, bits = 4) +
-        ", " + marginChainCtes("l", lsh = true, nk = 4, bits = 4) +
+        marginChainCtes("b", lsh = false, nk = 4, bits = 4, minMargin = 1.2) +
+        ", " + marginChainCtes("l", lsh = true, nk = 4, bits = 4, minMargin = 1.2) +
         """
           |SELECT CAST(count(*) AS BIGINT) AS n_brute,
           |       CAST(COALESCE(SUM(CASE WHEN l.tgt_id = b.tgt_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agree,

@@ -560,14 +560,17 @@ object Dedup {
     * its own batch. The scale contract is the one incremental
     * ingestion needs: the known side is never re-paired against
     * itself — its chunk table feeds ONE equi-join keyed on the fresh
-    * batch's chunks. Per-ingest cost is O(|corpus| + |batch| +
+    * batch's chunks. Per-ingest cost is O(|corpus text| + |batch| +
     * matches) when the known fingerprints are recomputed (the corpus
     * term is a single map-side SimHash pass — no corpus×corpus
-    * pairing), and O(|batch| + matches) when the caller passes the
-    * persisted fingerprint index via `knownFp`: the output of
-    * [[simHash]](known) from a previous ingest (or the previous
-    * index unioned with the batch fingerprints this call computes) —
-    * the index-maintenance shape a real append-only pipeline runs.
+    * pairing); passing the persisted fingerprint index via `knownFp`
+    * (the output of [[simHash]](known) from a previous ingest, or the
+    * previous index unioned with the batch fingerprints this call
+    * computes — the index-maintenance shape a real append-only
+    * pipeline runs) removes the corpus-TEXT pass: what remains on the
+    * known side is one map-side chunk-explode of the 16-byte-per-doc
+    * index rows into the band join — index-sized, not text-sized,
+    * work per ingest.
     * Candidate multiplicity (a pair sharing m chunks
     * surfaces m times) is harmless here because the reduction is a
     * min/agg per fresh doc, so no distinct pass and no
@@ -625,19 +628,31 @@ object Dedup {
     * the batch input is scanned exactly once (PlanGuardSpec pins one
     * materialization feeding all legs). The known side contributes
     * its two index shapes — distinct content hashes and the SimHash
-    * chunk table — each one map-side pass, reusable across ingests
-    * (pass `knownFp` to skip the fingerprint recompute, as in
-    * [[simHashIncremental]]).
+    * fingerprint table — each one map-side pass, and BOTH reusable
+    * across ingests: pass `knownFp` ([[simHash]](known) output) and
+    * `knownIndex` (a 1-column `text_hash` table of distinct known
+    * content hashes) from a previous ingest and the known corpus
+    * TEXT is not rescanned at all. The known-side work that remains
+    * per ingest is index-sized, not text-sized: a defensive distinct
+    * over the hash index and the chunk-explode of the fingerprint
+    * rows into the band join. The indexes themselves extend with the
+    * batch's own rows, which this call already computes.
     * Output: one row per fresh doc — id, text_hash, is_known (exact
     * match in corpus), dup_of_known, dup_of_batch (near matches),
     * keep = none of the three fired.
     */
   def dedupIngest(fresh: DataFrame, known: DataFrame, id: String,
       text: String, maxDist: Int = 3,
-      knownFp: Option[DataFrame] = None): DataFrame = {
+      knownFp: Option[DataFrame] = None,
+      knownIndex: Option[DataFrame] = None): DataFrame = {
     val base = graft.core.Caches.cached(
       fresh.select(col(id), col(text), normHash(col(text)).as("text_hash")))
-    val index = known.select(normHash(col(text)).as("text_hash")).distinct()
+    // a provided index is re-deduplicated defensively (cheap on an
+    // index-sized table): duplicate hash rows would silently fan out
+    // the left join below
+    val index = knownIndex
+      .map(_.select(col("text_hash")).distinct())
+      .getOrElse(known.select(normHash(col(text)).as("text_hash")).distinct())
       .withColumn("__k", lit(true))
     val fpF = graft.core.Caches.cached(simHash(base, id, text))
     val fpK = knownFp.getOrElse(simHash(known, id, text))

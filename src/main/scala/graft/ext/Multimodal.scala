@@ -335,7 +335,11 @@ object Multimodal {
   /** Audio fingerprint over DECODED samples — the hash half of audio
     * near-duplicate detection (pair finding is
     * [[graft.ext.Dedup.hammingPairs]]' pigeonhole band join, shared
-    * with text SimHash and image dHash): 56 delta-sign bits over 57
+    * with text SimHash and image dHash). The delta-sign construction
+    * is the time-domain reduction of the Haitsma & Kalker 2002 robust
+    * audio fingerprint (sign of band-energy DIFFERENCES, chosen there
+    * precisely because difference signs survive gain changes):
+    * 56 delta-sign bits over 57
     * probe points spread evenly across the decoded clip, bit j set
     * iff sample(p_{j+1}) > sample(p_j) with p_j = ⌊j·(n−1)/56⌋ —
     * integer-exact probe positions, so both engines replay the bits

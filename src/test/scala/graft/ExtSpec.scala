@@ -397,6 +397,27 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("dedupIngest: persisted known-side indexes reproduce the recompute path") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val known = docs((1L, base), (2L, (100 to 160).map(i => s"v$i").mkString(" ")))
+    val fresh = docs((10L, base), (12L, (200 to 260).map(i => s"u$i").mkString(" ")))
+    val fpK = Dedup.simHash(known, "doc_id", "text")
+    val hashIdx = known
+      .select(Dedup.normHash(col("text")).as("text_hash")).distinct()
+    val viaIndexes = Dedup.dedupIngest(fresh, known, "doc_id", "text",
+      maxDist = 3, knownFp = Some(fpK), knownIndex = Some(hashIdx))
+      .orderBy("doc_id").collect()
+    val recomputed = Dedup.dedupIngest(fresh, known, "doc_id", "text",
+      maxDist = 3).orderBy("doc_id").collect()
+    assert(viaIndexes.toSeq == recomputed.toSeq)
+    // a sloppy caller's duplicate-row index must not fan out the join
+    val viaDupIndex = Dedup.dedupIngest(fresh, known, "doc_id", "text",
+      maxDist = 3, knownIndex = Some(hashIdx.union(hashIdx)))
+      .orderBy("doc_id").collect()
+    assert(viaDupIndex.toSeq == recomputed.toSeq)
+  }
+
   test("simHashIncremental: precomputed known-side index reproduces the recomputed path") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val known = docs((1L, base), (2L, (100 to 160).map(i => s"v$i").mkString(" ")))
