@@ -319,6 +319,16 @@ object OpsScaleBench {
           k = 4, minMargin = 1.2,
           retrieve = Similarity.lshRetriever(marginBits)).count())
 
+      // kNN label propagation on the unlabeled-corpus axis: the
+      // labeled seed set stays fixed (broadcast), the unlabeled side
+      // widens n× — wall must stay linear (one broadcast-nested-loop
+      // scan + a WindowGroupLimit-bounded uid shuffle of n·k rows).
+      val unlabeledGrown = rotReplicate(
+        emb0.filter(col("label") < 2).drop("label"), n)
+      bench("knn_label", n, nVecs * n)(() =>
+        Similarity.knnLabel(unlabeledGrown, emb0.filter(col("label") >= 2),
+          "vec_id", "embedding", "label", k = 5).count())
+
       // perceptual-hash codec axis: per-doc PNG synth→encode→decode→
       // fingerprint is pure map work, so wall must scale linearly in
       // docs (flat Mrows/s). The pair phase is hammingPairs' band

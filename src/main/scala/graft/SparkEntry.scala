@@ -605,6 +605,18 @@ object SparkEntry {
       Dedup.substringSpans(Tables.documents(s, dir), "doc_id", "text",
         minLen = 8, maxDf = 20)),
 
+    // the ACT half of substring dedup (Lee et al. remove the repeated
+    // span from all but the first occurrence): every id_b token
+    // position covered by a detected span is dropped, text rebuilt
+    // from the kept token stream. Removal volume = matched
+    // duplication, never the corpus.
+    "q_dedup_substring_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val spans = Dedup.substringSpans(docs, "doc_id", "text",
+        minLen = 8, maxDf = 20)
+      Dedup.removeDupSpans(docs, "doc_id", "text", spans)
+    }),
+
     // hopping-window event rates: 2-hour windows sliding every hour
     // (each event lands in exactly 2 windows), counted per type —
     // the batch form of the standard streaming rate monitor.
@@ -880,6 +892,18 @@ object SparkEntry {
         emb.filter(col("label") >= 2), "vec_id", "embedding",
         k = 4, minMargin = 1.2, retrieve = Similarity.lshRetriever(4),
         minPct = 40)
+    }),
+
+    // kNN label propagation: majority vote of the 5 nearest labeled
+    // neighbors — the semi-supervised lift that spreads a
+    // hand-labeled seed set's quality/domain labels over the corpus;
+    // the labeled seed broadcasts, the corpus streams map-side, the
+    // rank filter is a WindowGroupLimit k-heap per task.
+    "q_knn_label" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLabel(emb.filter(col("label") < 2).drop("label"),
+        emb.filter(col("label") >= 2), "vec_id", "embedding", "label",
+        k = 5)
     }),
 
     // SemDeDup-style embedding-cluster dedup: assignment to pinned
@@ -2094,6 +2118,36 @@ object SparkEntry {
          |  WHERE rk = 1
          |)""".stripMargin
 
+  /** Substring-span CTE chain (w … sp): positioned 8-token anchors,
+    * occurrence cap 20, diagonal gaps-and-islands — ends in
+    * sp(id_a, id_b, a_start, b_start, span_len). Shared by
+    * q_dedup_substring and its removal companion so the span
+    * definition can never drift between detect and act.
+    */
+  private val substringSpanCtes: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+      |), an AS (
+      |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+      |         CAST(('0x' || substr(md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')), 1, 15)) AS BIGINT) AS ah
+      |  FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
+      |), rare AS (
+      |  SELECT ah FROM an GROUP BY ah HAVING count(*) <= 20
+      |), ix AS (
+      |  SELECT an.doc_id, an.pos, an.ah FROM an JOIN rare USING (ah)
+      |), m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+      |         b.pos - a.pos AS diag
+      |  FROM ix a JOIN ix b ON a.ah = b.ah AND a.doc_id < b.doc_id
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS rn FROM m
+      |), sp AS (
+      |  SELECT id_a, id_b, CAST(min(pa) AS INT) AS a_start,
+      |         CAST(min(pa) + diag AS INT) AS b_start,
+      |         CAST(count(*) + 7 AS BIGINT) AS span_len
+      |  FROM r GROUP BY id_a, id_b, diag, pa - rn
+      |)""".stripMargin
+
   /** The two incremental-ingest match legs over fpk/fpn fingerprint
     * CTEs — chunk tables, fresh×known banded match (cm), intra-batch
     * pigeonhole pairs (im). Shared by q_dedup_incr_near and
@@ -2413,27 +2467,34 @@ object SparkEntry {
     // family), occurrence cap, diagonal gaps-and-islands — replays
     // substringSpans stage by stage.
     "q_dedup_substring" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
-        |), an AS (
-        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-        |         CAST(('0x' || substr(md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')), 1, 15)) AS BIGINT) AS ah
-        |  FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
-        |), rare AS (
-        |  SELECT ah FROM an GROUP BY ah HAVING count(*) <= 20
-        |), ix AS (
-        |  SELECT an.doc_id, an.pos, an.ah FROM an JOIN rare USING (ah)
-        |), m AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
-        |         b.pos - a.pos AS diag
-        |  FROM ix a JOIN ix b ON a.ah = b.ah AND a.doc_id < b.doc_id
-        |), r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS rn FROM m
-        |)
-        |SELECT id_a, id_b, CAST(min(pa) AS INT) AS a_start,
-        |       CAST(min(pa) + diag AS INT) AS b_start,
-        |       CAST(count(*) + 7 AS BIGINT) AS span_len
-        |FROM r GROUP BY id_a, id_b, diag, pa - rn""".stripMargin,
+      (substringSpanCtes +
+        "\nSELECT id_a, id_b, a_start, b_start, span_len FROM sp"),
+
+    // removal replay: explode each id_b span into its covered token
+    // positions, anti-join the token table, rebuild the kept stream.
+    "q_dedup_substring_apply" ->
+      (substringSpanCtes +
+        """, rm AS (
+          |  SELECT DISTINCT id_b AS doc_id, CAST(p AS INT) AS pos
+          |  FROM sp, unnest(range(CAST(b_start AS BIGINT),
+          |                        CAST(b_start AS BIGINT) + span_len)) AS u(p)
+          |), tk AS (
+          |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[CAST(i AS INT)] AS wd
+          |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+          |), ka AS (
+          |  SELECT tk.doc_id, count(*) AS nk,
+          |         string_agg(tk.wd, ' ' ORDER BY tk.pos) AS td
+          |  FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.pos = rm.pos
+          |  WHERE rm.pos IS NULL
+          |  GROUP BY tk.doc_id
+          |), nt AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+          |  FROM tk GROUP BY doc_id
+          |)
+          |SELECT nt.doc_id, nt.n_tokens,
+          |       CAST(coalesce(ka.nk, 0) AS BIGINT) AS n_kept,
+          |       coalesce(ka.td, '') AS text_dedup
+          |FROM nt LEFT JOIN ka ON nt.doc_id = ka.doc_id""".stripMargin),
 
     // keep-first is total-ordered (doc_id, seg_id), so the window
     // form is the exact oracle; grouping by seg_text ≡ grouping by
@@ -3137,6 +3198,28 @@ object SparkEntry {
           |       (CAST(COALESCE(SUM(CASE WHEN l.tgt_id = b.tgt_id THEN 1 ELSE 0 END), 0) AS BIGINT) * 100
           |          >= CAST(count(*) AS BIGINT) * 40) AS agree_ok
           |FROM mmb b LEFT JOIN mml l ON b.src_id = l.src_id""".stripMargin),
+
+    "q_knn_label" ->
+      (s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |)""".stripMargin +
+        s""", u AS (SELECT vec_id, embedding, nrm FROM n WHERE label < 2
+           |), l AS (SELECT vec_id, embedding, nrm, label FROM n WHERE label >= 2
+           |), p AS (
+           |  SELECT u.vec_id AS uid, l.vec_id AS lid, l.label AS lab,
+           |         ${dotSql("u.embedding", "l.embedding")} / (u.nrm * l.nrm) AS cos0
+           |  FROM u, l
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY uid ORDER BY cos0 DESC, lid ASC) AS rk FROM p
+           |), v AS (
+           |  SELECT uid, lab, count(*) AS nv FROM r WHERE rk <= 5 GROUP BY uid, lab
+           |), w2 AS (
+           |  SELECT *, row_number() OVER (PARTITION BY uid ORDER BY nv DESC, lab ASC) AS vr FROM v
+           |)
+           |SELECT uid AS vec_id, lab AS label_pred, CAST(nv AS BIGINT) AS votes
+           |FROM w2 WHERE vr = 1""".stripMargin),
 
     "q_dedup_semantic" ->
       (semanticCellsCte(16) +

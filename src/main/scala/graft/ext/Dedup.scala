@@ -728,6 +728,48 @@ object Dedup {
         (col("__n") + (minLen - 1)).as("span_len"))
   }
 
+  /** Apply [[substringSpans]]' findings — the ACT half of
+    * substring-level dedup (Lee et al. 2022 deduplicate by REMOVING
+    * the repeated span from all but one occurrence): every token
+    * position of the LATER document (the id_b side — keep-first, the
+    * same convention as line/exact dedup) covered by any detected
+    * span is dropped; the first occurrence (id_a side) keeps its
+    * text. Overlapping spans union naturally through the distinct
+    * position set. Output text is the normalized (lowercased,
+    * whitespace-collapsed) token stream — the same contract as
+    * line-level dedup's text_dedup.
+    *
+    * Scale shape: the removal set explodes one row per REMOVED token
+    * (Σ span_len — bounded by the matched duplication volume, not the
+    * corpus), the token table is one tokenize pass, and the anti-join
+    * runs on the (id, pos) key both sides are already keyed by; the
+    * per-doc rebuild sorts arrays bounded by the longest document.
+    * Output: id, n_tokens, n_kept, text_dedup (one row per input doc).
+    */
+  def removeDupSpans(df: DataFrame, id: String, text: String,
+      spans: DataFrame): DataFrame = {
+    val words = split(lower(trim(col(text))), "\\s+")
+    val toks = graft.core.Caches.cached(df
+      .withColumn("__words", words)
+      .select(col(id), posexplode(col("__words"))).toDF(id, "pos", "w"))
+    val toRemove = spans.select(col("id_b").as(id),
+      explode(sequence(col("b_start").cast("long"),
+        col("b_start").cast("long") + col("span_len") - 1)).as("__p"))
+      .select(col(id), col("__p").cast("int").as("pos"))
+      .distinct()
+    val keptAgg = toks.join(toRemove, Seq(id, "pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("__td"))
+    toks.groupBy(col(id)).agg(count(lit(1)).as("n_tokens"))
+      .join(keptAgg, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__td"), lit("")).as("text_dedup"))
+  }
+
   /** Train/test DECONTAMINATION sweep — flag training documents whose
     * k-shingle overlap with any benchmark/eval document reaches
     * `minShared` distinct shingles (the standard pre-training hygiene

@@ -175,7 +175,7 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      trainSample: Int = 100000): DataFrame = {
+      trainSample: Int = 100000, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // Deterministic training set: orderBy(id) before limit — a bare
@@ -215,7 +215,7 @@ object Similarity {
       .select(col(id).as("query_id"), col(vec).as("__qv"),
         norm(col(vec)).as("__qn"), col("cell"))
     val scored = queryCells.join(corpusCells, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -613,6 +613,60 @@ object Similarity {
       : (DataFrame, DataFrame, String, String, Int) => DataFrame =
     (q, c, i, v, k) =>
       lshTopKMultiProbe(q, c, i, v, k, bitsUsed, excludeSelf = false)
+
+  /** IVF [[marginMine]] retriever — the trained-quantizer scale path
+    * (same no-oracle contract as [[ivfTopK]]; the LSH retriever is
+    * the oracle-checkable member of the family). Both directions ride
+    * the coarse-quantizer cell join; nlist grows with the corpus.
+    */
+  def ivfRetriever(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L)
+      : (DataFrame, DataFrame, String, String, Int) => DataFrame =
+    (q, c, i, v, k) =>
+      ivfTopK(q, c, i, v, k, nlist, nprobe, seed, excludeSelf = false)
+
+  /** kNN label propagation — spread labels from a small hand-labeled
+    * seed set to the unlabeled corpus by majority vote of each
+    * document's k nearest labeled neighbors in embedding space: the
+    * standard semi-supervised lift a curation pipeline runs when only
+    * a seed set carries quality/domain labels (a trained classifier
+    * slots into the same shape; the vote IS the contract).
+    *
+    * Scale shape: the labeled seed set is the SMALL side by
+    * construction and is broadcast; the unlabeled corpus streams
+    * map-side against it and is never reshuffled at pair width — the
+    * rank ≤ k filter is a WindowGroupLimit (per-task k-heap before
+    * the exchange), so the uid shuffle carries n·k rows, and the vote
+    * is a groupBy over those. Ties: equal cosines break to the
+    * smaller labeled id; equal votes break to the smaller label.
+    *
+    * Determinism: cosines are identically-shaped IEEE folds (the
+    * q_ann_brute contract); votes and tie-breaks are integer-exact.
+    * Output: one row per unlabeled doc — id, label_pred, votes (how
+    * many of the k neighbors carry label_pred).
+    */
+  def knnLabel(unlabeled: DataFrame, labeled: DataFrame, id: String,
+      vec: String, labelCol: String, k: Int = 5): DataFrame = {
+    val u = unlabeled.select(col(id).as("__uid"), col(vec).as("__uv"),
+      norm(col(vec)).as("__un"))
+    val l = labeled.select(col(id).as("__lid"), col(vec).as("__lv"),
+      norm(col(vec)).as("__ln"), col(labelCol).as("__lab"))
+    val scored = u.join(broadcast(l), lit(true))
+      .withColumn("__cos", dot(col("__uv"), col("__lv")) /
+        (col("__un") * col("__ln")))
+    val wNear = Window.partitionBy("__uid")
+      .orderBy(col("__cos").desc, col("__lid").asc)
+    val topk = scored.withColumn("__rk", row_number().over(wNear))
+      .filter(col("__rk") <= k)
+      .select(col("__uid"), col("__lab"))
+    val wVote = Window.partitionBy("__uid")
+      .orderBy(col("__n").desc, col("__lab").asc)
+    topk.groupBy(col("__uid"), col("__lab"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__vr", row_number().over(wVote))
+      .filter(col("__vr") === 1)
+      .select(col("__uid").as(id), col("__lab").as("label_pred"),
+        col("__n").as("votes"))
+  }
 
   /** Agreement companion for bucketed [[marginMine]] (the
     * semanticDedupRecall pattern — both counts are exact relational

@@ -92,6 +92,34 @@ class ExtSpec extends SparkTestBase {
     assert(none == 0L)
   }
 
+  test("removeDupSpans: later doc loses the planted span, first occurrence keeps it") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val a = "a1 a2 " + shared + " a3" // doc 1: first occurrence — untouched
+    val b = "b1 " + shared + " b2 b3" // doc 2: span at pos 1..20 — removed
+    val c = "c1 c2 c3"                // unrelated, short — untouched
+    val d = docs((1L, a), (2L, b), (3L, c))
+    val spans = Dedup.substringSpans(d, "doc_id", "text", minLen = 8, maxDf = 20)
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", spans)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 23L &&
+      out(0).getAs[Long]("n_kept") == 23L)
+    assert(out(0).getAs[String]("text_dedup") == ("a1 a2 " + shared + " a3"))
+    assert(out(1).getAs[Long]("n_tokens") == 23L &&
+      out(1).getAs[Long]("n_kept") == 3L)
+    assert(out(1).getAs[String]("text_dedup") == "b1 b2 b3")
+    assert(out(2).getAs[Long]("n_kept") == 3L)
+    // span union across pairs: doc 3 embeds doc 1's span (pos 0..19)
+    // AND doc 2's span (pos 20..29) — 30 distinct removed positions
+    val s2 = (21 to 30).map(i => s"s$i").mkString(" ")
+    val e = docs((1L, shared), (2L, s2), (3L, shared + " " + s2 + " tail"))
+    val sp2 = Dedup.substringSpans(e, "doc_id", "text", minLen = 8, maxDf = 20)
+    val out2 = Dedup.removeDupSpans(e, "doc_id", "text", sp2)
+      .orderBy("doc_id").collect()
+    assert(out2(2).getAs[Long]("n_tokens") == 31L)
+    assert(out2(2).getAs[Long]("n_kept") == 1L)
+    assert(out2(2).getAs[String]("text_dedup") == "tail")
+  }
+
   test("cosine helpers: orthogonal=0, identical=1; topK ranks correctly") {
     import spark.implicits._
     val emb = Seq(
@@ -319,6 +347,47 @@ class ExtSpec extends SparkTestBase {
     assert(out(2).getAs[Long]("dup_of") == 0L) // min earlier id, not 3
     assert(out(4).getAs[Long]("dup_of") == 1L)
     assert(out(5).isNullAt(out(5).fieldIndex("dup_of")))
+  }
+
+  test("knnLabel: majority of k nearest labeled neighbors, integer tie-breaks") {
+    import spark.implicits._
+    // labeled: two x-axis docs labeled 7, one y-axis doc labeled 3.
+    // unlabeled 100 points along x → neighbors (k=3) are both 7s + the
+    // 3 → majority 7 with 2 votes; 101 points along y → votes split
+    // 1/1/1 across {7,7,3} → grouped as 7:2? No: neighbors are the
+    // SAME three docs for k=3 of 3 — majority is still 7 (2 votes).
+    // So pin the vote semantics with k=1 instead for 101.
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.0f, 1.0f), 3)).toDF("vec_id", "embedding", "label")
+    val unlabeled = Seq(
+      (100L, Array(1.0f, 0.05f)),
+      (101L, Array(0.05f, 1.0f))).toDF("vec_id", "embedding")
+    val k3 = Similarity.knnLabel(unlabeled, labeled, "vec_id", "embedding",
+      "label", k = 3).orderBy("vec_id").collect()
+    assert(k3(0).getAs[Int]("label_pred") == 7 && k3(0).getAs[Long]("votes") == 2L)
+    assert(k3(1).getAs[Int]("label_pred") == 7 && k3(1).getAs[Long]("votes") == 2L)
+    val k1 = Similarity.knnLabel(unlabeled, labeled, "vec_id", "embedding",
+      "label", k = 1).orderBy("vec_id").collect()
+    assert(k1(0).getAs[Int]("label_pred") == 7 && k1(0).getAs[Long]("votes") == 1L)
+    assert(k1(1).getAs[Int]("label_pred") == 3 && k1(1).getAs[Long]("votes") == 1L)
+  }
+
+  test("marginMine with IVF retrieval: trained-quantizer path agrees with brute") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val src = emb.filter(col("label") < 2)
+    val tgt = emb.filter(col("label") >= 2)
+    val brute = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4, minMargin = 1.2)
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    val ivf = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4, minMargin = 1.2,
+      retrieve = Similarity.ivfRetriever(nlist = 8, nprobe = 4))
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    val agree = brute.count { case (s, t) => ivf.get(s).contains(t) }
+    assert(agree * 100 >= brute.size * 30,
+      s"IVF margin agreement $agree/${brute.size} below 30%")
   }
 
   test("semanticDedup: zero-norm vector assigns deterministically, never pairs") {
