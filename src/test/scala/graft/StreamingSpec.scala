@@ -167,6 +167,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupAgainstKnown runs UNCHANGED as a stream-static join; batch ≡ stream") {
+    // the unified-ingest exact leg under readStream: the fresh batch
+    // arrives as a stream, the known corpus is the static index side —
+    // Structured Streaming plans the same dedupAgainstKnown code as a
+    // stream-static left join with no operator changes, which is the
+    // declared streaming story for the ingest family.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val known = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = graft.ext.Dedup.dedupAgainstKnown(
+      input.toDS().toDF("doc_id", "text"), known, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("ingestout")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "ALPHA beta Gamma"), (11L, "novel text"))
+      q.processAllAvailable()
+      input.addData((12L, "delta epsilon"))
+      q.processAllAvailable()
+      val streamed = spark.table("ingestout")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2)))
+      assert(streamed.toSeq == Seq((10L, true), (11L, false), (12L, true)))
+      // batch replay of the same rows is identical
+      val batch = graft.ext.Dedup.dedupAgainstKnown(
+        Seq((10L, "ALPHA beta Gamma"), (11L, "novel text"),
+          (12L, "delta epsilon")).toDF("doc_id", "text"),
+        known, "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2)))
+      assert(batch.toSeq == streamed.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first arrival, drops repeats across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
