@@ -184,6 +184,13 @@ object OpsScaleBench {
         c
       }
 
+      // winnowing fingerprints on the corpus axis: one tokenize+hash
+      // pass + one groupBy(id) + per-row array selection — no joins,
+      // so wall must scale linearly in documents.
+      bench("winnow", n, nDocs * n)(() =>
+        TextStats.winnowFingerprints(docsV, "doc_id", "text",
+          k = 4, w = 5).count())
+
       // capped bm25 on the SAME harsh axis as the bm25 row: with
       // dfCapFrac=0.5 only the rare tail of the vocabulary generates
       // candidates, so the candidate join stays proportional to the

@@ -583,6 +583,16 @@ object SparkEntry {
         "doc_id", "text", maxDist = 3)
     }),
 
+    // winnowing fingerprints (Schleimer et al. 2003 / MOSS): each
+    // sliding window of w k-gram hashes keeps its minimum (ties →
+    // rightmost) — guarantees any shared run ≥ w+k−1 tokens shares a
+    // fingerprint at expected density 2/(w+1); the principled upgrade
+    // of q_fingerprint's mod-p sampler, selected per doc with zero
+    // joins or window exchanges.
+    "q_winnow" -> ((s, dir) =>
+      TextStats.winnowFingerprints(Tables.documents(s, dir), "doc_id",
+        "text", k = 4, w = 5)),
+
     // UNIFIED ingest: exact AND near verdicts from one pass over the
     // fresh batch — the call a real append-only pipeline makes per
     // ingest. The fresh slice is normalized/hashed once into a cached
@@ -3890,6 +3900,29 @@ object SparkEntry {
          |       0.4 * s_lm + 0.3 * s_rep + 0.2 * s_pii + 0.1 * s_domain AS keep_score,
          |       (0.4 * s_lm + 0.3 * s_rep + 0.2 * s_pii + 0.1 * s_domain >= 0.5) AS keep
          |FROM ks""".stripMargin),
+
+    // winnowing replay: packed (hash·2²⁰ + (2²⁰−1−pos)) values in
+    // position order, per-window list min, distinct, decode
+    "q_winnow" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+        |), an AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         CAST(('0x' || substr(md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+3], ' ')), 1, 10)) AS BIGINT) AS h40
+        |  FROM w0, unnest(range(1, greatest(len(ws) - 3, 0) + 1)) AS t(i)
+        |), ar AS (
+        |  SELECT doc_id,
+        |         list(h40 * 1048576 + (1048575 - pos) ORDER BY pos) AS c
+        |  FROM an GROUP BY doc_id
+        |), sel AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(c) - 4, 1) + 1),
+        |    i -> list_aggregate(c[CAST(i AS INT):CAST(i AS INT) + 4], 'min')))) AS v
+        |  FROM ar
+        |)
+        |SELECT doc_id, CAST(1048575 - (v & 1048575) AS INT) AS pos,
+        |       (v >> 20) AS fp
+        |FROM sel""".stripMargin,
 
     "q_fingerprint" ->
       (shingleCte(3) +

@@ -701,6 +701,66 @@ object TextStats {
         .as("fingerprint"))
   }
 
+  /** Winnowing document fingerprints — Schleimer, Wilkerson & Aiken
+    * 2003 ("Winnowing: Local Algorithms for Document Fingerprinting",
+    * the MOSS algorithm), the principled upgrade of the mod-p sampler
+    * in [[fingerprint]]: per document, hash every k-token gram, slide
+    * a window of `w` consecutive hashes, and keep each window's
+    * MINIMUM (ties → the rightmost occurrence, the paper's robust
+    * choice), deduplicated. The GUARANTEE mod-p sampling lacks: any
+    * shared token run of length ≥ w + k − 1 is caught by at least one
+    * shared fingerprint, while expected density stays 2/(w+1).
+    *
+    * Shape: one tokenize+hash pass, ONE groupBy(id) collecting the
+    * positioned hash array, then window-min selection as pure per-row
+    * array ops — no self-join, no window exchange; per-row memory is
+    * bounded by the longest document (the verifyJaccard array bound).
+    * The (hash, position) pair is packed into one BIGINT
+    * (40-bit gram hash · 2²⁰ + (2²⁰−1 − pos)) so a single array_min
+    * realizes "min hash, ties → rightmost" in both engines; documents
+    * beyond 2²⁰ tokens would alias positions, so an assert_true guard
+    * turns that into a loud analysis error instead of silent aliasing.
+    * Documents with fewer than w grams winnow their single short
+    * window; documents with fewer than k tokens emit nothing.
+    * Output: id, pos (gram start, 0-based), fp (40-bit gram hash) —
+    * one row per selected fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val words = split(lower(trim(col(text))), "\\s+")
+    val positions = when(size(col("__words")) >= k,
+      sequence(lit(1), size(col("__words")) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val h40 = conv(substring(md5(
+      array_join(slice(col("__words"), col("__i"), lit(k)), " ")), 1, 10),
+      16, 10).cast("long")
+    val anch = df.withColumn("__words", words)
+      .withColumn("__i", explode(positions))
+      .select(col(id), (col("__i") - 1).as("pos"), h40.as("__h"))
+      .withColumn("__guard", when(col("pos") >= 1048576L,
+        assert_true(lit(false), lit(
+          "winnowFingerprints: document exceeds 2^20 tokens — " +
+            "packed position would alias"))))
+      .filter(col("__guard").isNull)
+    val packed = anch.groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__h"))))
+        .as("__a")) // struct sort = position order (pos is unique/doc)
+      .withColumn("__c", transform(col("__a"), s =>
+        s.getField("__h") * lit(1048576L) +
+          (lit(1048575L) - s.getField("pos"))))
+    val nA = size(col("__c"))
+    val starts = sequence(lit(1), greatest(nA - (w - 1), lit(1)))
+    val selected = array_distinct(transform(starts, i =>
+      array_min(slice(col("__c"), i, lit(w)))))
+    packed.withColumn("__sel", selected)
+      .select(col(id), explode(col("__sel")).as("__v"))
+      .select(col(id),
+        (lit(1048575L) - col("__v").bitwiseAND(lit(1048575L)))
+          .cast("int").as("pos"),
+        shiftright(col("__v"), 20).as("fp"))
+  }
+
   /** Per-document distinctive terms — the TF-IDF family ranking with an
     * integer-exact comparator: each document's top-k terms ordered by
     * (term frequency DESC, document frequency ASC, term ASC). For any

@@ -92,6 +92,58 @@ class ExtSpec extends SparkTestBase {
     assert(none == 0L)
   }
 
+  test("winnowFingerprints: matches the reference algorithm; shared runs share a print") {
+    import scala.collection.mutable
+    // independent reference implementation of rightmost-min winnowing
+    def reference(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val words = text.trim.toLowerCase.split("\\s+").toSeq
+      if (words.length < k) return Set.empty
+      val hs = (0 to words.length - k).map { p =>
+        val gram = words.slice(p, p + k).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(gram.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          md.take(5).map(b => f"$b%02x").mkString, 16) // 10 hex = 40 bits
+      }
+      val sel = mutable.Set[(Int, Long)]()
+      val n = hs.length
+      val starts = 0 to math.max(n - w, 0)
+      starts.foreach { i =>
+        val win = (i until math.min(i + w, n))
+        val minH = win.map(hs).min
+        val p = win.filter(q => hs(q) == minH).max // rightmost tie
+        sel += ((p, hs(p)))
+      }
+      sel.toSet
+    }
+    val t1 = (1 to 30).map(i => s"w${i % 13}").mkString(" ")
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // w+k-1 = 8 tokens
+    val t2 = "x1 x2 x3 " + shared + " x4 x5"
+    val t3 = "y1 y2 " + shared + " y3 y4 y5"
+    val out = TextStats.winnowFingerprints(
+      docs((1L, t1), (2L, t2), (3L, t3)), "doc_id", "text", k = 4, w = 5)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rows) =>
+        d -> rows.map(r => (r.getAs[Int]("pos"), r.getAs[Long]("fp"))).toSet
+      }
+    Seq(1L -> t1, 2L -> t2, 3L -> t3).foreach { case (d, t) =>
+      assert(out(d) == reference(t, 4, 5), s"doc $d winnow mismatch")
+    }
+    // the winnowing guarantee: a shared run of w+k-1 tokens must share
+    // at least one fingerprint VALUE between the two docs
+    val fps2 = out(2L).map(_._2)
+    val fps3 = out(3L).map(_._2)
+    assert((fps2 & fps3).nonEmpty, "shared 8-token run shares no fingerprint")
+    // short doc (< k tokens) emits nothing; k <= doc < w+k-1 winnows
+    // its single short window
+    val tiny = TextStats.winnowFingerprints(
+      docs((1L, "a b c"), (2L, "a b c d e")), "doc_id", "text", k = 4, w = 5)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(!tiny.contains(1L))
+    assert(tiny(2L).length == 1) // 2 grams, one window, one min
+  }
+
   test("removeDupSpans: later doc loses the planted span, first occurrence keeps it") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val a = "a1 a2 " + shared + " a3" // doc 1: first occurrence — untouched

@@ -328,6 +328,18 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed marginMine plans bucket equi-joins — no all-pairs retrieval") {
+    withStaticPlans {
+      val emb = Tables.embeddings(spark, sfDir)
+      val df = Similarity.marginMine(emb.filter(col("label") < 2),
+        emb.filter(col("label") >= 2), "vec_id", "embedding",
+        k = 4, minMargin = 1.2, retrieve = Similarity.lshRetriever(4))
+      assert(allPairsJoins(df).isEmpty,
+        "all-pairs join in the bucketed margin plan — the LSH " +
+          "retriever must plan bucket equi-joins")
+    }
+  }
+
   test("dedupIngest: fresh batch is scanned once — all legs read the cached base") {
     withStaticPlans {
       val docs = Tables.documents(spark, sfDir)
