@@ -327,13 +327,16 @@ object OpsScaleBench {
           retrieve = Similarity.lshRetriever(marginBits)).count())
 
       // kNN label propagation on the unlabeled-corpus axis: the
-      // labeled seed set stays fixed (broadcast), the unlabeled side
-      // widens n× — wall must stay linear (one broadcast-nested-loop
-      // scan + a WindowGroupLimit-bounded uid shuffle of n·k rows).
+      // labeled SEED set stays fixed and small (labels {0,1}, ~20% —
+      // the broadcast side by contract), the unlabeled majority widens
+      // n× — wall must stay linear (one broadcast-nested-loop scan +
+      // a WindowGroupLimit-bounded uid shuffle of n·k rows).
       val unlabeledGrown = rotReplicate(
-        emb0.filter(col("label") < 2).drop("label"), n)
-      bench("knn_label", n, nVecs * n)(() =>
-        Similarity.knnLabel(unlabeledGrown, emb0.filter(col("label") >= 2),
+        emb0.filter(col("label") >= 2).drop("label"), n)
+      val knnRows = unlabeledGrown.count() +
+        emb0.filter(col("label") < 2).count() // honest input size
+      bench("knn_label", n, knnRows)(() =>
+        Similarity.knnLabel(unlabeledGrown, emb0.filter(col("label") < 2),
           "vec_id", "embedding", "label", k = 5).count())
 
       // perceptual-hash codec axis: per-doc PNG synth→encode→decode→

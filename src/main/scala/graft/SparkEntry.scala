@@ -911,8 +911,11 @@ object SparkEntry {
     // rank filter is a WindowGroupLimit k-heap per task.
     "q_knn_label" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.knnLabel(emb.filter(col("label") < 2).drop("label"),
-        emb.filter(col("label") >= 2), "vec_id", "embedding", "label",
+      // the SEED side is the small pool by contract (labels {0,1},
+      // ~20% of vectors) — it broadcasts; the unlabeled majority
+      // streams against it
+      Similarity.knnLabel(emb.filter(col("label") >= 2).drop("label"),
+        emb.filter(col("label") < 2), "vec_id", "embedding", "label",
         k = 5)
     }),
 
@@ -3215,8 +3218,8 @@ object SparkEntry {
          |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
          |  FROM embeddings
          |)""".stripMargin +
-        s""", u AS (SELECT vec_id, embedding, nrm FROM n WHERE label < 2
-           |), l AS (SELECT vec_id, embedding, nrm, label FROM n WHERE label >= 2
+        s""", u AS (SELECT vec_id, embedding, nrm FROM n WHERE label >= 2
+           |), l AS (SELECT vec_id, embedding, nrm, label FROM n WHERE label < 2
            |), p AS (
            |  SELECT u.vec_id AS uid, l.vec_id AS lid, l.label AS lab,
            |         ${dotSql("u.embedding", "l.embedding")} / (u.nrm * l.nrm) AS cos0

@@ -13,11 +13,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Portable md5-prefix hash: first `hexChars` hex chars of md5 →
+    * BIGINT (4 bits per hex char; ≤ 15 chars keeps the value positive
+    * in a 64-bit long). DuckDB mirror:
+    * ('0x' || substr(md5(x),1,hexChars))::BIGINT. One definition for
+    * every width so the construction can't drift between the 60-bit
+    * shingle currency and narrower packed-value variants.
+    */
+  def hashPrefix(c: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 15,
+      s"hexChars must be in [1, 15], got $hexChars")
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+  }
+
   /** Portable 60-bit string hash: first 15 hex chars of md5 → BIGINT.
     * (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT.)
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = hashPrefix(c, 15)
+
+  /** 1-based start positions of the k-token grams of a word array —
+    * empty when the document is shorter than k (a bare
+    * sequence(1, 0) would generate a DESCENDING [1, 0] in Spark).
+    * Shared by every positioned/distinct gram builder (shingles,
+    * substring anchors, winnowing) so the short-doc guard can't
+    * drift.
+    */
+  def gramPositions(words: Column, k: Int): Column =
+    when(size(words) >= k, sequence(lit(1), size(words) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
 
   /** Exact dedup on normalized text: groups share
     * md5(lower(trimmed)); the smallest id is the keeper.
@@ -71,11 +94,7 @@ object Dedup {
     */
   def shinglesHashed(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
     val words = split(lower(trim(col(text))), "\\s+")
-    // sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
-    // guard short docs with an empty positions array instead
-    val positions = when(size(col("__words")) >= k,
-      sequence(lit(1), size(col("__words")) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
+    val positions = gramPositions(col("__words"), k)
     df.withColumn("__words", words)
       .withColumn("__i", explode(positions))
       .withColumn("sh60",
@@ -699,9 +718,7 @@ object Dedup {
       minLen: Int = 8, maxDf: Int = 20): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val words = split(lower(trim(col(text))), "\\s+")
-    val positions = when(size(col("__words")) >= minLen,
-      sequence(lit(1), size(col("__words")) - (minLen - 1)))
-      .otherwise(array().cast("array<int>"))
+    val positions = gramPositions(col("__words"), minLen)
     // positioned anchors — NOT distinct: the same shingle at two
     // positions of one doc is two anchors on two diagonals
     val anch = graft.core.Caches.cached(df
@@ -763,7 +780,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("w")))),
           s => s.getField("w")), " ").as("__td"))
-    toks.groupBy(col(id)).agg(count(lit(1)).as("n_tokens"))
+    df.select(col(id), size(words).cast("long").as("n_tokens"))
       .join(keptAgg, Seq(id), "left")
       .select(col(id), col("n_tokens"),
         coalesce(col("__nk"), lit(0L)).as("n_kept"),

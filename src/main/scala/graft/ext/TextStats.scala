@@ -729,12 +729,9 @@ object TextStats {
       k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     val words = split(lower(trim(col(text))), "\\s+")
-    val positions = when(size(col("__words")) >= k,
-      sequence(lit(1), size(col("__words")) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val h40 = conv(substring(md5(
-      array_join(slice(col("__words"), col("__i"), lit(k)), " ")), 1, 10),
-      16, 10).cast("long")
+    val positions = Dedup.gramPositions(col("__words"), k)
+    val h40 = Dedup.hashPrefix(
+      array_join(slice(col("__words"), col("__i"), lit(k)), " "), 10)
     val anch = df.withColumn("__words", words)
       .withColumn("__i", explode(positions))
       .select(col(id), (col("__i") - 1).as("pos"), h40.as("__h"))
