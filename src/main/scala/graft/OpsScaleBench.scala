@@ -184,6 +184,16 @@ object OpsScaleBench {
         c
       }
 
+      // n-gram novelty on the corpus axis (vocab-disjoint replicas so
+      // per-shingle df stays flat): one shingle pass + one df
+      // aggregate + one join back — wall must scale linearly.
+      bench("novelty", n, nDocs * n) { () =>
+        val c = TextStats.ngramNovelty(docsV, "doc_id", "text", k = 3)
+          .count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
       // winnowing fingerprints on the corpus axis: one tokenize+hash
       // pass + one groupBy(id) + per-row array selection — no joins,
       // so wall must scale linearly in documents.

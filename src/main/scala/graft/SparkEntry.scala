@@ -583,6 +583,21 @@ object SparkEntry {
         "doc_id", "text", maxDist = 3)
     }),
 
+    // per-doc n-gram novelty: fraction of a doc's distinct 3-grams
+    // appearing in NO other document — the corpus memorization/
+    // boilerplate audit; one df aggregate + join back, never pairwise.
+    "q_novelty" -> ((s, dir) =>
+      TextStats.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+        k = 3)),
+
+    // NEAR-dup-safe split: whole SimHash near-dup families (connected
+    // components; exact dups are hamming-0 members) route to one
+    // split by the deterministic family-id hash — blocks the
+    // paraphrase/boilerplate eval leakage the exact-hash split misses.
+    "q_split_safe_near" -> ((s, dir) =>
+      Sampling.leakageSafeSplitNear(Tables.documents(s, dir), "doc_id",
+        "text", maxDist = 3)),
+
     // winnowing fingerprints (Schleimer et al. 2003 / MOSS): each
     // sliding window of w k-gram hashes keeps its minimum (ties →
     // rightmost) — guarantees any shared run ≥ w+k−1 tokens shares a
@@ -3154,6 +3169,48 @@ object SparkEntry {
           |)
           |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS is_keeper
           |FROM reach GROUP BY id""".stripMargin),
+
+    "q_novelty" ->
+      (shingleCte(3) +
+        """, dfq AS (
+          |  SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle
+          |), per AS (
+          |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |         CAST(SUM(CASE WHEN dfq.dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          |  FROM sh JOIN dfq USING (shingle) GROUP BY sh.doc_id
+          |)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+          |       CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+          |       CASE WHEN coalesce(per.n_grams, 0) > 0
+          |            THEN per.n_novel * 1.0 / per.n_grams END AS novelty
+          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin),
+
+    // near-dup families via the q_dedup_clusters recursive closure,
+    // routed by the same family-id hash as q_split_safe
+    "q_split_safe_near" ->
+      (s"WITH RECURSIVE $simhashCteBody, pr AS (\n" +
+        """  SELECT id_a, id_b FROM cd WHERE bit_count(xor(ha, hb)) <= 3
+          |), e AS (
+          |  SELECT id_a AS a, id_b AS b FROM pr
+          |  UNION ALL SELECT id_b, id_a FROM pr
+          |), reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+          |), cl AS (
+          |  SELECT id AS doc_id, min(r) AS family_id FROM reach GROUP BY id
+          |), h AS (
+          |  SELECT doc_id, family_id,
+          |         CAST(CAST(('0x' || substr(md5(CAST(family_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |              % 10000 AS INT) AS bucket
+          |  FROM cl
+          |)
+          |SELECT doc_id, family_id, bucket,
+          |       CASE WHEN bucket < 9000 THEN 'train'
+          |            WHEN bucket < 9500 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM h""".stripMargin),
 
     "q_embed_pairs" ->
       (normCte +

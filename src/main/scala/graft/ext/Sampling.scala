@@ -146,6 +146,34 @@ object Sampling {
       .select(col(id), col("family_id"), col("bucket"), col("split"))
   }
 
+  /** NEAR-duplicate-safe train/val/test split — the upgrade of
+    * [[leakageSafeSplit]] that also blocks near-dup leakage: a
+    * paraphrase or boilerplate VARIANT of a training document landing
+    * in test inflates eval exactly like an exact copy, and exact-hash
+    * families structurally miss it. Families here are the connected
+    * components of the SimHash near-dup pair graph
+    * ([[graft.ext.Dedup.simHashPairs]] →
+    * [[graft.ext.Dedup.dupClusters]]; exact duplicates are hamming-0
+    * pairs, so every exact family is contained in a near family) and
+    * the WHOLE family routes to one split by the same deterministic
+    * basis-point hash of the family id as the exact form — add a doc
+    * to the corpus and no existing assignment moves.
+    * Output: id, family_id, bucket, split.
+    */
+  def leakageSafeSplitNear(df: DataFrame, id: String, text: String,
+      maxDist: Int = 3, trainBps: Int = 9000, valBps: Int = 500): DataFrame = {
+    require(trainBps > 0 && valBps >= 0 && trainBps + valBps < 10000,
+      s"invalid split: train=$trainBps val=$valBps")
+    val pairs = Dedup.simHashPairs(df, id, text, maxDist)
+    val clusters = Dedup.dupClusters(df.select(col(id)), pairs, id)
+    clusters.select(col(id), col("cluster_id").as("family_id"))
+      .withColumn("bucket", bucketBps(col("family_id")))
+      .withColumn("split",
+        when(col("bucket") < trainBps, "train")
+          .when(col("bucket") < trainBps + valBps, "val")
+          .otherwise("test"))
+  }
+
   /** Global quantile bucketing WITHOUT a global sort — the curriculum
     * / quality-tier assignment (e.g. length deciles for bucketed
     * packing, quality quartiles for mixture weights). The naive form,

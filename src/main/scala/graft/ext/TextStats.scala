@@ -701,6 +701,41 @@ object TextStats {
         .as("fingerprint"))
   }
 
+  /** Per-document n-gram NOVELTY — the fraction of a document's
+    * distinct k-grams appearing in NO other document: the corpus-level
+    * memorization/boilerplate audit signal (low novelty = the doc is
+    * assembled from corpus-repeated fragments — the doc-level
+    * companion to [[graft.ext.Dedup.substringSpans]]' span detector,
+    * and the aggregate the dedup family's effect is reported in).
+    *
+    * Shape: one shingle pass, one document-frequency aggregate on the
+    * 60-bit hash (map-side combined), one equi-join back — never
+    * pairwise, never corpus×corpus. Determinism: n_grams/n_novel are
+    * exact integers; novelty is the RAW IEEE quotient of those two
+    * integers — identically shaped in both engines, so bit-identical
+    * (ROUNDING it would be the trap: a small-denominator rational can
+    * land exactly on a 7th-decimal midpoint where the engines' tie
+    * rules diverge). Output: id, n_grams, n_novel, novelty (NULL for
+    * docs too short to shingle).
+    */
+  def ngramNovelty(df: DataFrame, id: String, text: String,
+      k: Int = 3): DataFrame = {
+    val sh = graft.core.Caches.cached(Dedup.shinglesHashed(df, id, text, k))
+    val dfreq = sh.groupBy("sh60").agg(count(lit(1)).as("__df"))
+    val per = sh.join(dfreq, "sh60")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("__nn"))
+    df.select(col(id))
+      .join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") > 0,
+          col("n_novel") * lit(1.0) / col("n_grams")))
+  }
+
   /** Winnowing document fingerprints — Schleimer, Wilkerson & Aiken
     * 2003 ("Winnowing: Local Algorithms for Document Fingerprinting",
     * the MOSS algorithm), the principled upgrade of the mod-p sampler

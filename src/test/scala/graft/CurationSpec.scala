@@ -209,6 +209,58 @@ class CurationSpec extends SparkTestBase {
       (4L, true), (5L, false)))
   }
 
+  test("ngramNovelty: unique doc scores 1, exact dups 0, short docs null") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, (100 to 120).map(i => s"u$i").mkString(" ")), // fully novel
+      (2L, base), (3L, base), // exact dups: every gram shared
+      (4L, "a b"), // too short for 3-grams
+      // 5 shares w1..w10's grams with 2/3 but adds a novel tail
+      (5L, (1 to 10).map(i => s"w$i").mkString(" ") + " " +
+        (200 to 209).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextStats.ngramNovelty(d, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("novelty") == 1.0)
+    assert(out(1).getAs[Double]("novelty") == 0.0)
+    assert(out(2).getAs[Double]("novelty") == 0.0)
+    assert(out(3).getAs[Long]("n_grams") == 0L &&
+      out(3).isNullAt(out(3).fieldIndex("novelty")))
+    // doc 5: 18 grams; w1..w8-start grams (8) are shared with 2/3,
+    // the w9/w10→v-tail bridge grams and the v-tail grams are novel
+    assert(out(4).getAs[Long]("n_grams") == 18L)
+    assert(out(4).getAs[Long]("n_novel") == 10L)
+    assert(out(4).getAs[Double]("novelty") == 10.0 / 18.0)
+  }
+
+  test("leakageSafeSplitNear: near-dup variants land in ONE family and split") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, base),
+      (2L, base + " " + base), // hamming-0 variant (scale-invariant)
+      (3L, base), // exact dup
+      (4L, (100 to 160).map(i => s"v$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplitNear(d, "doc_id", "text",
+      maxDist = 3).orderBy("doc_id").collect()
+    val fam = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("family_id")).toMap
+    val spl = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(fam(1L) == 1L && fam(2L) == 1L && fam(3L) == 1L, s"fam=$fam")
+    assert(spl(1L) == spl(2L) && spl(2L) == spl(3L))
+    assert(fam(4L) == 4L)
+    // family routing matches the exact-form convention: bucket =
+    // hash60(family_id as string) % 10000
+    out.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b < 10000)
+      val s = r.getAs[String]("split")
+      assert(if (b < 9000) s == "train" else if (b < 9500) s == "val"
+        else s == "test")
+    }
+  }
+
   test("keepScore: fixed calibration over four signals; absent signals score 0") {
     import spark.implicits._
     val base = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
