@@ -90,6 +90,13 @@ object SparkEntry {
 
   private val DomainBlocklist = Seq("bad0.spam.io", "bad1.spam.io")
 
+  /** The ONE (minLen, maxDf) parameter pair for substring-span dedup:
+    * passed to both Dedup.substringSpans calls AND the oracle CTE
+    * builder, so the two sides cannot drift.
+    */
+  private val SubstringMinLen = 8
+  private val SubstringMaxDf = 20
+
   /** events → deduped long series with delta_us (shared prefix of the
     * time-series queries).
     */
@@ -628,7 +635,7 @@ object SparkEntry {
     // unrelated documents).
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.substringSpans(Tables.documents(s, dir), "doc_id", "text",
-        minLen = 8, maxDf = 20)),
+        minLen = SubstringMinLen, maxDf = SubstringMaxDf)),
 
     // the ACT half of substring dedup (Lee et al. remove the repeated
     // span from all but the first occurrence): every id_b token
@@ -638,7 +645,7 @@ object SparkEntry {
     "q_dedup_substring_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val spans = Dedup.substringSpans(docs, "doc_id", "text",
-        minLen = 8, maxDf = 20)
+        minLen = SubstringMinLen, maxDf = SubstringMaxDf)
       Dedup.removeDupSpans(docs, "doc_id", "text", spans)
     }),
 
@@ -2018,7 +2025,7 @@ object SparkEntry {
     normCte +
       s""", p AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+         |         ${safeCosSql(dotSql("q.embedding", "c.embedding"), "q.nrm * c.nrm")} AS cos0
          |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10
          |), r AS (
@@ -2108,6 +2115,13 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Similarity.safeCosine mirror: the undefined cosine (zero-norm
+    * side) pinned to -2.0 in SQL, so desc-rank/threshold stages can
+    * never be decided by an engine's NaN convention.
+    */
+  private def safeCosSql(d: String, den: String): String =
+    s"CASE WHEN $den > 0 THEN $d / ($den) ELSE -2.0 END"
+
   /** embeddings with norms CTE (n); dot(a,b) helper inlined. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -2134,9 +2148,7 @@ object SparkEntry {
          |  FROM n ORDER BY vec_id LIMIT $nSeeds
          |), asgall AS (
          |  SELECT c.vec_id, s.seed_id,
-         |         CASE WHEN c.nrm * s.snrm > 0
-         |              THEN ${dotSql("c.embedding", "s.sv")} / (c.nrm * s.snrm)
-         |              ELSE -2.0 END AS cos0
+         |         ${safeCosSql(dotSql("c.embedding", "s.sv"), "c.nrm * s.snrm")} AS cos0
          |  FROM n c CROSS JOIN sd s
          |), cells AS (
          |  SELECT vec_id, seed_id AS cell
@@ -2146,21 +2158,23 @@ object SparkEntry {
          |  WHERE rk = 1
          |)""".stripMargin
 
-  /** Substring-span CTE chain (w … sp): positioned 8-token anchors,
-    * occurrence cap 20, diagonal gaps-and-islands — ends in
+  /** Substring-span CTE chain (w … sp): positioned minLen-token
+    * anchors, occurrence cap maxDf, diagonal gaps-and-islands — the
+    * SAME (minLen, maxDf) constants the registry passes to
+    * Dedup.substringSpans (SubstringMinLen/SubstringMaxDf) — ends in
     * sp(id_a, id_b, a_start, b_start, span_len). Shared by
     * q_dedup_substring and its removal companion so the span
     * definition can never drift between detect and act.
     */
-  private val substringSpanCtes: String =
-    """WITH w AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+  private def substringSpanCtes(minLen: Int, maxDf: Int): String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
       |), an AS (
       |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-      |         CAST(('0x' || substr(md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')), 1, 15)) AS BIGINT) AS ah
-      |  FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
+      |         CAST(('0x' || substr(md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+${minLen - 1}], ' ')), 1, 15)) AS BIGINT) AS ah
+      |  FROM w, unnest(range(1, greatest(len(ws) - ${minLen - 1}, 0) + 1)) AS t(i)
       |), rare AS (
-      |  SELECT ah FROM an GROUP BY ah HAVING count(*) <= 20
+      |  SELECT ah FROM an GROUP BY ah HAVING count(*) <= $maxDf
       |), ix AS (
       |  SELECT an.doc_id, an.pos, an.ah FROM an JOIN rare USING (ah)
       |), m AS (
@@ -2172,7 +2186,7 @@ object SparkEntry {
       |), sp AS (
       |  SELECT id_a, id_b, CAST(min(pa) AS INT) AS a_start,
       |         CAST(min(pa) + diag AS INT) AS b_start,
-      |         CAST(count(*) + 7 AS BIGINT) AS span_len
+      |         CAST(count(*) + ${minLen - 1} AS BIGINT) AS span_len
       |  FROM r GROUP BY id_a, id_b, diag, pa - rn
       |)""".stripMargin
 
@@ -2334,13 +2348,13 @@ object SparkEntry {
            |  FROM $qPool
            |), $alias$sfx AS (
            |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |         ${safeCosSql(dotSql("q.embedding", "c.embedding"), "q.nrm * c.nrm")} AS cos0
            |  FROM qp$alias$sfx q JOIN $cPool c ON q.probe = c.bkt
            |)""".stripMargin
       else
         s"""$alias$sfx AS (
            |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |         ${safeCosSql(dotSql("q.embedding", "c.embedding"), "q.nrm * c.nrm")} AS cos0
            |  FROM $qPool q, $cPool c
            |)""".stripMargin
     s"""${cand("fa", "sp0", "tp0")}, fr$sfx AS (
@@ -2495,13 +2509,13 @@ object SparkEntry {
     // family), occurrence cap, diagonal gaps-and-islands — replays
     // substringSpans stage by stage.
     "q_dedup_substring" ->
-      (substringSpanCtes +
+      (substringSpanCtes(SubstringMinLen, SubstringMaxDf) +
         "\nSELECT id_a, id_b, a_start, b_start, span_len FROM sp"),
 
     // removal replay: explode each id_b span into its covered token
     // positions, anti-join the token table, rebuild the kept stream.
     "q_dedup_substring_apply" ->
-      (substringSpanCtes +
+      (substringSpanCtes(SubstringMinLen, SubstringMaxDf) +
         """, rm AS (
           |  SELECT DISTINCT id_b AS doc_id, CAST(p AS INT) AS pos
           |  FROM sp, unnest(range(CAST(b_start AS BIGINT),
@@ -3218,7 +3232,7 @@ object SparkEntry {
            |  SELECT *, $bucketSql AS bucket FROM n
            |), p AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos0
+           |         ${safeCosSql(dotSql("a.embedding", "b.embedding"), "a.nrm * b.nrm")} AS cos0
            |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |)
            |SELECT id_a, id_b, round(cos0, 6) AS cosine FROM p WHERE cos0 >= 0.2""".stripMargin),
@@ -3233,7 +3247,7 @@ object SparkEntry {
            |), pr AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.2
+           |  WHERE ${safeCosSql(dotSql("a.embedding", "b.embedding"), "a.nrm * b.nrm")} >= 0.2
            |), e AS (
            |  SELECT id_a AS a, id_b AS b FROM pr
            |  UNION ALL SELECT id_b, id_a FROM pr
@@ -3279,7 +3293,7 @@ object SparkEntry {
            |), l AS (SELECT vec_id, embedding, nrm, label FROM n WHERE label < 2
            |), p AS (
            |  SELECT u.vec_id AS uid, l.vec_id AS lid, l.label AS lab,
-           |         ${dotSql("u.embedding", "l.embedding")} / (u.nrm * l.nrm) AS cos0
+           |         ${safeCosSql(dotSql("u.embedding", "l.embedding"), "u.nrm * l.nrm")} AS cos0
            |  FROM u, l
            |), r AS (
            |  SELECT *, row_number() OVER (PARTITION BY uid ORDER BY cos0 DESC, lid ASC) AS rk FROM p
@@ -3298,9 +3312,7 @@ object SparkEntry {
            |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
            |  JOIN n na ON na.vec_id = ca.vec_id
            |  JOIN n nb2 ON nb2.vec_id = cb.vec_id
-           |  WHERE CASE WHEN na.nrm * nb2.nrm > 0
-           |             THEN ${dotSql("na.embedding", "nb2.embedding")} / (na.nrm * nb2.nrm)
-           |             ELSE -2.0 END >= 0.35
+           |  WHERE ${safeCosSql(dotSql("na.embedding", "nb2.embedding"), "na.nrm * nb2.nrm")} >= 0.35
            |), d AS (
            |  SELECT id_b, min(id_a) AS dup_of FROM pr GROUP BY id_b
            |)
@@ -3312,7 +3324,7 @@ object SparkEntry {
         s""", tp AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-           |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+           |  WHERE ${safeCosSql(dotSql("a.embedding", "b.embedding"), "a.nrm * b.nrm")} >= 0.35
            |), tc AS (
            |  SELECT tp.id_a, tp.id_b, ca.cell AS cella, cb.cell AS cellb
            |  FROM tp JOIN cells ca ON ca.vec_id = tp.id_a
@@ -3328,7 +3340,7 @@ object SparkEntry {
       (normCte +
         s""", p AS (
            |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |         ${safeCosSql(dotSql("q.embedding", "c.embedding"), "q.nrm * c.nrm")} AS cos0
            |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
            |  WHERE q.vec_id < 10
            |), r AS (
@@ -3350,7 +3362,7 @@ object SparkEntry {
       (normCte +
         s""", p AS (
            |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |         ${safeCosSql(dotSql("q.embedding", "c.embedding"), "q.nrm * c.nrm")} AS cos0
            |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
            |  WHERE q.vec_id < 10
            |), r AS (
@@ -3361,9 +3373,10 @@ object SparkEntry {
            |), sc AS (
            |  SELECT cand.query_id, cand.vec_id, cand.retrieval_cosine,
            |         cand.retrieval_cosine * 0.8 +
-           |         list_max(list_transform(generate_series(1, len(q.embedding)),
-           |           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-           |           / (q.nrm * c.nrm) * 0.2 AS score
+           |         (CASE WHEN q.nrm * c.nrm > 0 THEN
+           |            list_max(list_transform(generate_series(1, len(q.embedding)),
+           |              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           |            / (q.nrm * c.nrm) ELSE -2.0 END) * 0.2 AS score
            |  FROM cand JOIN n q ON cand.query_id = q.vec_id
            |            JOIN n c ON cand.vec_id = c.vec_id
            |), rr AS (
@@ -3379,7 +3392,7 @@ object SparkEntry {
            |  SELECT *, $bucketSql AS bucket FROM n
            |), p AS (
            |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |         ${safeCosSql(dotSql("q.embedding", "c.embedding"), "q.nrm * c.nrm")} AS cos0
            |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
            |  WHERE q.vec_id < 10
            |), r AS (
@@ -3416,7 +3429,7 @@ object SparkEntry {
       (normCte +
         s""", tb AS (
            |  SELECT t.vec_id AS train_id,
-           |         ${dotSql("t.embedding", "b.embedding")} / (t.nrm * b.nrm) AS cos0
+           |         ${safeCosSql(dotSql("t.embedding", "b.embedding"), "t.nrm * b.nrm")} AS cos0
            |  FROM n t JOIN n b
            |    ON t.vec_id % 29 <> 0 AND b.vec_id % 29 = 0
            |   AND t.vec_id <> b.vec_id
@@ -3473,7 +3486,7 @@ object SparkEntry {
            |  FROM nb WHERE vec_id < 10
            |), p AS (
            |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-           |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos0
+           |         ${safeCosSql(dotSql("q.embedding", "c.embedding"), "q.nrm * c.nrm")} AS cos0
            |  FROM qp q JOIN nb c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
            |), r AS (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, vec_id ASC) AS rk FROM p

@@ -656,6 +656,13 @@ object Dedup {
     * over the hash index and the chunk-explode of the fingerprint
     * rows into the band join. The indexes themselves extend with the
     * batch's own rows, which this call already computes.
+    *
+    * When BOTH `knownFp` and `knownIndex` are supplied, `known` is
+    * NEVER touched (the plan contains no reference to it) — but the
+    * caller still has to pass something. A real index-reuse pipeline
+    * should call [[dedupIngestIndexed]] instead, which drops the
+    * corpus-text parameter entirely so a stale-index/corpus mismatch
+    * cannot hide behind an ignored argument.
     * Output: one row per fresh doc — id, text_hash, is_known (exact
     * match in corpus), dup_of_known, dup_of_batch (near matches),
     * keep = none of the three fired.
@@ -664,18 +671,35 @@ object Dedup {
       text: String, maxDist: Int = 3,
       knownFp: Option[DataFrame] = None,
       knownIndex: Option[DataFrame] = None): DataFrame = {
-    val base = graft.core.Caches.cached(
-      fresh.select(col(id), col(text), normHash(col(text)).as("text_hash")))
     // a provided index is re-deduplicated defensively (cheap on an
     // index-sized table): duplicate hash rows would silently fan out
     // the left join below
     val index = knownIndex
       .map(_.select(col("text_hash")).distinct())
       .getOrElse(known.select(normHash(col(text)).as("text_hash")).distinct())
+    val fpK = knownFp.getOrElse(simHash(known, id, text))
+    dedupIngestIndexed(fresh, fpK, index, id, text, maxDist)
+  }
+
+  /** [[dedupIngest]] for the index-reuse path — the per-batch call of
+    * an append-only pipeline that persists its indexes: takes ONLY
+    * the two reusable known-side artifacts ([[simHash]](known) and
+    * the distinct `text_hash` table) and no corpus-text DataFrame at
+    * all, so the caller never ships a corpus it doesn't want scanned
+    * and a mismatched `known` argument can't silently disagree with
+    * the indexes. Verdicts are identical to [[dedupIngest]] on the
+    * corpus the indexes were built from (ExtSpec pins the
+    * equivalence).
+    */
+  def dedupIngestIndexed(fresh: DataFrame, knownFp: DataFrame,
+      knownIndex: DataFrame, id: String, text: String,
+      maxDist: Int = 3): DataFrame = {
+    val base = graft.core.Caches.cached(
+      fresh.select(col(id), col(text), normHash(col(text)).as("text_hash")))
+    val index = knownIndex.select(col("text_hash")).distinct()
       .withColumn("__k", lit(true))
     val fpF = graft.core.Caches.cached(simHash(base, id, text))
-    val fpK = knownFp.getOrElse(simHash(known, id, text))
-    val (crossMatch, intraMatch) = simHashIncrMatches(fpF, fpK, id, maxDist)
+    val (crossMatch, intraMatch) = simHashIncrMatches(fpF, knownFp, id, maxDist)
     base.select(col(id), col("text_hash"))
       .join(index, Seq("text_hash"), "left")
       .join(crossMatch, Seq(id), "left")
@@ -834,7 +858,8 @@ object Dedup {
       Similarity.norm(col(vec)).as("__bn"))
     t.join(broadcast(b), col("train_id") =!= col("bench_id"))
       .withColumn("__cos",
-        Similarity.dot(col("__tv"), col("__bv")) / (col("__tn") * col("__bn")))
+        Similarity.safeCosine(Similarity.dot(col("__tv"), col("__bv")),
+          col("__tn") * col("__bn")))
       .filter(col("__cos") >= threshold)
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_bench_hits"),

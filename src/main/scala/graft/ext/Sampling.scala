@@ -156,8 +156,19 @@ object Sampling {
     * [[graft.ext.Dedup.dupClusters]]; exact duplicates are hamming-0
     * pairs, so every exact family is contained in a near family) and
     * the WHOLE family routes to one split by the same deterministic
-    * basis-point hash of the family id as the exact form — add a doc
-    * to the corpus and no existing assignment moves.
+    * basis-point hash of the family id as the exact form.
+    *
+    * Stability contract — WEAKER than [[leakageSafeSplit]]'s: the
+    * family id is the min doc id of a CONNECTED COMPONENT, so adding
+    * docs that near-match nothing existing never moves an assignment,
+    * but a new doc that BRIDGES two families (or near-matches with a
+    * smaller id) renumbers the merged component and re-hashes its
+    * bucket — existing members of those families MAY move splits.
+    * That is inherent to component-based families, not an
+    * implementation artifact: incremental snapshot pipelines must
+    * recompute the split per snapshot and diff (docs whose family
+    * merged since the last snapshot are the ones to audit for
+    * train↔eval crossings), or freeze earlier assignments upstream.
     * Output: id, family_id, bucket, split.
     */
   def leakageSafeSplitNear(df: DataFrame, id: String, text: String,

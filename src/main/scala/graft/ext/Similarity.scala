@@ -25,6 +25,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with the undefined case pinned: a zero-norm side yields
+    * −2.0 (strictly below every real cosine) instead of NaN, so a
+    * desc-rank position never depends on an engine's NaN-ordering
+    * convention. One definition for EVERY retriever scoring path
+    * (brute/LSH/IVF/kNN) and semanticDedup, mirrored verbatim as
+    * `CASE WHEN den > 0 THEN d/den ELSE -2.0 END` in the oracles.
+    */
+  def safeCosine(d: Column, den: Column): Column =
+    when(den > 0, d / den).otherwise(lit(-2.0))
+
   /** Brute-force cosine top-k for each query vector (exact baseline;
     * O(|queries|·|corpus|) — broadcast the QUERIES side: the query set
     * is the small one by construction, while the corpus is the 100 TB
@@ -46,7 +56,7 @@ object Similarity {
       norm(col(vec)).as("__cn"))
     val scored = broadcast(q).join(c,
       if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine", safeCosine(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -77,7 +87,7 @@ object Similarity {
       norm(col(vec)).as("__cn"), signBucket(col(vec), bitsUsed).as("__bucket"))
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine", safeCosine(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -108,7 +118,7 @@ object Similarity {
       norm(col(vec)).as("__cn"), signBucket(col(vec), bitsUsed).as("__bucket"))
     val scored = q.join(c, Seq("__bucket"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine", safeCosine(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -150,9 +160,9 @@ object Similarity {
     // sort-merge-shuffle the whole corpus by vec_id.
     val paired = broadcast(cands.join(broadcast(q), Seq("query_id")))
       .join(c, Seq("vec_id"))
-    val inter = array_max(zip_with(col("__qv"), col("__cv"),
-      (a, b) => a.cast("double") * b.cast("double"))) /
-      (col("__qn") * col("__cn"))
+    val inter = safeCosine(array_max(zip_with(col("__qv"), col("__cv"),
+      (a, b) => a.cast("double") * b.cast("double"))),
+      col("__qn") * col("__cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__score").desc, col("vec_id").asc)
     paired
@@ -216,7 +226,7 @@ object Similarity {
         norm(col(vec)).as("__qn"), col("cell"))
     val scored = queryCells.join(corpusCells, Seq("cell"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine", safeCosine(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(wRank))
@@ -434,7 +444,7 @@ object Similarity {
         a.join(b, a("__bucket") === b("__bucket") && col("id_a") < col("id_b"))
       else a.join(b, col("id_a") < col("id_b"))
     joined
-      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("cosine", safeCosine(dot(col("__va"), col("__vb")), col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -490,10 +500,9 @@ object Similarity {
     // argmax cosine as a projection: per seed struct(-cos, seed_id),
     // array_sort, head — double negation is exact, so ascending -cos
     // ≡ descending cos, ties to the smaller seed id. Zero-norm guard:
-    // an undefined cosine (either norm 0) is pinned to -2.0 so the
-    // NaN ordering divergence between engines can never decide a cell.
-    def safeCos(d: Column, den: Column): Column =
-      when(den > 0, d / den).otherwise(lit(-2.0))
+    // the shared safeCosine pin (-2.0) so the NaN ordering divergence
+    // between engines can never decide a cell.
+    def safeCos(d: Column, den: Column): Column = safeCosine(d, den)
     val best = element_at(array_sort(transform(seedArr, st =>
       struct((lit(0d) - safeCos(dot(col("__v"), st.getField("sv")),
         col("__n") * norm(st.getField("sv")))).as("negcos"),
@@ -640,7 +649,9 @@ object Similarity {
     * smaller labeled id; equal votes break to the smaller label.
     *
     * Determinism: cosines are identically-shaped IEEE folds (the
-    * q_ann_brute contract); votes and tie-breaks are integer-exact.
+    * q_ann_brute contract) with the undefined case pinned via
+    * [[safeCosine]] (a zero-norm embedding votes last, never by an
+    * engine's NaN rank); votes and tie-breaks are integer-exact.
     * Output: one row per unlabeled doc — id, label_pred, votes (how
     * many of the k neighbors carry label_pred).
     */
@@ -651,8 +662,8 @@ object Similarity {
     val l = labeled.select(col(id).as("__lid"), col(vec).as("__lv"),
       norm(col(vec)).as("__ln"), col(labelCol).as("__lab"))
     val scored = u.join(broadcast(l), lit(true))
-      .withColumn("__cos", dot(col("__uv"), col("__lv")) /
-        (col("__un") * col("__ln")))
+      .withColumn("__cos", safeCosine(dot(col("__uv"), col("__lv")),
+        col("__un") * col("__ln")))
     val wNear = Window.partitionBy("__uid")
       .orderBy(col("__cos").desc, col("__lid").asc)
     val topk = scored.withColumn("__rk", row_number().over(wNear))

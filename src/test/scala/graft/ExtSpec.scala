@@ -537,6 +537,36 @@ class ExtSpec extends SparkTestBase {
       maxDist = 3, knownIndex = Some(hashIdx.union(hashIdx)))
       .orderBy("doc_id").collect()
     assert(viaDupIndex.toSeq == recomputed.toSeq)
+    // the index-only entry point (no corpus-text argument at all)
+    // produces the identical verdicts
+    val indexed = Dedup.dedupIngestIndexed(fresh, fpK, hashIdx,
+      "doc_id", "text", maxDist = 3).orderBy("doc_id").collect()
+    assert(indexed.toSeq == recomputed.toSeq)
+  }
+
+  test("retriever scoring pins zero-norm cosines to -2.0 (ranked last, never NaN)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)), // zero-norm: cosine undefined
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(queries, corpus, "vec_id",
+      "embedding", k = 3).orderBy("rank").collect()
+    // without the safeCosine pin, NaN sorts greatest in Spark's desc
+    // rank and the zero vector would win rank 1
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(out(2).getAs[Double]("cosine") == -2.0)
+    // kNN votes: the zero-norm labeled doc is the LAST neighbor, so
+    // with k=2 it never out-votes the two real neighbors
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.0f, 0.0f), 3),
+      (3L, Array(0.9f, 0.1f), 7)).toDF("vec_id", "embedding", "label")
+    val knn = Similarity.knnLabel(queries, labeled, "vec_id", "embedding",
+      "label", k = 2).collect()
+    assert(knn.head.getAs[Int]("label_pred") == 7 &&
+      knn.head.getAs[Long]("votes") == 2L)
   }
 
   test("simHashIncremental: precomputed known-side index reproduces the recomputed path") {
