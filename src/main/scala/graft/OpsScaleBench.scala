@@ -122,6 +122,20 @@ object OpsScaleBench {
     val nVecs = emb0.count()
     val nDocs = docs0.count()
 
+    // trained ONCE on the original seed slice for the quality_apply
+    // row — apply must be measured with training off the clock
+    val qModel = TextStats.trainQualityClassifier(
+      docs0.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text")
+      .collect()
+    val qModelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qModel.toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("feature_idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("weight_micro",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    graft.core.Caches.unpersistAll()
+
     for (n <- Seq(1, 8, 32)) {
       val li = if (n <= 1) li0 else li0
         .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
@@ -215,6 +229,26 @@ object OpsScaleBench {
         graft.core.Caches.unpersistAll()
         c
       }
+
+      // trained quality classifier, TRAIN half: the labeled seed
+      // (doc_id%3==0 of every replica) widens with the corpus — 6
+      // fixed diagonal-Newton aggregate passes over the cached seed
+      // features, so wall must scale with the SEED, with no joins or
+      // per-doc windows anywhere to go superlinear.
+      bench("quality_train", n, nDocs * n / 3) { () =>
+        val c = TextStats.trainQualityClassifier(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text").count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
+      // APPLY half: the model is trained once on the ORIGINAL seed
+      // (off the clock, n-independent literals) and scores the n×
+      // corpus — one shuffle-free projection, so flat Mrows/s.
+      bench("quality_apply", n, nDocs * n)(() =>
+        TextStats.applyQualityClassifier(docs, "doc_id", "text",
+          qModelDf).count())
 
       // pii redact: pure codegen'd regexp map work — the throughput
       // floor of the curation family; must scale linearly (flat

@@ -97,6 +97,16 @@ object SparkEntry {
   private val SubstringMinLen = 8
   private val SubstringMaxDf = 20
 
+  /** The ONE (dims, iters) pair for the trained quality classifier —
+    * shared by the three q_quality_* Spark entries and the oracle CTE
+    * builder. Seed slice = doc_id % 3 == 0 (the "hand-labeled" third;
+    * eval runs on the held-out two thirds).
+    */
+  private val QualityClfDims = 32
+  private val QualityClfIters = 6
+  private def qualityClfSeed(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+
   /** events → deduped long series with delta_us (shared prefix of the
     * time-series queries).
     */
@@ -1156,6 +1166,42 @@ object SparkEntry {
       TextStats.corpusFilter(Tables.documents(s, dir), "doc_id", "text",
         minQuality = 0.5, keepLangs = Seq("en"))),
 
+    // TRAINED quality classifier, train half: damped diagonal-Newton
+    // IRLS logistic regression over 32 hashed bag-of-words count
+    // features, 6 fixed iterations, trained on the doc_id%3==0 seed
+    // slice labeled by the stopword-density heuristic — the learned
+    // curation component (heuristic labels in, cheap hashed-feature
+    // model out). Exact-hash: the whole trajectory is integer fixed
+    // point, replayed iteration by iteration in the oracle.
+    "q_quality_train" -> ((s, dir) =>
+      TextStats.trainQualityClassifier(
+        qualityClfSeed(Tables.documents(s, dir)), "doc_id", "text",
+        dims = QualityClfDims, iters = QualityClfIters)),
+
+    // apply half: the trained model scores the WHOLE corpus (2/3 of
+    // it unseen in training) as one shuffle-free projection.
+    "q_quality_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = TextStats.trainQualityClassifier(qualityClfSeed(docs),
+        "doc_id", "text", dims = QualityClfDims, iters = QualityClfIters)
+      TextStats.applyQualityClassifier(docs, "doc_id", "text", model,
+        dims = QualityClfDims)
+    }),
+
+    // eval companion on the HELD-OUT slice: exact confusion counts +
+    // the in-band beats_majority assertion (correct > the bigger
+    // class) — the generalization signal that the model actually
+    // learned the heuristic rather than memorizing the seed.
+    "q_quality_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = TextStats.trainQualityClassifier(qualityClfSeed(docs),
+        "doc_id", "text", dims = QualityClfDims, iters = QualityClfIters)
+      TextStats.evalQualityClassifier(
+        TextStats.applyQualityClassifier(docs, "doc_id", "text", model,
+          dims = QualityClfDims),
+        pmod(col("doc_id"), lit(3)) =!= 0)
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(Tables.documents(s, dir), "doc_id", "text", k = 3, p = 4)),
 
@@ -2114,6 +2160,79 @@ object SparkEntry {
          |JOIN wm$iters wmN USING ($gk)""".stripMargin
     sb.toString
   }
+
+  /** Oracle CTE chain for the trained quality classifier — replays
+    * classifierFeatures + clfTrainWeights ITERATION BY ITERATION so
+    * Spark and DuckDB walk the identical integer fixed-point weight
+    * trajectory (the robustFitSql pattern, diagonal-Newton instead of
+    * 2x2 Cramer). Base tables: qya/qfa = full-corpus labels/hashed
+    * count features, qys/qfs = the doc_id%3==0 seed slice training
+    * reads; ends in qw$iters (1-row weight list; wl[dims+1] = bias).
+    * Every CTE is AS MATERIALIZED: the chain is self-referential and
+    * DuckDB's default inlining would re-expand it exponentially.
+    */
+  private def qualityClfCtes(dims: Int, iters: Int): String = {
+    val wl0 = List.fill(dims + 1)("CAST(0 AS BIGINT)").mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH qtk AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
+         |), qya AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE WHEN 16 * sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END)
+         |                   >= count(*) THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM qtk GROUP BY doc_id
+         |), qfa AS MATERIALIZED (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) % $dims AS b,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM qtk GROUP BY doc_id, b
+         |), qys AS MATERIALIZED (SELECT * FROM qya WHERE doc_id % 3 = 0
+         |), qfs AS MATERIALIZED (SELECT * FROM qfa WHERE doc_id % 3 = 0
+         |), qw0 AS MATERIALIZED (SELECT $wl0 AS wl)""".stripMargin
+    for (k <- 1 to iters) {
+      val gh = (0 until dims).map(j =>
+        s"sum(CASE WHEN f.b = $j THEN h.r * f.c ELSE CAST(0 AS BIGINT) END) AS g$j, " +
+          s"sum(CASE WHEN f.b = $j THEN h.hq * f.c * f.c ELSE CAST(0 AS BIGINT) END) AS h$j")
+        .mkString(",\n         ")
+      val upd = (0 until dims).map(j =>
+        s"wl[${j + 1}] + (CASE WHEN h$j > 0 THEN CAST(round((1000000.0 * CAST(g$j AS DOUBLE)) / (8.0 * CAST(h$j AS DOUBLE))) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(",\n          ")
+      sb ++=
+        s""", qz$k AS MATERIALIZED (
+           |  SELECT f.doc_id, sum(wl[f.b + 1] * f.c) + min(wl[${dims + 1}]) AS zm
+           |  FROM qfs f, qw${k - 1} GROUP BY f.doc_id
+           |), qp$k AS MATERIALIZED (
+           |  SELECT z.doc_id, y.y, ${qualityClfPqSql("z.zm")} AS pq
+           |  FROM qz$k z JOIN qys y USING (doc_id)
+           |), qh$k AS MATERIALIZED (
+           |  SELECT doc_id, y * 1000000 - pq AS r,
+           |         CAST(round(CAST(pq * (1000000 - pq) AS DOUBLE) / 1000000.0) AS BIGINT) AS hq
+           |  FROM qp$k
+           |), qg$k AS MATERIALIZED (
+           |  SELECT $gh
+           |  FROM qfs f JOIN qh$k h USING (doc_id)
+           |), qb$k AS MATERIALIZED (SELECT sum(r) AS gb, sum(hq) AS hb FROM qh$k
+           |), qw$k AS MATERIALIZED (
+           |  SELECT [$upd,
+           |          wl[${dims + 1}] + (CASE WHEN hb > 0 THEN CAST(round((1000000.0 * CAST(gb AS DOUBLE)) / (8.0 * CAST(hb AS DOUBLE))) AS BIGINT) ELSE CAST(0 AS BIGINT) END)] AS wl
+           |  FROM qw${k - 1}, qg$k, qb$k
+           |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** clfPq mirror: micro-unit sigma with the INTEGER +-30e6 clamp. */
+  private def qualityClfPqSql(zm: String): String =
+    s"""CASE WHEN $zm >= 30000000 THEN CAST(1000000 AS BIGINT)
+       |              WHEN $zm <= -30000000 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(round(1000000.0 / (1.0 + exp(-(CAST($zm AS DOUBLE) / 1000000.0)))) AS BIGINT) END""".stripMargin
+
+  /** Shared full-corpus scoring CTE (qzf) for the apply/eval tails. */
+  private def qualityClfScoreCte(dims: Int, iters: Int): String =
+    s""", qzf AS (
+       |  SELECT f.doc_id, sum(wl[f.b + 1] * f.c) + min(wl[${dims + 1}]) AS zm
+       |  FROM qfa f, qw$iters GROUP BY f.doc_id
+       |)""".stripMargin
 
   /** Similarity.safeCosine mirror: the undefined cosine (zero-norm
     * side) pinned to -2.0 in SQL, so desc-rank/threshold stages can
@@ -3846,6 +3965,39 @@ object SparkEntry {
         |)
         |SELECT query_id, doc_id, rank, n_matched, score
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // trained quality classifier: the oracle re-trains the identical
+    // integer fixed-point IRLS trajectory (6 unrolled iterations) and
+    // emits the 33-row model. MATERIALIZED CTEs keep it linear.
+    "q_quality_train" ->
+      (qualityClfCtes(QualityClfDims, QualityClfIters) +
+        s"""
+           |SELECT CAST(i - 1 AS INT) AS feature_idx, wl[CAST(i AS INT)] AS weight_micro
+           |FROM qw$QualityClfIters, unnest(generate_series(1, ${QualityClfDims + 1})) AS t(i)""".stripMargin),
+
+    "q_quality_apply" ->
+      (qualityClfCtes(QualityClfDims, QualityClfIters) +
+        qualityClfScoreCte(QualityClfDims, QualityClfIters) +
+        s"""
+           |SELECT z.doc_id, ${qualityClfPqSql("z.zm")} AS score_ppm,
+           |       (z.zm >= 0) AS pred, y.y AS y_heur
+           |FROM qzf z JOIN qya y USING (doc_id)""".stripMargin),
+
+    "q_quality_eval" ->
+      (qualityClfCtes(QualityClfDims, QualityClfIters) +
+        qualityClfScoreCte(QualityClfDims, QualityClfIters) +
+        """, qpr AS (
+          |  SELECT (z.zm >= 0) AS pred, y.y
+          |  FROM qzf z JOIN qya y USING (doc_id)
+          |  WHERE z.doc_id % 3 <> 0
+          |)
+          |SELECT CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |       CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |       CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+          |       CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |       (CAST(sum(CASE WHEN pred = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) >
+          |        greatest(CAST(sum(y) AS BIGINT), CAST(count(*) - sum(y) AS BIGINT))) AS beats_majority
+          |FROM qpr""".stripMargin),
 
     // bigram-LM bits-per-token; every FP step mirrors the Scala plan
     // (x * 1.0 / y shapes, literal 0.9 / (1.0 - 0.9), per-term

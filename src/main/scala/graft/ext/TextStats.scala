@@ -1143,4 +1143,189 @@ object TextStats {
       .withColumn("keep", col("keep_score") >= lit(threshold))
   }
 
+  /** Hashed-count feature table for the trained quality classifier:
+    * one row per doc — id, __y (the heuristic label: 16·stopword-count
+    * ≥ word-count, the Gopher-style natural-text density rule), __c (a
+    * dense LONG array of `dims` hashed-token-bucket counts; bucket =
+    * hash60(token) % dims, the fastText feature-hashing shape). All
+    * integer: one tokenize pass, a map-side-combined (id, bucket)
+    * count, and a per-doc dense-array assembly — all codegen'd
+    * relational work (the per-doc "count each of dims buckets by
+    * filtering the token array" alternative is O(dims·tokens) of
+    * interpreted lambda evals per doc and measured 5-10× slower).
+    */
+  private def classifierFeatures(df: DataFrame, id: String, text: String,
+      stopwords: Seq[String], dims: Int): DataFrame = {
+    val base = df.select(col(id), tokens(col(text)).as("__t"))
+      .withColumn("__y",
+        when(lit(16) * size(filter(col("__t"),
+          w => w.isin(stopwords: _*))) >= size(col("__t")), 1L)
+          .otherwise(0L))
+    base
+      .select(col(id), col("__y"), explode(col("__t")).as("__w"))
+      .withColumn("__b", pmod(Dedup.hash60(col("__w")), lit(dims)))
+      .groupBy(col(id), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(id), col("__y"))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt"))))
+        .as("__m"))
+      .select(col(id), col("__y"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          j => coalesce(element_at(col("__m"), j.cast("long")), lit(0L)))
+          .as("__c"))
+  }
+
+  /** z in integer micro units for weight array `w` (micro longs,
+    * w(dims) = bias): Σⱼ wⱼ·cⱼ + bias — an order-free exact integer
+    * fold, identical to the oracle's per-present-bucket sum.
+    */
+  private def clfZMicro(w: Array[Long], dims: Int): Column =
+    aggregate(zip_with(col("__c"), array(w.take(dims).map(lit(_)): _*),
+      (c, wj) => c * wj), lit(w(dims)), (acc, x) => acc + x)
+
+  /** σ(z) in integer micro units (pq = round(10⁶·p)), with the ±30
+    * clamp applied on the INTEGER zm so the saturation branch is
+    * engine-exact; only the interior branch touches exp, and its
+    * 1-ulp libm divergence is absorbed by the micro rounding
+    * (measure-zero midpoint risk — the established rule-3 contract).
+    */
+  private def clfPq(zm: Column): Column =
+    when(zm >= 30000000L, lit(1000000L))
+      .when(zm <= -30000000L, lit(0L))
+      .otherwise(round(lit(1000000.0) /
+        (lit(1.0) + exp(-(zm.cast("double") / lit(1000000.0))))).cast("long"))
+
+  /** Fixed-iteration damped DIAGONAL-Newton IRLS on the cached feature
+    * table — the optimizer shape that survives hashed feature spaces
+    * (at real scale dims = 2²⁰: the full normal-equation Hessian is
+    * dims² and can never be assembled, so production distributed LR
+    * runs diagonally-preconditioned steps; the 17×17-and-under
+    * closed-form solve lives in groupedRobustFit). Each iteration is
+    * ONE map-side-combined aggregate over the cached integer features
+    * — per feature j: gⱼ = Σ r·cⱼ and hⱼ = Σ σ(1−σ)·cⱼ² as exact
+    * BIGINT sums — and a bounded driver collect of the 2·(dims+1)-
+    * column row; the update Δwⱼ = round(10⁶·gⱼ/(8·hⱼ)) (damping 1/8 —
+    * exactly representable, swept against 1/1..1/32: undamped
+    * diagonal steps overshoot collectively on length-correlated count
+    * features) is computed with Spark's own round() so the HALF_UP
+    * decision replays bit-for-bit in the oracle's round().
+    */
+  private def clfTrainWeights(feat: DataFrame, dims: Int,
+      iters: Int): Array[Long] = {
+    val w = Array.fill(dims + 1)(0L)
+    for (_ <- 1 to iters) {
+      val pq = clfPq(clfZMicro(w, dims))
+      val scored = feat.select(col("__c"),
+        (col("__y") * 1000000L - pq).as("__r"),
+        round((pq * (lit(1000000L) - pq)).cast("double") /
+          lit(1000000.0)).cast("long").as("__h"))
+      val aggCols = (0 until dims).flatMap { j =>
+        Seq(sum(col("__r") * element_at(col("__c"), j + 1)).as(s"g$j"),
+          sum(col("__h") * element_at(col("__c"), j + 1) *
+            element_at(col("__c"), j + 1)).as(s"h$j"))
+      } ++ Seq(sum(col("__r")).as(s"g$dims"), sum(col("__h")).as(s"h$dims"))
+      val deltas = scored.agg(aggCols.head, aggCols.tail: _*)
+        .select((0 to dims).map { j =>
+          when(col(s"h$j") > 0,
+            round(lit(1000000.0) * col(s"g$j").cast("double") /
+              (lit(8.0) * col(s"h$j").cast("double"))).cast("long"))
+            .otherwise(0L).as(s"d$j")
+        }: _*).collect()(0)
+      (0 to dims).foreach(j => w(j) += deltas.getLong(j))
+    }
+    w
+  }
+
+  /** TRAINED quality classifier — the learned component every real
+    * pre-training curation pipeline runs (CCNet/RedPajama/FineWeb
+    * style): logistic regression over hashed bag-of-words COUNT
+    * features, trained on a labeled seed slice, then applied to the
+    * whole corpus as a pure projection ([[applyQualityClassifier]]).
+    * Here the seed labels come from the stopword-density heuristic
+    * (the distillation shape — heuristic or rater labels in, cheap
+    * hashed-feature model out); the label rule is integer-exact so
+    * the whole trajectory is DuckDB-replayable.
+    *
+    * Determinism: features, labels, z, gradients and Hessian
+    * diagonals are exact integers (micro-unit fixed point); the only
+    * transcendentals (exp in σ, one per doc·iteration) are
+    * immediately micro-rounded; weight updates round with the same
+    * HALF_UP both engines apply to identically-shaped IEEE doubles.
+    * The model is dims+1 longs — the bounded driver state, one
+    * collect per iteration (the trainBpe one-row-per-round contract).
+    *
+    * Scale shape: train cost = `iters` map-side-combined aggregate
+    * passes over the cached seed features (seed-sized, not
+    * corpus-sized); apply cost = one corpus projection. No shuffle
+    * wider than a 1-row aggregate anywhere.
+    * Output: dims+1 rows — feature_idx (0..dims−1, dims = bias),
+    * weight_micro.
+    */
+  def trainQualityClassifier(df: DataFrame, id: String, text: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"),
+      dims: Int = 32, iters: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feat = graft.core.Caches.cached(
+      classifierFeatures(df, id, text, stopwords, dims))
+    val w = clfTrainWeights(feat, dims, iters)
+    (0 to dims).map(j => (j, w(j))).toDF("feature_idx", "weight_micro")
+  }
+
+  /** Score a corpus with a [[trainQualityClassifier]] model — the
+    * apply half: ONE shuffle-free projection over the corpus (z =
+    * exact integer fold of the dims+1-long broadcast-as-literals
+    * model over each doc's token stream — algebraically the same
+    * Σ_b w_b·c_b the train side aggregates). Also recomputes the
+    * heuristic label per doc (y_heur) so eval slices need no second
+    * tokenize pass. pred = zm ≥ 0 — the INTEGER decision, shared
+    * exactly by both engines (a pq ≥ 500000 rule would disagree with
+    * it on the σ rounding boundary).
+    * Output: id, score_ppm (round(10⁶·σ(z))), pred, y_heur.
+    */
+  def applyQualityClassifier(df: DataFrame, id: String, text: String,
+      model: DataFrame, stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"),
+      dims: Int = 32): DataFrame = {
+    val byIdx = model
+      .select(col("feature_idx").cast("int"), col("weight_micro").cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(byIdx.size == dims + 1,
+      s"model must carry ${dims + 1} weights, got ${byIdx.size}")
+    val w = (0 to dims).map(byIdx).toArray
+    // scan-local scoring: zm = Σ_tokens w[bucket(token)] + bias — the
+    // same integer Σ_b w_b·c_b the train side folds, but folded
+    // straight over the token array so apply stays a one-pass
+    // projection (no explode, no groupBy, no shuffle)
+    val warr = array(w.take(dims).map(lit(_)): _*)
+    df.select(col(id), tokens(col(text)).as("__t"))
+      .withColumn("__y",
+        when(lit(16) * size(filter(col("__t"),
+          tw => tw.isin(stopwords: _*))) >= size(col("__t")), 1L)
+          .otherwise(0L))
+      .withColumn("__zm", aggregate(col("__t"), lit(w(dims)),
+        (acc, tw) => acc + element_at(warr,
+          (pmod(Dedup.hash60(tw), lit(dims)) + 1L).cast("int"))))
+      .select(col(id), clfPq(col("__zm")).as("score_ppm"),
+        (col("__zm") >= 0L).as("pred"), col("__y").as("y_heur"))
+  }
+
+  /** Confusion counts of an [[applyQualityClassifier]] output over an
+    * eval slice (pass the HELD-OUT filter for an honest
+    * generalization read) — all exact integers, beats_majority in
+    * exact integer comparison: correct > max(n_pos, n_neg), i.e. the
+    * trained model must beat always-predicting the bigger class.
+    * Output: 1 row — tp, fp, tn, fn, beats_majority.
+    */
+  def evalQualityClassifier(applied: DataFrame,
+      evalSlice: Column): DataFrame =
+    applied.filter(evalSlice).agg(
+      sum(when(col("pred") && col("y_heur") === 1L, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && col("y_heur") === 0L, 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("y_heur") === 0L, 1L).otherwise(0L)).as("tn"),
+      sum(when(!col("pred") && col("y_heur") === 1L, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        (col("tp") + col("tn") >
+          greatest(col("tp") + col("fn"), col("fp") + col("tn")))
+          .as("beats_majority"))
+
 }

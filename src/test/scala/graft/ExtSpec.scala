@@ -544,6 +544,58 @@ class ExtSpec extends SparkTestBase {
     assert(indexed.toSeq == recomputed.toSeq)
   }
 
+  test("quality classifier: learns a separable stopword rule, model round-trips") {
+    // stop-dense docs (y=1) vs stopword-free docs (y=0): linearly
+    // separable in hashed count space, so 6 diagonal-Newton rounds
+    // must classify every doc correctly; 20 docs so the per-bucket
+    // Hessians are populated
+    val d = docs((1 to 20).map { i =>
+      val t = if (i % 2 == 0) "the a of and in the a"
+              else s"alpha$i beta$i gamma delta epsilon zeta eta"
+      (i.toLong, t)
+    }: _*)
+    val model = TextStats.trainQualityClassifier(d, "doc_id", "text")
+    val rows = model.orderBy("feature_idx").collect()
+    assert(rows.length == 33)
+    assert(rows.map(_.getAs[Int]("feature_idx")).toSeq == (0 to 32))
+    val applied = TextStats.applyQualityClassifier(d, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    applied.foreach { r =>
+      val want = r.getAs[Long]("doc_id") % 2 == 0
+      assert(r.getAs[Boolean]("pred") == want, s"doc ${r.getAs[Long]("doc_id")}")
+      assert((r.getAs[Long]("y_heur") == 1L) == want)
+      // score_ppm is the micro sigmoid of the SAME zm the pred used
+      assert(r.getAs[Long]("score_ppm") >= 0L &&
+        r.getAs[Long]("score_ppm") <= 1000000L)
+    }
+    // eval on the odd half: all correct, 10 docs all y=0 there -> the
+    // model must beat the 10-of-10 majority... it can't (equal), so
+    // eval on the full set instead: 20 correct > majority 10
+    val ev = TextStats.evalQualityClassifier(
+      TextStats.applyQualityClassifier(d, "doc_id", "text", model),
+      lit(true)).collect()(0)
+    assert(ev.getAs[Long]("tp") == 10L && ev.getAs[Long]("tn") == 10L)
+    assert(ev.getAs[Long]("fp") == 0L && ev.getAs[Long]("fn") == 0L)
+    assert(ev.getAs[Boolean]("beats_majority"))
+    // a wrong-size model is rejected, not silently truncated
+    intercept[IllegalArgumentException] {
+      TextStats.applyQualityClassifier(d, "doc_id", "text",
+        model.filter(col("feature_idx") < 10))
+    }
+  }
+
+  test("quality classifier training is deterministic across partition layouts") {
+    val d = docs((1 to 30).map(i =>
+      (i.toLong, if (i % 3 == 0) "the a of and in words here"
+                 else s"w$i x$i y$i z$i common tail tokens")): _*)
+    val w1 = TextStats.trainQualityClassifier(d.repartition(1), "doc_id", "text")
+      .orderBy("feature_idx").collect().map(_.getAs[Long]("weight_micro")).toSeq
+    val w8 = TextStats.trainQualityClassifier(d.repartition(8), "doc_id", "text")
+      .orderBy("feature_idx").collect().map(_.getAs[Long]("weight_micro")).toSeq
+    assert(w1 == w8)
+    assert(w1.exists(_ != 0L)) // it actually moved off the origin
+  }
+
   test("retriever scoring pins zero-norm cosines to -2.0 (ranked last, never NaN)") {
     import spark.implicits._
     val corpus = Seq(
