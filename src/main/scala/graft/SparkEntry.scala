@@ -2176,7 +2176,10 @@ object SparkEntry {
     val sb = new StringBuilder
     sb ++=
       s"""WITH qtk AS MATERIALIZED (
-         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                            x -> x <> '')) AS w
+         |  FROM documents
          |), qya AS MATERIALIZED (
          |  SELECT doc_id,
          |         CASE WHEN 16 * sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END)

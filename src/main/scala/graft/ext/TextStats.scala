@@ -1280,7 +1280,8 @@ object TextStats {
     * heuristic label per doc (y_heur) so eval slices need no second
     * tokenize pass. pred = zm ≥ 0 — the INTEGER decision, shared
     * exactly by both engines (a pq ≥ 500000 rule would disagree with
-    * it on the σ rounding boundary).
+    * it on the σ rounding boundary). Zero-token docs are excluded —
+    * the same domain the train side's explode implies.
     * Output: id, score_ppm (round(10⁶·σ(z))), pred, y_heur.
     */
   def applyQualityClassifier(df: DataFrame, id: String, text: String,
@@ -1297,7 +1298,12 @@ object TextStats {
     // straight over the token array so apply stays a one-pass
     // projection (no explode, no groupBy, no shuffle)
     val warr = array(w.take(dims).map(lit(_)): _*)
+    // zero-token docs (empty after the ''-filter) are EXCLUDED, the
+    // same domain training's explode implies — a curation pipeline
+    // drops them long before scoring, and keeping them would need an
+    // engine-specific empty-tokenization convention in the oracle
     df.select(col(id), tokens(col(text)).as("__t"))
+      .filter(size(col("__t")) > 0)
       .withColumn("__y",
         when(lit(16) * size(filter(col("__t"),
           tw => tw.isin(stopwords: _*))) >= size(col("__t")), 1L)
