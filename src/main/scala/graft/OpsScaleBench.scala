@@ -134,6 +134,16 @@ object OpsScaleBench {
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("weight_micro",
           org.apache.spark.sql.types.LongType, nullable = false))))
+    // trained ONCE for the bpe_apply row — the artifact-reuse shape:
+    // apply must scale with the BATCH, never retrain on the corpus
+    val bpeMerges = TextStats.trainBpe(docs0, "doc_id", "text",
+      numMerges = 12).collect().toSeq
+    val bpeMergesDf = {
+      import spark.implicits._
+      bpeMerges.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+        .toDF("rank", "left", "right", "merged", "weight")
+    }
     graft.core.Caches.unpersistAll()
 
     for (n <- Seq(1, 8, 32)) {
@@ -249,6 +259,14 @@ object OpsScaleBench {
       bench("quality_apply", n, nDocs * n)(() =>
         TextStats.applyQualityClassifier(docs, "doc_id", "text",
           qModelDf).count())
+
+      // BPE apply from a fixed trained artifact: the ingest batch
+      // widens n× while the merge table stays 12 rows — the distinct-
+      // word encode table is vocabulary-sized (flat under same-vocab
+      // replication), so wall must track the batch's explode+join
+      // volume linearly and never the training corpus.
+      bench("bpe_apply", n, nDocs * n)(() =>
+        TextStats.encodeBpe(docs, "doc_id", "text", bpeMergesDf).count())
 
       // pii redact: pure codegen'd regexp map work — the throughput
       // floor of the curation family; must scale linearly (flat

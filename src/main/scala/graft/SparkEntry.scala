@@ -1281,6 +1281,34 @@ object SparkEntry {
       encAgg.crossJoin(broadcast(mAgg))
     }),
 
+    // persistable tokenizer artifact: train once, WRITE the 12-row
+    // merge table to parquet, APPLY from the loaded copy — the
+    // ship-a-tokenizer shape (dedupIngest's index-reuse pattern:
+    // apply reads ONLY the artifact, never retrains). Output: exact
+    // corpus structural counts (oracle-replayable) + in-band
+    // artifact_matches = the loaded-artifact encode is row-identical
+    // to the direct in-memory encode.
+    "q_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+      val direct = TextStats.encodeBpe(docs, "doc_id", "text", merges)
+      val art = java.nio.file.Files
+        .createTempDirectory("graft_bpe_artifact").toString
+      merges.write.mode("overwrite").parquet(art)
+      val viaArtifact = TextStats.encodeBpe(docs, "doc_id", "text",
+        s.read.parquet(art))
+      direct.as("d")
+        .join(viaArtifact.as("a"), "doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("d.n_words")).as("total_words"),
+          sum(col("d.n_bytes_tokenized")).as("total_bytes"),
+          coalesce(min(col("d.n_bpe_tokens") === col("a.n_bpe_tokens") &&
+            col("d.n_words") === col("a.n_words") &&
+            col("d.n_bytes_tokenized") === col("a.n_bytes_tokenized")),
+            lit(false)).as("artifact_matches"))
+    }),
+
     // exact 1%-heavy-hitter tokens with BOUNDED state end to end:
     // Misra-Gries sketch (native TypedImperativeAggregate, O(capacity)
     // per task, mergeable) -> <= 127 candidates -> broadcast semi-join
@@ -4232,6 +4260,22 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS total_words,
         |       CAST(sum(strlen(word)) AS BIGINT) AS total_bytes,
         |       TRUE AS bpe_bounds_ok, TRUE AS merges_ok
+        |FROM w""".stripMargin,
+
+    // artifact round-trip companion: corpus structural counts exact,
+    // artifact_matches asserted in-band (encode itself is the same
+    // declared non-SQL contract as q_bpe_encode)
+    "q_bpe_apply" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents
+        |)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS total_words,
+        |       CAST(sum(strlen(word)) AS BIGINT) AS total_bytes,
+        |       TRUE AS artifact_matches
         |FROM w""".stripMargin,
 
     // exact phi-heavy-hitters: the sketch pass is lossless for the

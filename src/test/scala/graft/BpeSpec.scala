@@ -130,4 +130,21 @@ class BpeSpec extends SparkTestBase {
       assert(nb >= nw && nb <= nc)
     }
   }
+
+  test("encodeBpe from a parquet-persisted merge artifact equals the direct encode") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+    val direct = TextStats.encodeBpe(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    val art = java.nio.file.Files
+      .createTempDirectory("bpe_artifact_spec").toString
+    merges.write.mode("overwrite").parquet(art)
+    // the loaded artifact has NO lineage back to training — encode
+    // reads only the 12-row parquet (the ship-a-tokenizer shape)
+    val loaded = spark.read.parquet(art)
+    assert(loaded.count() == merges.count())
+    val viaArtifact = TextStats.encodeBpe(docs, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaArtifact == direct)
+  }
 }
