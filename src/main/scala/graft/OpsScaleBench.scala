@@ -409,6 +409,13 @@ object OpsScaleBench {
       bench("media_hash", n, nDocs * n)(() =>
         Multimodal.pngPerceptualHash(mediaIds, "doc_id").count())
 
+      // multi-frame GIF decode on the same per-doc codec axis: each
+      // id round-trips a 2-5-frame animated GIF — wall must scale
+      // linearly in ids (pure map work, no shuffle), with the same
+      // flat per-doc codec cost the single-frame media_hash row pins.
+      bench("video_frames", n, nDocs * n)(() =>
+        Multimodal.gifFrameMeta(mediaIds, "doc_id").count())
+
       // incremental near-dup vs full re-pairing on the growing-corpus
       // axis: the KNOWN corpus widens n× (replicas r>0 vocab-suffixed
       // — no new matches, same as the decont rows) while the fresh

@@ -1449,6 +1449,47 @@ object SparkEntry {
         nChunks = 4, chunkBits = 14, maxDist = 3)
     }),
 
+    // REAL multi-frame (video-like) codec round-trip: per doc an
+    // animated GIF is synthesized, ENCODED with ImageIO's sequence
+    // writer and DECODED frame by frame on the executors; every
+    // column comes from the decoded stream (frame count from
+    // getNumImages, pixels from decoded RGB). GIF is lossless for
+    // indexed input, so the oracle replays each frame's facts from
+    // the closed-form pixel function — the real decode behind
+    // frameSamplePlan's plan-only frame explosion.
+    "q_video_frames" -> ((s, dir) =>
+      Multimodal.gifFrameMeta(
+        Tables.documents(s, dir).select("doc_id"), "doc_id")),
+
+    // temporal/video near-dup: per-frame 56-bit dHash over the
+    // DECODED GIF rasters, paired by the same pigeonhole Hamming band
+    // join every fingerprint family rides, keyed by the packed
+    // (video, frame) id. Consecutive frames differ by a +7 brightness
+    // shift, so intra-video frame pairs surface as near-dups (the
+    // shot-boundary structure). Fingerprints cached: the band
+    // self-join would otherwise run the codec twice per frame. The
+    // doc_id%7==0 video slice: the additive synthetic pixel function
+    // makes constant-shift frames across videos GENUINE near-dups, so
+    // the full-corpus answer is a multi-million-row pair table —
+    // correct but all fixture artifact; the slice keeps every
+    // semantic (intra-video shot pairs + cross-video dups) at a
+    // reviewable volume, and the band join's corpus-axis scaling is
+    // already pinned by q_media_neardup on the full table.
+    "q_video_neardup" -> ((s, dir) => {
+      val fp = graft.core.Caches.cached(
+        Multimodal.gifFrameHash(
+          Tables.documents(s, dir).select("doc_id")
+            .filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id")
+          .select("fkey", "dhash"))
+      Dedup.hammingPairs(fp, "fkey", "dhash",
+        nChunks = 4, chunkBits = 14, maxDist = 3)
+        .select(shiftright(col("id_a"), 3).as("vid_a"),
+          (col("id_a").bitwiseAND(7L)).cast("int").as("frame_a"),
+          shiftright(col("id_b"), 3).as("vid_b"),
+          (col("id_b").bitwiseAND(7L)).cast("int").as("frame_b"),
+          col("hamming"))
+    }),
+
     // gap-based sessionization of the event log (6h gap): one shuffle
     // on user_id; the window pass, session grouping and duration all
     // reuse that partitioning.
@@ -2580,6 +2621,63 @@ object SparkEntry {
        |       $dterms AS dhash,
        |       $aterms AS ahash
        |FROM spx0""".stripMargin
+  }
+
+  /** q_video_frames oracle: every decoded frame's facts replayed from
+    * the closed-form pixel function pixel(x,y,f) = (31x+17y+id+7f)
+    * mod 256 with w = 1+id%16, h = 1+id%12, n_frames = 2+id%5 — the
+    * values gifFrameMeta proves the real GIF sequence codec
+    * round-trips losslessly.
+    */
+  private val videoFramesOracleSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h,
+      |         2 + doc_id % 5 AS nf
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, w, h, nf, CAST(f AS BIGINT) AS f
+      |  FROM dims, unnest(range(0, nf)) AS t(f)
+      |), px AS (
+      |  SELECT doc_id, f, nf, w, h,
+      |         (31*x + 17*y + doc_id + 7*f) % 256 AS v
+      |  FROM fr, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y)
+      |)
+      |SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+      |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(sum(v) AS BIGINT) AS sum_px
+      |FROM px GROUP BY doc_id, f, nf, w, h""".stripMargin
+
+  /** q_video_neardup oracle: the per-frame 56-bit dHash rebuilt term
+    * by term from the same closed-form pixel function (sampled at the
+    * 8×8 grid), then ALL Hamming-≤3 pairs by brute force over the
+    * (video, frame) fingerprint table — the banded Spark join must
+    * reproduce the brute answer exactly (pigeonhole covers ≤3 with
+    * 4 chunks).
+    */
+  private val videoNeardupOracleSql: String = {
+    def px(gx: Int, r: Int) =
+      s"((31*(($gx*w)//8) + 17*(($r*h)//8) + doc_id + 7*f) % 256)"
+    val terms = (for { r <- 0 until 8; g <- 0 until 7 } yield
+      s"CASE WHEN ${px(g + 1, r)} > ${px(g, r)} THEN CAST(${1L << (r * 7 + g)} AS BIGINT) ELSE 0 END")
+      .mkString("\n           + ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h,
+       |         2 + doc_id % 5 AS nf
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, w, h, CAST(f AS BIGINT) AS f
+       |  FROM dims, unnest(range(0, nf)) AS t(f)
+       |  WHERE doc_id % 7 = 0
+       |), fp AS (
+       |  SELECT doc_id * 8 + f AS fkey,
+       |         $terms AS dhash
+       |  FROM fr
+       |)
+       |SELECT x.fkey // 8 AS vid_a, CAST(x.fkey % 8 AS INT) AS frame_a,
+       |       y.fkey // 8 AS vid_b, CAST(y.fkey % 8 AS INT) AS frame_b,
+       |       CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+       |FROM fp x JOIN fp y ON x.fkey < y.fkey
+       |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3""".stripMargin
   }
 
   /** q_audio_neardup oracle: the 56-bit delta-sign fingerprint rebuilt
@@ -4495,6 +4593,8 @@ object SparkEntry {
     "q_media_neardup" -> mediaNeardupOracleSql,
 
     "q_media_hashes" -> mediaHashesOracleSql,
+    "q_video_frames" -> videoFramesOracleSql,
+    "q_video_neardup" -> videoNeardupOracleSql,
 
     "q_audio_meta" ->
       """WITH dims AS (

@@ -392,6 +392,170 @@ object Multimodal {
         round(col("frame_idx") * lit(1000.0) / fps, 6))
   }
 
+  /** Synthesize, ENCODE and DECODE an animated GIF whose every frame
+    * is a pure function of the id — the multi-frame (video-like)
+    * codec round-trip: w = 1 + id % 16, h = 1 + id % 12, n_frames =
+    * 2 + id % 5, pixel(x, y, f) = (31x + 17y + id + 7f) mod 256 (the
+    * PNG corpus' pixel function plus a per-frame brightness term, so
+    * CONSECUTIVE frames are constant-shift near-dups — the shot-
+    * detection structure). Frames are TYPE_BYTE_INDEXED on an
+    * explicit 256-gray palette (GIF stores ≤256-color indexed rasters
+    * losslessly), written with ImageIO's GIF sequence writer and read
+    * back frame by frame (getNumImages(true) + read(i)); callers
+    * report only DECODED facts, and gray values are taken from the
+    * decoded RGB (palette-permutation-proof), never the raw index.
+    */
+  private def synthGifRoundTrip(docId: Long)
+      : IndexedSeq[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = (1 + docId % 16).toInt
+    val h = (1 + docId % 12).toInt
+    val nF = (2 + docId % 5).toInt
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    // non-interlaced frames: the JDK GIF writer defaults to interlaced
+    // output, whose pass structure mis-round-trips rasters shorter
+    // than 8 rows (rows come back pass-shuffled) — and this corpus'
+    // heights are 1..12
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    var f = 0
+    while (f < nF) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((31L * x + 17L * y + docId + 7L * f) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    val frames = (0 until n).map(reader.read)
+    reader.dispose()
+    iis.close()
+    frames
+  }
+
+  /** decoded gray value at (x, y) — red channel of the decoded RGB,
+    * independent of how the codec ordered the palette
+    */
+  private def decodedGray(img: java.awt.image.BufferedImage,
+      x: Int, y: Int): Int = (img.getRGB(x, y) >> 16) & 255
+
+  /** Per-frame decoded facts of the animated-GIF round-trip — the
+    * multi-frame half of the image story ([[pngRoundTripMeta]]'s
+    * contract, per frame): frame count from the DECODED stream,
+    * dimensions from each decoded frame, sum_px over decoded pixels.
+    * GIF is lossless for indexed input, so a closed-form oracle
+    * verifies every value; none can be produced without actually
+    * running the codec (the sequence writer + multi-image reader).
+    * This is the real decode behind [[frameSamplePlan]]'s plan-only
+    * frame explosion. Output: id, frame_idx, n_frames, width, height,
+    * sum_px.
+    */
+  def gifFrameMeta(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_px", LongType, nullable = false)))
+    val idx = df.schema.fieldIndex(id)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val docId = rowId(row, idx)
+        val frames = synthGifRoundTrip(docId)
+        frames.zipWithIndex.map { case (dec, f) =>
+          val dw = dec.getWidth
+          val dh = dec.getHeight
+          var sum = 0L
+          var yy = 0
+          while (yy < dh) {
+            var xx = 0
+            while (xx < dw) { sum += decodedGray(dec, xx, yy); xx += 1 }
+            yy += 1
+          }
+          Row(docId, f, frames.length, dw, dh, sum)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-frame 56-bit dHash over DECODED animated-GIF rasters — the
+    * fingerprint half of video near-dup detection (temporal pairing
+    * is [[graft.ext.Dedup.hammingPairs]] over the packed
+    * (id, frame) key, the same pigeonhole band join text SimHash,
+    * image dHash and the audio fingerprint ride). Same 8-row ×
+    * 7-column gradient-sign construction as [[pngPerceptualHash]],
+    * nearest-neighbor sampled at (⌊g·w/8⌋, ⌊r·h/8⌋) from the decoded
+    * gray values. fkey = id·8 + frame_idx packs the pair key
+    * (n_frames ≤ 6 < 8 by construction).
+    * Output: id, frame_idx, fkey, dhash.
+    */
+  def gifFrameHash(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("fkey", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val idx = df.schema.fieldIndex(id)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val docId = rowId(row, idx)
+        synthGifRoundTrip(docId).zipWithIndex.map { case (dec, f) =>
+          val w = dec.getWidth
+          val h = dec.getHeight
+          val sm = Array.ofDim[Int](8, 8)
+          var r = 0
+          while (r < 8) {
+            var g = 0
+            while (g < 8) {
+              sm(r)(g) = decodedGray(dec, g * w / 8, r * h / 8); g += 1
+            }
+            r += 1
+          }
+          var dhash = 0L
+          r = 0
+          while (r < 8) {
+            var g = 0
+            while (g < 7) {
+              if (sm(r)(g + 1) > sm(r)(g)) dhash |= 1L << (r * 7 + g)
+              g += 1
+            }
+            r += 1
+          }
+          Row(docId, f, docId * 8 + f, dhash)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Relational view of the same metadata, computed with built-in
     * expressions (what the oracle checks): byte length, first-char
     * code, and the derived fake dimensions. Used to validate the

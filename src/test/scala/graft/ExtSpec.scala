@@ -1099,6 +1099,52 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("gifFrameMeta: every decoded frame matches the closed-form pixel function") {
+    import spark.implicits._
+    val d = Seq(0L, 5L, 17L, 100L, 255L).toDF("doc_id")
+    val out = Multimodal.gifFrameMeta(d, "doc_id")
+      .orderBy("doc_id", "frame_idx").collect()
+    // frame counts: nf = 2 + id % 5, every frame present exactly once
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rows) =>
+      val nf = (2 + id % 5).toInt
+      assert(rows.length == nf, s"id=$id decoded ${rows.length} frames, want $nf")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (0 until nf))
+      rows.foreach { r =>
+        val f = r.getInt(1)
+        val w = (1 + id % 16).toInt
+        val h = (1 + id % 12).toInt
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield (31L * x + 17L * y + id + 7L * f) % 256).sum
+        assert(r.getInt(2) == nf && r.getInt(3) == w && r.getInt(4) == h)
+        assert(r.getLong(5) == expected,
+          s"sum_px mismatch id=$id frame=$f: ${r.getLong(5)} vs $expected")
+      }
+    }
+  }
+
+  test("gifFrameHash: consecutive frames are near-dups; hammingPairs finds them") {
+    import spark.implicits._
+    // id 32: w=1+32%16=1 -> degenerate 1px wide; use ids with real rasters
+    val d = Seq(5L, 17L).toDF("doc_id")
+    val fp = Multimodal.gifFrameHash(d, "doc_id")
+    val rows = fp.orderBy("fkey").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * 8 + r.getInt(1)) // fkey packing
+      assert((r.getLong(3) & ~((1L << 56) - 1)) == 0L) // 56-bit hash
+    }
+    // the +7 per-frame brightness shift preserves most gradient signs:
+    // consecutive frames of one video must sit within hamming 3
+    val pairs = Dedup.hammingPairs(fp.select("fkey", "dhash"), "fkey",
+      "dhash", nChunks = 4, chunkBits = 14, maxDist = 3).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- Seq(5L, 17L); f <- 0 until (2 + id % 5).toInt - 1) {
+      val (a, b) = (id * 8 + f, id * 8 + f + 1)
+      assert(pairSet.contains((a, b)),
+        s"consecutive frames $a,$b of video $id not near-dup paired")
+    }
+  }
+
   test("df-capped ngram jaccard drops hot-shingle-only pairs, keeps exact scores") {
     // docs 1-2: near-dups via RARE shingles; docs 3-4: overlap ONLY in
     // a shingle shared by every doc (hot), so the cap must not pair them
