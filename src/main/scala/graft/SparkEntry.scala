@@ -936,6 +936,24 @@ object SparkEntry {
         minPct = 40)
     }),
 
+    // agreement companion for the TRAINED-quantizer retriever: the
+    // same margin chain over ivfRetriever (k-means coarse cells,
+    // nlist=16, nprobe=4) vs the exact brute baseline. The IVF side
+    // is the declared non-SQL contract (q_ann_ivf's k-means), so only
+    // the brute-exact n_brute and the in-band bound ship: measured
+    // agreement 56-68% across SFs, bound 40 (the LSH row's bound) —
+    // the q_ann_ivf_recall semi-oracle shape, closing the one
+    // public retriever without a driver-checked signal.
+    "q_margin_mine_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginMineAgreement(emb.filter(col("label") < 2),
+        emb.filter(col("label") >= 2), "vec_id", "embedding",
+        k = 4, minMargin = 1.2,
+        retrieve = Similarity.ivfRetriever(nlist = 16, nprobe = 4),
+        minPct = 40)
+        .select(col("n_brute"), col("agree_ok"))
+    }),
+
     // kNN label propagation: majority vote of the 5 nearest labeled
     // neighbors — the semi-supervised lift that spreads a
     // hand-labeled seed set's quality/domain labels over the corpus;
@@ -3530,6 +3548,16 @@ object SparkEntry {
           |       (CAST(COALESCE(SUM(CASE WHEN l.tgt_id = b.tgt_id THEN 1 ELSE 0 END), 0) AS BIGINT) * 100
           |          >= CAST(count(*) AS BIGINT) * 40) AS agree_ok
           |FROM mmb b LEFT JOIN mml l ON b.src_id = l.src_id""".stripMargin),
+
+    // IVF agreement semi-oracle: the brute margin count is exact SQL,
+    // agree_ok is the in-band bound assertion (the annRecallOracleSql
+    // pattern — the k-means side is the declared non-SQL contract)
+    "q_margin_mine_ivf_recall" ->
+      (marginPoolsCte(4) + ", " +
+        marginChainCtes("b", lsh = false, nk = 4, bits = 4, minMargin = 1.2) +
+        """
+          |SELECT CAST(count(*) AS BIGINT) AS n_brute, TRUE AS agree_ok
+          |FROM mmb""".stripMargin),
 
     "q_knn_label" ->
       (s"""WITH n AS (

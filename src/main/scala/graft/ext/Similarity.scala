@@ -624,9 +624,13 @@ object Similarity {
       lshTopKMultiProbe(q, c, i, v, k, bitsUsed, excludeSelf = false)
 
   /** IVF [[marginMine]] retriever — the trained-quantizer scale path
-    * (same no-oracle contract as [[ivfTopK]]; the LSH retriever is
-    * the oracle-checkable member of the family). Both directions ride
-    * the coarse-quantizer cell join; nlist grows with the corpus.
+    * (the k-means side carries [[ivfTopK]]'s declared non-SQL
+    * contract; the LSH retriever is the fully-oracled member of the
+    * family). Driver-checked via q_margin_mine_ivf_recall — exact
+    * brute count + the ≥40% agreement bound in-band (measured 56-68%
+    * across SFs) — plus the ExtSpec agreement pin. Both directions
+    * ride the coarse-quantizer cell join; nlist grows with the
+    * corpus.
     */
   def ivfRetriever(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L)
       : (DataFrame, DataFrame, String, String, Int) => DataFrame =
