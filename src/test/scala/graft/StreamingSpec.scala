@@ -202,6 +202,62 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("unified dedupIngest streams per micro-batch via foreachBatch; batch ≡ stream") {
+    // the UNIFIED ingest verdict (exact + cross-corpus near +
+    // intra-batch near) under a stream: the intra-batch SimHash
+    // self-join cannot run as a continuous stream-stream join, so
+    // the declared streaming shape is foreachBatch — per micro-batch
+    // the IDENTICAL dedupIngestIndexed code runs against the
+    // persisted known-side indexes (batch-exact semantics per batch,
+    // the pattern every real append-only ingest deploys).
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val known = Seq((1L, base),
+      (2L, (100 to 160).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val knownFp = graft.ext.Dedup.simHash(known, "doc_id", "text")
+    val knownIdx = known
+      .select(graft.ext.Dedup.normHash(col("text")).as("text_hash")).distinct()
+    val batches = Seq(
+      Seq((10L, base), (11L, base + " " + base),
+        (12L, (200 to 260).map(i => s"u$i").mkString(" "))),
+      Seq((20L, base), (21L, (300 to 360).map(i => s"t$i").mkString(" "))))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[org.apache.spark.sql.Row])]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        got += id -> graft.ext.Dedup.dedupIngestIndexed(batch, knownFp,
+          knownIdx, "doc_id", "text", maxDist = 3)
+          .orderBy("doc_id").collect().toSeq
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      assert(got.map(_._1).toSeq == Seq(0L, 1L))
+      // each micro-batch's verdicts equal the batch run on those rows
+      batches.zip(got.map(_._2)).foreach { case (rows, streamed) =>
+        val batchRun = graft.ext.Dedup.dedupIngestIndexed(
+          rows.toDF("doc_id", "text"), knownFp, knownIdx,
+          "doc_id", "text", maxDist = 3).orderBy("doc_id").collect().toSeq
+        assert(streamed == batchRun)
+      }
+      // the semantics themselves: exact dup flagged, doubled text is
+      // near-only, fresh doc kept — in BOTH batches independently
+      val b1 = got(0)._2
+      assert(b1(0).getAs[Boolean]("is_known") && !b1(0).getAs[Boolean]("keep"))
+      assert(!b1(1).getAs[Boolean]("is_known") &&
+        b1(1).getAs[Long]("dup_of_known") == 1L &&
+        b1(1).getAs[Long]("dup_of_batch") == 10L)
+      assert(b1(2).getAs[Boolean]("keep"))
+      val b2 = got(1)._2
+      assert(b2(0).getAs[Boolean]("is_known") &&
+        b2(0).getAs[Long]("dup_of_known") == 1L)
+      assert(b2(1).getAs[Boolean]("keep"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first arrival, drops repeats across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
