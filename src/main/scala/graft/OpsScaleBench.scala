@@ -201,7 +201,10 @@ object OpsScaleBench {
       // vocabularies so spans never cross replicas — per-anchor df
       // stays flat and the candidate volume (Σ df² over anchors)
       // grows linearly with the corpus, as does the island pass.
-      bench("substr_spans", n, nDocs * n) { () =>
+      // shuffle=MB is the exact per-run listener-measured write
+      // volume (the decontamination evidentiary standard): linear
+      // bytes, not just linear wall, is the cluster-relevant fact.
+      benchShuffle("substr_spans", n, nDocs * n) { () =>
         val c = graft.ext.Dedup.substringSpans(docsV, "doc_id", "text",
           minLen = 8, maxDf = 20).count()
         graft.core.Caches.unpersistAll()
@@ -220,8 +223,9 @@ object OpsScaleBench {
 
       // winnowing fingerprints on the corpus axis: one tokenize+hash
       // pass + one groupBy(id) + per-row array selection — no joins,
-      // so wall must scale linearly in documents.
-      bench("winnow", n, nDocs * n)(() =>
+      // so wall AND listener-measured shuffle bytes must both scale
+      // linearly in documents (the one exchange is the id groupBy).
+      benchShuffle("winnow", n, nDocs * n)(() =>
         TextStats.winnowFingerprints(docsV, "doc_id", "text",
           k = 4, w = 5).count())
 
