@@ -442,6 +442,35 @@ class ExtSpec extends SparkTestBase {
       s"IVF margin agreement $agree/${brute.size} below 30%")
   }
 
+  test("margin-LSH agreement on CLUSTERED embeddings reaches the >=90% regime") {
+    import spark.implicits._
+    // The committed iid-uniform testdata is ANN's adversarial case:
+    // agreement there is 55-64% (q_margin_mine_recall, bound 40). On
+    // embeddings with actual cluster structure — the case retrieval
+    // bucketing exists for — the bucketed path must reproduce brute
+    // almost exactly. Fixture: 16 clusters whose centers are ±5 sign
+    // patterns on the 4 LSH dims (cluster id = bucket id by
+    // construction), members perturbed by small deterministic noise
+    // on the tail dims; even ids = src pool, odd = tgt pool.
+    val rows = (0 until 400).map { i =>
+      val c = i % 16
+      val v = Array.tabulate(16) { j =>
+        if (j < 4) (if (((c >> j) & 1) == 1) 5.0f else -5.0f)
+        else ((i * 31 + j * 17) % 13 - 6) / 6.0f
+      }
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.marginMineAgreement(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, minMargin = 1.0,
+      retrieve = Similarity.lshRetriever(4), minPct = 90).collect()(0)
+    assert(out.getAs[Long]("n_brute") > 50L,
+      s"fixture too sparse: n_brute=${out.getAs[Long]("n_brute")}")
+    assert(out.getAs[Boolean]("agree_ok"),
+      s"clustered agreement ${out.getAs[Long]("n_agree")}/${out.getAs[Long]("n_brute")} below 90%")
+  }
+
   test("semanticDedup: zero-norm vector assigns deterministically, never pairs") {
     import spark.implicits._
     // id 2 is the all-zero vector: every cosine with it is undefined
