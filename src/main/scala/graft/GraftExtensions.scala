@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HeavyHitters, SlidingMedian}
+import graft.functions.{DotProduct, HeavyHitters, NormalizeUnicode, SlidingMedian}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL (`SELECT graft_dot(a, b)`)
@@ -38,6 +38,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_sliding_median min_periods must be a literal")
         SlidingMedian(children(0),
           children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeUnicode].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_normalize takes (text, form) with form a literal")
+        require(children(1).foldable,
+          "graft_normalize form must be a literal string")
+        NormalizeUnicode(children(0),
+          children(1).eval().toString)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),

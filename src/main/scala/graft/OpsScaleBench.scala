@@ -278,6 +278,29 @@ object OpsScaleBench {
       bench("pii_redact", n, nDocs * n)(() =>
         TextStats.piiRedact(docs, "doc_id", "text").count())
 
+      // unicode NFC audit: the codegen'd graft_normalize expression
+      // fused into the scan — zero shuffles, so flat Mrows/s is the
+      // pass bar (the per-doc Normalizer.isNormalized fast path does
+      // the real work on this mostly-ASCII corpus).
+      bench("unicode_norm", n, nDocs * n)(() =>
+        TextStats.unicodeNormAudit(docs, "doc_id", "text").count())
+
+      // count-min sketch build: ONE aggregate whose map-side combine
+      // collapses every partition to <= depth*width cells BEFORE the
+      // exchange — the listener-measured shuffle bytes must stay FLAT
+      // (cell-grid-sized) while the corpus widens 32x; wall tracks
+      // the scan linearly.
+      benchShuffle("cms_build", n, nDocs * n)(() =>
+        TextStats.cmSketch(docs, "text", depth = 4, width = 256).count())
+
+      // priority sampling: TakeOrderedAndProject keeps a (k+1)-heap
+      // per partition — no global sort, result size fixed at k, so
+      // wall must track the scan and shuffle bytes stay heap-merge
+      // sized.
+      benchShuffle("prio_sample", n, nDocs * n)(() =>
+        graft.ext.Sampling.prioritySample(docs, "doc_id",
+          length(col("text")), k = 25).count())
+
       // budget select: the corpus axis widens but the cross-value
       // running totals always run over the (distinct quality)-sized
       // table — the single-partition stage is corpus-size-independent
@@ -370,6 +393,18 @@ object OpsScaleBench {
       bench("dedup_sem", n, nVecs * n)(() =>
         Similarity.semanticDedup(embRot, "vec_id", "embedding",
           nSeeds = 16 * n, tau = 0.35).count())
+
+      // JL random projection 64→16: pure per-row codegen'd dot
+      // products against literal ±1 vectors, zero shuffles — flat
+      // Mrows/s is the pass bar, and the projected table carries 4×
+      // fewer vector bytes into any downstream shuffle.
+      // (the fold over ALL 16 dims defeats column pruning — a bare
+      // count() would let Catalyst skip the projection work entirely)
+      bench("rproj", n, nVecs * n)(() =>
+        Similarity.randomProject(embRot, "embedding",
+          Similarity.rprojSigns(64, 16))
+          .agg(sum(aggregate(col("proj"), lit(0.0), (a, e) => a + e)))
+          .collect().length.toLong)
 
       // margin mining, brute vs bucketed retrieval on the BOTH-pools
       // axis (rotated replicas — decorrelated, so mined-pair volume

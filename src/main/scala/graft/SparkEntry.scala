@@ -107,6 +107,44 @@ object SparkEntry {
   private def qualityClfSeed(docs: DataFrame): DataFrame =
     docs.filter(pmod(col("doc_id"), lit(3)) === 0)
 
+  /** The ONE (depth, width, topK) triple for the count-min sketch
+    * audit — shared by the Spark entry and the oracle SQL builder so
+    * the two sides cannot drift.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val CmsTopK = 30
+
+  /** The ONE Rademacher sign matrix for the JL random-projection
+    * queries: computed once driver-side (md5-parity, no RNG state)
+    * and interpolated as literals into BOTH the Spark plan and the
+    * oracle SQL — the two sides share the exact same ±1.0 values.
+    */
+  private val RprojInDims = 64
+  private val RprojOutDims = 16
+  private lazy val RprojSigns =
+    Similarity.rprojSigns(RprojInDims, RprojOutDims)
+  private lazy val rprojSignsSqlValues: String =
+    RprojSigns.zipWithIndex.map { case (sv, k) =>
+      s"($k, [${sv.mkString(", ")}])"
+    }.mkString(",\n         ")
+
+  /** The FOUR deterministic "dirty" Unicode suffixes for the NFC
+    * normalization query, chosen by doc_id % 4 identically in the
+    * Spark entry and the oracle SQL (the corpus itself is ASCII, so
+    * the non-ASCII surface is synthesized): a decomposed pair
+    * (composition e+◌́→é), an out-of-order combining sequence (acute
+    * cc=230 written BEFORE cedilla cc=202 — canonical reordering then
+    * composition), a compatibility ligature (ﬁ is NFC-invariant; only
+    * NFKC folds it — the spec covers that form), and the empty suffix
+    * (the already-normalized fast path).
+    */
+  private val UnicodeSuffixes = Seq(
+    " café",
+    " ȩ́ Ångström",
+    " ﬁle",
+    "")
+
   /** events → deduped long series with delta_us (shared prefix of the
     * time-series queries).
     */
@@ -345,6 +383,24 @@ object SparkEntry {
     "q_sample_fixed" -> ((s, dir) =>
       Sampling.fixedSizeSample(Tables.documents(s, dir), "doc_id",
         "lang", k = 20)),
+
+    // weighted sampling WITHOUT replacement by priority sampling
+    // (Duffield-Lund-Thorup JACM 2007): q = w/u with a deterministic
+    // hash uniform, top-k by q, and the unbiased subset-sum estimator
+    // max(w, τ). Top-(k+1) plans as TakeOrderedAndProject (per-
+    // partition heap, no global sort); priorities use only exact /
+    // correctly-rounded IEEE ops so the doubles are bit-identical in
+    // DuckDB.
+    "q_priority_sample" -> ((s, dir) =>
+      Sampling.prioritySample(Tables.documents(s, dir), "doc_id",
+        col("n_chars"), k = 25)),
+
+    // per-stratum variant: the k best of EVERY language in one pass;
+    // rank-on-window plans as WindowGroupLimit (k-sized heap per
+    // group, no stratum materialized whole).
+    "q_priority_sample_strat" -> ((s, dir) =>
+      Sampling.prioritySamplePerStratum(Tables.documents(s, dir),
+        "doc_id", "lang", col("n_chars"), k = 5)),
 
     // superset-stable 90/5/5 train/val/test split by hash bucket —
     // zero shuffle, assignment independent of the rest of the corpus.
@@ -978,6 +1034,15 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", nSeeds = 16, tau = 0.35)),
 
+    // cluster-balanced diversity sampling (D4, Tirumala et al. 2023):
+    // pinned-seed argmax-cosine cells (broadcast projection, zero
+    // shuffle) → k per cell by deterministic hash rank (uniform WOR
+    // per cell), planned as WindowGroupLimit. Over-dense embedding
+    // regions can't dominate the kept mix.
+    "q_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nSeeds = 16, k = 10)),
+
     // recall companion: what fraction of ALL τ-pairs (brute force —
     // declared bounded baseline, test-SF only) the cell partition
     // keeps intra-cell. Exact integer cross-multiplication bound.
@@ -1062,6 +1127,31 @@ object SparkEntry {
       annRecall(emb, queries,
         Similarity.pqTopK(queries, emb, "vec_id", "embedding",
           k = kShort, model), bound = 0.35)
+    }),
+
+    // JL random projection 64→16 (Achlioptas ±1 signs): per-vector
+    // map-side projection, bit-exact cross-engine (sign flips are
+    // exact IEEE, the fold order matches list_sum). Long format
+    // (vec_id, k, y) so the oracle hashes scalars.
+    "q_rproj" -> ((s, dir) =>
+      Similarity.randomProject(Tables.embeddings(s, dir), "embedding",
+        RprojSigns)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("k", "y")))),
+
+    // JL-shortlist retriever recall companion: top-5 true-cosine
+    // neighbors recovered by a projected-cosine shortlist of 8% of
+    // the corpus (floor 20). DuckDB-swept before pinning: 0.56 /
+    // 0.50 / 0.48 at sf0.001/0.01/0.1 (kShort 40/40/160) on these
+    // iid-uniform embeddings (the ANN adversarial case —
+    // deterministic, so the bound 0.3 holds exactly); the projection
+    // cuts candidate-scoring flops and every vector shuffle 4×.
+    "q_rproj_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val kShort = math.max(20, (emb.count() * 0.08).toInt)
+      annRecall(emb, queries,
+        Similarity.rprojTopK(queries, emb, "vec_id", "embedding",
+          k = kShort, RprojSigns), bound = 0.3)
     }),
 
     // deterministic hash-stratified sampling: rebalance the corpus by
@@ -1220,6 +1310,21 @@ object SparkEntry {
         pmod(col("doc_id"), lit(3)) =!= 0)
     }),
 
+    // Unicode NFC normalization audit via the native codegen'd
+    // graft_normalize expression: per doc, does NFC change the bytes
+    // (decomposed/misordered combining marks that defeat exact-hash
+    // dedup), code-point length before/after, md5 of the normalized
+    // text. Dirty surface synthesized by doc_id % 4 from
+    // UnicodeSuffixes (the corpus is ASCII); zero shuffles.
+    "q_unicode_norm" -> ((s, dir) => {
+      val dirty = concat(col("text"), element_at(
+        array(UnicodeSuffixes.map(lit(_)): _*),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+      TextStats.unicodeNormAudit(
+        Tables.documents(s, dir).select(col("doc_id"), dirty.as("text")),
+        "doc_id", "text")
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(Tables.documents(s, dir), "doc_id", "text", k = 3, p = 4)),
 
@@ -1239,6 +1344,16 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextStats.wordFrequencies(Tables.documents(s, dir), "doc_id", "text",
         k = 100)),
+
+    // count-min sketch audit (Cormode-Muthukrishnan 2005): fixed
+    // depth×width counter grid built in ONE map-side-combined
+    // aggregate (state O(d·w) at ANY corpus/vocabulary size,
+    // shard-mergeable by cell addition), then est = min_j cell[j][h_j]
+    // for the top-30 exact tokens; `sound` (est ≥ exact) is a theorem
+    // of the sketch and replays exactly.
+    "q_cms_check" -> ((s, dir) =>
+      TextStats.cmSketchCheck(Tables.documents(s, dir), "text",
+        depth = CmsDepth, width = CmsWidth, k = CmsTopK)),
 
     // LINE-level exact dedup (C4/RefinedWeb boilerplate pass): every
     // repeated 10-word segment keeps only its first occurrence
@@ -2869,6 +2984,40 @@ object SparkEntry {
         |)
         |SELECT doc_id, stratum, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
 
+    // priority q = w·2^60/(h+1): BIGINT +1 exact, int→double and the
+    // division correctly rounded, ·2^60 a pure exponent shift — the
+    // same bits in both engines (no pow/log/exp).
+    "q_priority_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |         CAST(n_chars AS DOUBLE) * 1.152921504606846976e18
+        |           / CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE) AS priority
+        |  FROM documents WHERE n_chars > 0
+        |), r AS (
+        |  SELECT doc_id, weight, priority,
+        |         CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS INT) AS sample_rank
+        |  FROM p
+        |), tau AS (
+        |  SELECT max(CASE WHEN sample_rank = 26 THEN priority ELSE 0.0 END) AS t
+        |  FROM r WHERE sample_rank <= 26
+        |)
+        |SELECT doc_id, weight, priority, sample_rank,
+        |       greatest(CAST(weight AS DOUBLE), (SELECT t FROM tau)) AS weight_est
+        |FROM r WHERE sample_rank <= 25""".stripMargin,
+
+    "q_priority_sample_strat" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang AS stratum, n_chars AS weight,
+        |         CAST(n_chars AS DOUBLE) * 1.152921504606846976e18
+        |           / CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE) AS priority
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT doc_id, stratum, weight, priority, sample_rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY stratum
+        |    ORDER BY priority DESC, doc_id ASC) AS INT) AS sample_rank
+        |  FROM p
+        |) WHERE sample_rank <= 5""".stripMargin,
+
     "q_split" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -3581,6 +3730,25 @@ object SparkEntry {
            |SELECT uid AS vec_id, lab AS label_pred, CAST(nv AS BIGINT) AS votes
            |FROM w2 WHERE vr = 1""".stripMargin),
 
+    // same pinned-seed cell CTE as q_dedup_semantic; per-cell rank =
+    // the verbatim priority formula (unit weight), NOT a bare
+    // hash-asc sort — CAST(h+1 AS DOUBLE) can collide distinct
+    // 60-bit hashes above 2^53, and only the identical formula
+    // guarantees the identical tie-break.
+    "q_cluster_sample" ->
+      (semanticCellsCte(16) +
+        s""", pr AS (
+           |  SELECT vec_id, cell,
+           |         CAST(1 AS DOUBLE) * 1.152921504606846976e18
+           |           / CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE) AS priority
+           |  FROM cells
+           |)
+           |SELECT vec_id, cell, sample_rank FROM (
+           |  SELECT vec_id, cell, CAST(row_number() OVER (PARTITION BY cell
+           |    ORDER BY priority DESC, vec_id ASC) AS INT) AS sample_rank
+           |  FROM pr
+           |) WHERE sample_rank <= 10""".stripMargin),
+
     "q_dedup_semantic" ->
       (semanticCellsCte(16) +
         s""", pr AS (
@@ -3630,6 +3798,17 @@ object SparkEntry {
     // semi-oracles — see annRecallOracleSql)
     "q_ann_ivf_recall" -> annRecallOracleSql,
     "q_ann_pq_recall" -> annRecallOracleSql,
+    "q_rproj_recall" -> annRecallOracleSql,
+
+    // JL projection replay: the SAME driver-computed ±1.0 literals
+    // the Spark plan bakes in, fold order = graft_dot's.
+    "q_rproj" ->
+      (s"""WITH s(k, sv) AS (VALUES
+         |         $rprojSignsSqlValues)
+         |SELECT e.vec_id, s.k,
+         |       list_sum(list_transform(generate_series(1, $RprojInDims),
+         |                               i -> CAST(e.embedding[i] AS DOUBLE) * sv[i])) AS y
+         |FROM embeddings e CROSS JOIN s""".stripMargin),
 
     // retrieval stage ≡ q_ann_brute at k=20; rerank score mirrors the
     // Spark expression tree: round6(cos)·0.8 + (max single-dim
@@ -4306,6 +4485,24 @@ object SparkEntry {
         |       (v >> 20) AS fp
         |FROM sel""".stripMargin,
 
+    // DuckDB's utf8proc nfc_normalize implements the same UAX #15 the
+    // engine's java.text.Normalizer kernel does, so the NFC form is
+    // exactly replayable; the dirty surface is rebuilt from the SAME
+    // UnicodeSuffixes literals the Spark entry uses.
+    "q_unicode_norm" ->
+      (s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |         text || list_extract([${UnicodeSuffixes.map(x => s"'$x'").mkString(", ")}],
+         |                              CAST(doc_id % 4 AS INT) + 1) AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       nfc_normalize(t) <> t AS changed,
+         |       CAST(length(t) AS INT) AS len_raw,
+         |       CAST(length(nfc_normalize(t)) AS INT) AS len_nfc,
+         |       md5(nfc_normalize(t)) AS nfc_hash
+         |FROM dirty""".stripMargin),
+
     "q_fingerprint" ->
       (shingleCte(3) +
         """, hh AS (
@@ -4357,6 +4554,37 @@ object SparkEntry {
         |       1 + chunk_id*90 AS start_offset,
         |       substr(text, (1 + chunk_id*90)::BIGINT, 120) AS chunk_text
         |FROM c""".stripMargin,
+
+    // CM sketch replay: same 60-bit md5 bucket hash of 'j:word', same
+    // depth/width/topK constants as the Spark entry.
+    "q_cms_check" ->
+      (s"""WITH w AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                            x -> x <> '')) AS word
+         |  FROM documents
+         |), exact AS (
+         |  SELECT word, count(*) AS exact_cnt FROM w GROUP BY 1
+         |  ORDER BY exact_cnt DESC, word ASC LIMIT $CmsTopK
+         |), js AS (
+         |  SELECT unnest(range($CmsDepth)) AS j
+         |), cells AS (
+         |  SELECT j,
+         |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || word), 1, 15)) AS BIGINT)
+         |           % $CmsWidth AS bucket,
+         |         count(*) AS cnt
+         |  FROM w CROSS JOIN js GROUP BY 1, 2
+         |), est AS (
+         |  SELECT e.word, min(coalesce(c.cnt, 0)) AS est_cnt
+         |  FROM exact e CROSS JOIN js
+         |  LEFT JOIN cells c ON c.j = js.j
+         |    AND c.bucket = CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || e.word), 1, 15)) AS BIGINT)
+         |                     % $CmsWidth
+         |  GROUP BY 1
+         |)
+         |SELECT e.word, e.exact_cnt, s.est_cnt,
+         |       s.est_cnt - e.exact_cnt AS overestimate,
+         |       s.est_cnt >= e.exact_cnt AS sound
+         |FROM exact e JOIN est s USING (word)""".stripMargin),
 
     "q_vocab" ->
       """WITH w AS (

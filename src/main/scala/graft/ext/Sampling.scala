@@ -310,4 +310,77 @@ object Sampling {
       .select(col("source"), col("n_tokens"), col("natural_share"),
         col("weight"), col("oversample"))
   }
+
+  /** Deterministic priority q = w/u for one row: u = (60-bit id hash
+    * + 1)/2^60 ∈ (0, 1], so q = w·2^60/(h+1). Every step is either
+    * exact (BIGINT +1; w and 2^60 are exact doubles; multiplying by a
+    * power of two only shifts the exponent) or a single correctly-
+    * rounded IEEE op (the int→double conversion of h+1, the final
+    * division), so the SAME bits come out of Spark and DuckDB — no
+    * pow/log/exp, whose libm implementations differ across engines.
+    */
+  private def priorityCol(id: Column, weight: Column): Column =
+    weight.cast("double") * lit(1.152921504606846976e18) /
+      (Dedup.hash60(id.cast("string")) + lit(1L)).cast("double")
+
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 54(6), 2007): each row gets priority
+    * q = w/u with u a deterministic uniform from its id hash; the k
+    * highest-priority rows are the sample, and with τ = the (k+1)-th
+    * priority the estimator ŵ = max(w, τ) makes every subset-sum
+    * estimate unbiased — the standard way to keep a budgeted,
+    * length/quality-weighted corpus slice whose token statistics
+    * still estimate the full corpus.
+    *
+    * Scale shape: top-(k+1) is `orderBy.limit` → TakeOrderedAndProject
+    * (a size-(k+1) heap per partition, merged on the driver — no
+    * global sort, no full shuffle); the rank/τ window then runs over
+    * that k+1-row set only (single partition BY DESIGN, bounded by
+    * k). Rows with w ≤ 0 are excluded up front (priorities require
+    * positive weights) — mirrored in the oracle's WHERE.
+    * Ties break by id ascending. Output: id, weight, priority,
+    * sample_rank, weight_est.
+    */
+  def prioritySample(df: DataFrame, id: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val top = df
+      .select(col(id), weight.cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("priority", priorityCol(col(id), col("weight")))
+      .orderBy(col("priority").desc, col(id).asc)
+      .limit(k + 1)
+    val w = Window.orderBy(col("priority").desc, col(id).asc)
+    val all = Window.partitionBy()
+    top
+      .withColumn("sample_rank", row_number().over(w))
+      .withColumn("__tau", max(when(col("sample_rank") === k + 1,
+        col("priority")).otherwise(lit(0.0))).over(all))
+      .filter(col("sample_rank") <= k)
+      .select(col(id), col("weight"), col("priority"), col("sample_rank"),
+        greatest(col("weight").cast("double"), col("__tau")).as("weight_est"))
+  }
+
+  /** Per-stratum priority sampling: the k highest-priority rows of
+    * EVERY stratum (per-language / per-source budgeted slices in one
+    * pass). The rank-≤-k predicate on a row_number window plans as
+    * WindowGroupLimit, so each task keeps a k-sized heap per stratum
+    * group — no stratum is ever materialized whole. No τ/estimator
+    * columns here (τ is per-stratum the caller can derive by running
+    * k+1); ties break by id. Output: id, stratum, weight, priority,
+    * sample_rank.
+    */
+  def prioritySamplePerStratum(df: DataFrame, id: String,
+      stratum: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("priority").desc, col(id).asc)
+    df.select(col(id), col(stratum).as("stratum"),
+        weight.cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("priority", priorityCol(col(id), col("weight")))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 }

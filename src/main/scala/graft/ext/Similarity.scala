@@ -315,6 +315,57 @@ object Similarity {
     transform(v, x => x.cast("double") / n)
   }
 
+  /** Deterministic Rademacher (±1) sign matrix for random projection
+    * (Achlioptas, "Database-friendly random projections", JCSS 66(4),
+    * 2003: ±1 entries satisfy the Johnson-Lindenstrauss lemma like
+    * Gaussians do, with exact integer-friendly arithmetic): sign(k,j)
+    * = +1 iff the 60-bit md5 hash of "k:j" is even. Computed ONCE
+    * driver-side and baked as literals into both the Spark plan and
+    * the oracle SQL — no RNG state, reruns and engines agree exactly.
+    */
+  def rprojSigns(inDims: Int, outDims: Int): IndexedSeq[IndexedSeq[Double]] = {
+    require(inDims > 0 && outDims > 0 && outDims <= inDims,
+      s"need 0 < outDims <= inDims: $inDims -> $outDims")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDims).map(k => (0 until inDims).map { j =>
+      val hex = md.digest(s"$k:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 0L) 1.0 else -1.0
+    })
+  }
+
+  /** Johnson-Lindenstrauss random projection of the embedding column
+    * to `signs.length` dimensions: y_k = Σ_j sign(k,j)·x_j, each
+    * output dim one codegen'd graft_dot against a literal ±1 vector.
+    * Multiplying by ±1.0 is EXACT in IEEE, so y_k is the same
+    * left-to-right fold the DuckDB oracle's list_sum computes —
+    * bit-identical cross-engine, no rounding column needed.
+    *
+    * Scale shape: a pure per-row projection (zero shuffles) that
+    * shrinks every downstream shuffle/broadcast of the vector column
+    * by inDims/outDims (64→16 = 4×) — the standard first move before
+    * brute-force candidate generation at corpus scale. Adds `proj`
+    * (array<double>, length outDims).
+    */
+  def randomProject(df: DataFrame, vec: String,
+      signs: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    df.withColumn("proj", array(signs.map(sv =>
+      call_function("graft_dot", col(vec), array(sv.map(lit(_)): _*))): _*))
+
+  /** Brute-force cosine top-k in PROJECTED space: project both sides
+    * (map-side, no shuffle), then [[bruteForceTopK]] over the short
+    * vectors — the JL-shortlist retriever (rank by projected cosine,
+    * optionally rerank the shortlist with true cosine via [[rerank]]).
+    * Same output contract as bruteForceTopK.
+    */
+  def rprojTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, signs: IndexedSeq[IndexedSeq[Double]],
+      excludeSelf: Boolean = true): DataFrame =
+    bruteForceTopK(
+      randomProject(queries, vec, signs).select(col(id), col("proj")),
+      randomProject(corpus, vec, signs).select(col(id), col("proj")),
+      id, "proj", k, excludeSelf)
+
   /** Stage unit vector + per-subspace slices as real columns:
     * `transform`/`slice` are not collapse-cheap, so Catalyst keeps
     * these Projects separate and each value is computed ONCE per row
@@ -486,10 +537,19 @@ object Similarity {
     * Output: one row per input — id, cell (seed id), dup_of (smallest
     * earlier same-cell id with cosine ≥ τ; NULL for keepers), keep.
     */
-  def semanticDedup(df: DataFrame, id: String, vec: String,
-      nSeeds: Int = 16, tau: Double = 0.35): DataFrame = {
-    // bounded, deterministic seed collect (id-ordered prefix — the
-    // trainPq/ivfTopK sampling contract)
+  /** Pinned-seed cell assignment — the coarse quantizer shared by
+    * [[semanticDedup]] and [[clusterBalancedSample]]: seeds = the
+    * nSeeds smallest-id vectors (bounded, deterministic collect — the
+    * trainPq/ivfTopK sampling contract), every vector assigned to its
+    * argmax-cosine seed as a pure projection: per seed
+    * struct(-cos, seed_id), array_sort, head — double negation is
+    * exact, so ascending -cos ≡ descending cos, ties to the smaller
+    * seed id. Zero-norm guard: the shared [[safeCosine]] pin (-2.0)
+    * so the NaN ordering divergence between engines can never decide
+    * a cell. Output: id, __v (the vector), __n (its norm), cell.
+    */
+  def assignCells(df: DataFrame, id: String, vec: String,
+      nSeeds: Int): DataFrame = {
     val seedRows = df.orderBy(col(id)).limit(nSeeds)
       .select(col(id).cast("long"), col(vec)).collect()
     val seedArr = array(seedRows.map { r =>
@@ -497,19 +557,18 @@ object Similarity {
       struct(lit(r.getLong(0)).as("seed_id"),
         array(sv.map(lit(_)): _*).as("sv"))
     }: _*)
-    // argmax cosine as a projection: per seed struct(-cos, seed_id),
-    // array_sort, head — double negation is exact, so ascending -cos
-    // ≡ descending cos, ties to the smaller seed id. Zero-norm guard:
-    // the shared safeCosine pin (-2.0) so the NaN ordering divergence
-    // between engines can never decide a cell.
-    def safeCos(d: Column, den: Column): Column = safeCosine(d, den)
     val best = element_at(array_sort(transform(seedArr, st =>
-      struct((lit(0d) - safeCos(dot(col("__v"), st.getField("sv")),
+      struct((lit(0d) - safeCosine(dot(col("__v"), st.getField("sv")),
         col("__n") * norm(st.getField("sv")))).as("negcos"),
         st.getField("seed_id").as("seed_id")))), 1)
-    val assigned = df
-      .select(col(id), col(vec).as("__v"), norm(col(vec)).as("__n"))
+    df.select(col(id), col(vec).as("__v"), norm(col(vec)).as("__n"))
       .withColumn("cell", best.getField("seed_id"))
+  }
+
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+      nSeeds: Int = 16, tau: Double = 0.35): DataFrame = {
+    def safeCos(d: Column, den: Column): Column = safeCosine(d, den)
+    val assigned = assignCells(df, id, vec, nSeeds)
     val a = assigned.select(col(id).as("id_a"), col("__v").as("__va"),
       col("__n").as("__na"), col("cell"))
     val b = assigned.select(col(id).as("id_b"), col("__v").as("__vb"),
@@ -547,6 +606,26 @@ object Similarity {
       .select(col("n_true"), col("n_caught"),
         (col("n_caught") * 100 >= col("n_true") * minPct).as("recall_ok"))
   }
+
+  /** Cluster-balanced diversity sampling — the D4 recipe (Tirumala
+    * et al., "D4: Improving LLM Pretraining via Document
+    * De-Duplication and Diversification", NeurIPS 2023): cluster the
+    * corpus in embedding space, then sample per cluster so
+    * over-represented regions (boilerplate-heavy domains, template
+    * families) cannot dominate the training mix. Assignment is the
+    * pinned-seed argmax-cosine quantizer ([[assignCells]] — a pure
+    * broadcast projection, no shuffle); the per-cell keep is k by
+    * deterministic hash rank ([[Sampling.prioritySamplePerStratum]]
+    * with unit weights = uniform without-replacement per cell), which
+    * plans as WindowGroupLimit — a k-sized heap per cell per task, no
+    * cell ever materialized whole. Output: id, cell, sample_rank.
+    */
+  def clusterBalancedSample(df: DataFrame, id: String, vec: String,
+      nSeeds: Int = 16, k: Int = 10): DataFrame =
+    Sampling.prioritySamplePerStratum(
+      assignCells(df, id, vec, nSeeds).select(col(id), col("cell")),
+      id, "cell", lit(1L), k)
+      .select(col(id), col("stratum").as("cell"), col("sample_rank"))
 
   /** Margin-based nearest-neighbor pair mining — the ratio-margin
     * criterion of Artetxe & Schwenk 2019 ("Margin-based Parallel

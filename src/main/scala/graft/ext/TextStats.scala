@@ -1334,4 +1334,111 @@ object TextStats {
           greatest(col("tp") + col("fn"), col("fp") + col("tn")))
           .as("beats_majority"))
 
+  /** Count-min sketch of corpus token frequencies (Cormode &
+    * Muthukrishnan, "An improved data stream summary: the count-min
+    * sketch and its applications", J. Algorithms 55(1), 2005) —
+    * the fixed-size companion to the exact-but-vocabulary-sized
+    * `group by token` and the Misra-Gries top-k: `depth` hash rows ×
+    * `width` buckets of exact counters, est(x) = min_j cell[j][h_j(x)],
+    * guaranteeing est ≥ true count always and est ≤ true + 2N/width
+    * with probability 1 − 2^-depth per query.
+    *
+    * Scale shape: the build is ONE aggregate whose map-side combine
+    * collapses every partition to ≤ depth·width cells before the
+    * shuffle — the sketch state is O(depth·width) regardless of corpus
+    * or vocabulary size, and two sketches of disjoint shards merge by
+    * cell-wise addition (the aggregate itself). At 100 TB this is the
+    * only way to answer "how often does token x appear" without
+    * shuffling a billion-term vocabulary. Bucket hash is the portable
+    * 60-bit md5 prefix of `j || ':' || token`, replayable in DuckDB.
+    * Output: j, bucket, cnt (≤ depth·width rows).
+    */
+  def cmSketch(df: DataFrame, text: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    df.select(explode(tokens(col(text))).as("word"))
+      .select(explode(array((0 until depth).map(j => struct(
+        lit(j).as("j"),
+        pmod(Dedup.hash60(concat(lit(s"$j:"), col("word"))),
+          lit(width.toLong)).as("bucket"))): _*)).as("__jb"))
+      .groupBy(col("__jb.j").as("j"), col("__jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[cmSketch]] for an item table: est(x) =
+    * min over the depth rows of the cell the item hashes to. The
+    * sketch (≤ depth·width rows) broadcasts; the items side stays
+    * partitioned — estimating any number of items is a map-side join.
+    * Items absent from every cell estimate 0 (their buckets may still
+    * collide into positive cells — the CM overestimate, never under).
+    * Output: item, est_cnt.
+    */
+  def cmEstimate(sketch: DataFrame, items: DataFrame, item: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    items
+      .select(col(item), explode(array((0 until depth).map(j => struct(
+        lit(j).as("j"),
+        pmod(Dedup.hash60(concat(lit(s"$j:"), col(item))),
+          lit(width.toLong)).as("bucket"))): _*)).as("__jb"))
+      .join(broadcast(sketch),
+        col("__jb.j") === sketch("j") && col("__jb.bucket") === sketch("bucket"),
+        "left")
+      .groupBy(col(item))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+
+  /** Sketch-vs-exact audit for the k most frequent tokens: exact
+    * count, CM estimate, the overestimate (collision mass), and
+    * `sound` = est ≥ exact — a THEOREM of the sketch (counters only
+    * ever add), so the column is structurally all-true and the oracle
+    * replays it exactly. Output: word, exact_cnt, est_cnt,
+    * overestimate, sound.
+    */
+  def cmSketchCheck(df: DataFrame, text: String,
+      depth: Int = 4, width: Int = 256, k: Int = 30): DataFrame = {
+    val exact = df.select(explode(tokens(col(text))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("word").asc)
+      .limit(k)
+    val est = cmEstimate(cmSketch(df, text, depth, width),
+      exact.select("word"), "word", depth, width)
+    exact.join(est, "word")
+      .select(col("word"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overestimate"),
+        (col("est_cnt") >= col("exact_cnt")).as("sound"))
+  }
+
+  /** Unicode normalization (UAX #15) of a string column via the
+    * native codegen'd [[graft.functions.NormalizeUnicode]] expression
+    * — `form` one of NFC/NFD/NFKC/NFKD (literal). NFC is the
+    * canonical pre-dedup/pre-hash form (exactly mirrored by DuckDB's
+    * `nfc_normalize`); NFKC additionally folds compatibility
+    * variants (ligatures, full-width forms) — the usual choice before
+    * tokenization. Requires a session built with
+    * [[graft.GraftExtensions]].
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    call_function("graft_normalize", text, lit(form))
+
+  /** Normalization audit over a corpus: for each document, whether
+    * NFC normalization changes the byte string (i.e. the document
+    * contains decomposed/unordered combining sequences that would
+    * defeat exact-hash dedup), the code-point length before/after
+    * (NFC composition shortens), and the md5 of the normalized text —
+    * the key every downstream dedup/fingerprint operator should hash
+    * instead of the raw bytes. One projection, zero shuffles: at
+    * 100 TB this is a map-side rewrite fused into the scan.
+    * Output: id, changed, len_raw, len_nfc, nfc_hash.
+    */
+  def unicodeNormAudit(df: DataFrame, id: String,
+      text: String): DataFrame = {
+    val norm = normalizeUnicode(col(text), "NFC")
+    df.select(col(id),
+      (norm =!= col(text)).as("changed"),
+      length(col(text)).as("len_raw"),
+      length(norm).as("len_nfc"),
+      md5(norm).as("nfc_hash"))
+  }
+
 }

@@ -1520,6 +1520,206 @@ class ExtSpec extends SparkTestBase {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  // independent reimplementation of the 60-bit hash + DLT priority
+  private def prio(id: Long, w: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    w.toDouble * 1.152921504606846976e18 / (h + 1L).toDouble
+  }
+
+  test("prioritySample: exact top-k by w/u priority, unbiased tau estimator") {
+    import spark.implicits._
+    val rows = (1L to 20L).map(i => (i, i * 10L)) :+ (21L, 0L)
+    val d = rows.toDF("doc_id", "w")
+    val out = Sampling.prioritySample(d, "doc_id", col("w"), k = 5)
+      .orderBy("sample_rank").collect()
+    assert(out.length == 5)
+    // expected: rank by priority desc over the 20 positive-weight rows
+    val expect = (1L to 20L).map(i => (i, i * 10L, prio(i, i * 10L)))
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = expect(5)._3 // the (k+1)-th priority
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("doc_id") == expect(i)._1)
+      assert(r.getAs[Long]("weight") == expect(i)._2)
+      assert(r.getAs[Double]("priority") == expect(i)._3) // bit-exact
+      assert(r.getAs[Int]("sample_rank") == i + 1)
+      assert(r.getAs[Double]("weight_est") == math.max(expect(i)._2.toDouble, tau))
+    }
+    // zero-weight row 21 can never appear even with a huge k
+    val all = Sampling.prioritySample(d, "doc_id", col("w"), k = 50).collect()
+    assert(all.length == 20 && !all.exists(_.getAs[Long]("doc_id") == 21L))
+    // underfull sample: tau = 0 so the estimator degrades to w itself
+    assert(all.forall(r =>
+      r.getAs[Double]("weight_est") == r.getAs[Long]("weight").toDouble))
+  }
+
+  test("prioritySamplePerStratum keeps the k best of every stratum") {
+    import spark.implicits._
+    val d = (1L to 12L).map(i => (i, if (i % 2 == 0) "a" else "b", 100L - i))
+      .toDF("doc_id", "lang", "w")
+    val out = Sampling.prioritySamplePerStratum(d, "doc_id", "lang",
+      col("w"), k = 2).collect()
+    assert(out.length == 4)
+    val byStratum = out.groupBy(_.getAs[String]("stratum"))
+    assert(byStratum.keySet == Set("a", "b"))
+    byStratum.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("sample_rank")).sorted.toSeq == Seq(1, 2))
+      // each stratum's rank-1 really is its max-priority member
+      val ids = d.collect().filter(r =>
+        r.getAs[String]("lang") == rs.head.getAs[String]("stratum"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w")))
+      val best = ids.map { case (id, w) => (id, prio(id, w)) }
+        .sortBy { case (id, p) => (-p, id) }.head._1
+      assert(rs.find(_.getAs[Int]("sample_rank") == 1).get
+        .getAs[Long]("doc_id") == best)
+    }
+  }
+
+  test("clusterBalancedSample keeps k per argmax-cosine cell") {
+    import spark.implicits._
+    // two well-separated directions; ids 1,2 are the pinned seeds
+    val a = Seq(1f, 0f, 0f, 0f); val b = Seq(0f, 0f, 1f, 0f)
+    def near(v: Seq[Float], eps: Float) = v.map(_ + eps).updated(1, eps)
+    val d = Seq(
+      (1L, a), (2L, b),
+      (3L, near(a, 0.01f)), (4L, near(a, 0.02f)), (5L, near(a, 0.03f)),
+      (6L, near(b, 0.01f)), (7L, near(b, 0.02f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(d, "vec_id", "embedding",
+      nSeeds = 2, k = 2).collect()
+    val byCell = out.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.keySet == Set(1L, 2L))
+    // every cell capped at k, ranks contiguous from 1
+    byCell.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("sample_rank")).sorted.toSeq == Seq(1, 2))
+    }
+    // members landed with their own direction's seed
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val expected = if (id == 1L || id == 3L || id == 4L || id == 5L) 1L else 2L
+      assert(r.getAs[Long]("cell") == expected, s"vec $id")
+    }
+  }
+
+  test("randomProject: hand-checked signed sums; rprojSigns deterministic ±1") {
+    import spark.implicits._
+    val signs = IndexedSeq(IndexedSeq(1.0, -1.0, 1.0), IndexedSeq(-1.0, 1.0, 1.0))
+    val d = Seq((1L, Seq(1.0f, 2.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(d, "embedding", signs)
+      .select("proj").head.getSeq[Double](0)
+    assert(out == Seq(3.0, 5.0)) // 1-2+4, -1+2+4
+    val s1 = Similarity.rprojSigns(8, 4)
+    assert(s1 == Similarity.rprojSigns(8, 4))
+    assert(s1.length == 4 && s1.forall(_.length == 8))
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(s1.flatten.toSet.size == 2) // both signs occur
+  }
+
+  test("rprojTopK: an exact duplicate is its twin's top projected neighbor") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.rprojTopK(d.filter(col("vec_id") === 1), d,
+      "vec_id", "embedding", k = 1, Similarity.rprojSigns(4, 4)).collect()
+    // identical vectors project identically -> projected cosine 1;
+    // any tie at cosine 1 breaks to the smaller id, which is the twin
+    assert(out.length == 1 && out.head.getAs[Long]("vec_id") == 2L)
+  }
+
+  test("cmSketch: estimates exact when wide, sound (never under) when narrow") {
+    val d = docs((1L, "a a a b b c"), (2L, "a b d d d d"))
+    // wide grid: 4x1024 over 4 distinct words — collisions are
+    // possible in principle but these hashes spread; assert est==exact
+    val wide = TextStats.cmSketchCheck(d, "text", depth = 4,
+      width = 1024, k = 10).collect()
+    assert(wide.length == 4)
+    val exact = Map("a" -> 4L, "b" -> 3L, "c" -> 1L, "d" -> 4L)
+    wide.foreach { r =>
+      assert(r.getAs[Long]("exact_cnt") == exact(r.getAs[String]("word")))
+      assert(r.getAs[Long]("est_cnt") == r.getAs[Long]("exact_cnt"))
+      assert(r.getAs[Boolean]("sound"))
+    }
+    // narrow grid: 1x2 forces collisions — soundness is a theorem,
+    // and total mass per row is conserved so SOME word overestimates
+    val narrow = TextStats.cmSketchCheck(d, "text", depth = 1,
+      width = 2, k = 10).collect()
+    assert(narrow.forall(_.getAs[Boolean]("sound")))
+    assert(narrow.forall(_.getAs[Long]("overestimate") >= 0L))
+    assert(narrow.map(_.getAs[Long]("est_cnt")).sum >
+      narrow.map(_.getAs[Long]("exact_cnt")).sum)
+    // sketch state is bounded by depth*width regardless of input
+    assert(TextStats.cmSketch(d, "text", depth = 4, width = 8).count() <= 32)
+  }
+
+  test("cmEstimate: absent item estimates its collision mass, never negative") {
+    import spark.implicits._
+    val d = docs((1L, "x y z"))
+    val sketch = TextStats.cmSketch(d, "text", depth = 4, width = 1024)
+    val items = Seq("x", "absent-token").toDF("word")
+    val out = TextStats.cmEstimate(sketch, items, "word", depth = 4,
+      width = 1024).orderBy("word").collect()
+    assert(out.find(_.getAs[String]("word") == "x")
+      .get.getAs[Long]("est_cnt") == 1L)
+    assert(out.find(_.getAs[String]("word") == "absent-token")
+      .get.getAs[Long]("est_cnt") >= 0L)
+  }
+
+  test("normalizeUnicode: NFC composes, reorders, leaves ligatures; NFKC folds") {
+    import spark.implicits._
+    val decomposedCafe = "café"          // e + combining acute
+    val misordered = "ȩ́"           // acute(230) BEFORE cedilla(202)
+    val ligature = "ﬁle"                  // ﬁ ligature
+    val fullwidth = "ＡＢ"             // full-width AB
+    val d = Seq((1L, decomposedCafe), (2L, misordered), (3L, ligature),
+      (4L, fullwidth), (5L, "plain ascii")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextStats.normalizeUnicode(col("text"), "NFC").as("nfc"),
+        TextStats.normalizeUnicode(col("text"), "NFKC").as("nfkc"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("nfc") == "café")
+    // canonical reordering puts cedilla first, then composes e+cedilla
+    // to U+0229 and stacks the acute — exactly what java.text and
+    // utf8proc both produce under UAX #15
+    assert(out(1).getAs[String]("nfc").head == 'ȩ')
+    assert(out(1).getAs[String]("nfc").length == 2) // U+0229 + U+0301
+    // NFC never touches compatibility forms; NFKC folds them
+    assert(out(2).getAs[String]("nfc") == ligature)
+    assert(out(2).getAs[String]("nfkc") == "file")
+    assert(out(3).getAs[String]("nfkc") == "AB")
+    assert(out(4).getAs[String]("nfc") == "plain ascii")
+  }
+
+  test("normalizeUnicode is idempotent and null-safe") {
+    import spark.implicits._
+    val d = Seq((1L, Some("café")), (2L, None))
+      .toDF("doc_id", "text")
+    val once = TextStats.normalizeUnicode(col("text"), "NFC")
+    val out = d.select(col("doc_id"), once.as("n1"),
+        TextStats.normalizeUnicode(once, "NFC").as("n2"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("n1") == out(0).getAs[String]("n2"))
+    assert(out(1).getAs[String]("n1") == null &&
+      out(1).getAs[String]("n2") == null)
+  }
+
+  test("unicodeNormAudit flags changed docs and counts code points") {
+    import spark.implicits._
+    val d = Seq((1L, "abc café"), (2L, "clean")).toDF("doc_id", "text")
+    val out = TextStats.unicodeNormAudit(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("changed"))
+    // e + combining acute (2 code points) composes to é (1)
+    assert(out(0).getAs[Int]("len_raw") == 9 &&
+      out(0).getAs[Int]("len_nfc") == 8)
+    assert(!out(1).getAs[Boolean]("changed"))
+    assert(out(1).getAs[Int]("len_raw") == 5 &&
+      out(1).getAs[Int]("len_nfc") == 5)
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

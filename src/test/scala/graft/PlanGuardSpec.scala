@@ -257,6 +257,24 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("prioritySample plans as TakeOrdered heap; per-stratum as WindowGroupLimit") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, sfDir)
+      val global = graft.ext.Sampling.prioritySample(docs, "doc_id",
+        col("n_chars"), k = 25)
+      val gp = global.queryExecution.executedPlan.toString
+      // the corpus-axis top-(k+1) must be a per-partition heap merge,
+      // never a full global sort of the corpus
+      assert(gp.contains("TakeOrderedAndProject"),
+        s"top-k must plan as TakeOrderedAndProject:\n$gp")
+      val strat = graft.ext.Sampling.prioritySamplePerStratum(docs,
+        "doc_id", "lang", col("n_chars"), k = 5)
+      val sp = strat.queryExecution.executedPlan.toString
+      assert(sp.contains("WindowGroupLimit"),
+        s"per-stratum rank<=k must plan as WindowGroupLimit:\n$sp")
+    }
+  }
+
   test("quantileBuckets has no global-sort window; boundaries broadcast") {
     withStaticPlans {
       val docs = Tables.documents(spark, sfDir)

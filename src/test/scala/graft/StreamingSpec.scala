@@ -202,6 +202,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cmSketch merges across micro-batches: stream-accumulated cells ≡ batch sketch") {
+    // THE defining property of the count-min sketch at scale: sketches
+    // of disjoint shards merge by cell-wise addition. Streamed as
+    // foreachBatch, each micro-batch contributes its own d×w grid and
+    // the running merge (union → groupBy sum) must equal the sketch
+    // of the whole corpus built in one pass — which also makes the
+    // streaming twin's estimates identical to batch estimates.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val batches = Seq(
+      Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta delta")),
+      Seq((3L, "alpha delta delta"), (4L, "gamma gamma gamma epsilon")))
+    val input = MemoryStream[(Long, String)]
+    val partials = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Int, Long, Long)]]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialized INSIDE the invocation — a micro-batch plan is
+        // only valid while its batch is live
+        partials += graft.ext.TextStats.cmSketch(batch, "text",
+          depth = 4, width = 64).collect().toSeq
+          .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket"),
+            r.getAs[Long]("cnt")))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      assert(partials.length == 2)
+      // cell-wise addition of the per-shard grids
+      val merged = partials.flatten
+        .groupBy { case (j, b, _) => (j, b) }
+        .map { case ((j, b), cs) => (j, b, cs.map(_._3).sum) }
+        .toSeq.sorted
+      val whole = graft.ext.TextStats.cmSketch(
+        batches.flatten.toDF("doc_id", "text"), "text",
+        depth = 4, width = 64)
+        .collect()
+        .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+        .toSeq.sorted
+      assert(merged == whole)
+    } finally q.stop()
+  }
+
   test("unified dedupIngest streams per micro-batch via foreachBatch; batch ≡ stream") {
     // the UNIFIED ingest verdict (exact + cross-corpus near +
     // intra-batch near) under a stream: the intra-batch SimHash
