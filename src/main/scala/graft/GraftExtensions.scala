@@ -47,8 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_normalize takes (text, form) with form a literal")
         require(children(1).foldable,
           "graft_normalize form must be a literal string")
-        NormalizeUnicode(children(0),
-          children(1).eval().toString)
+        val form = children(1).eval()
+        require(form != null,
+          "graft_normalize form must be one of NFC|NFD|NFKC|NFKD, got NULL")
+        NormalizeUnicode(children(0), form.toString)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),

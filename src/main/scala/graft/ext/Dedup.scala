@@ -671,12 +671,12 @@ object Dedup {
       text: String, maxDist: Int = 3,
       knownFp: Option[DataFrame] = None,
       knownIndex: Option[DataFrame] = None): DataFrame = {
-    // a provided index is re-deduplicated defensively (cheap on an
-    // index-sized table): duplicate hash rows would silently fan out
-    // the left join below
+    // the defensive distinct over a provided index (duplicate hash
+    // rows would silently fan out the left join) lives in ONE place:
+    // dedupIngestIndexed applies it to whatever index arrives here
     val index = knownIndex
-      .map(_.select(col("text_hash")).distinct())
-      .getOrElse(known.select(normHash(col(text)).as("text_hash")).distinct())
+      .map(_.select(col("text_hash")))
+      .getOrElse(known.select(normHash(col(text)).as("text_hash")))
     val fpK = knownFp.getOrElse(simHash(known, id, text))
     dedupIngestIndexed(fresh, fpK, index, id, text, maxDist)
   }

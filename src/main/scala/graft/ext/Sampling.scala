@@ -313,11 +313,13 @@ object Sampling {
 
   /** Deterministic priority q = w/u for one row: u = (60-bit id hash
     * + 1)/2^60 ∈ (0, 1], so q = w·2^60/(h+1). Every step is either
-    * exact (BIGINT +1; w and 2^60 are exact doubles; multiplying by a
-    * power of two only shifts the exponent) or a single correctly-
-    * rounded IEEE op (the int→double conversion of h+1, the final
-    * division), so the SAME bits come out of Spark and DuckDB — no
-    * pow/log/exp, whose libm implementations differ across engines.
+    * exact (BIGINT +1; multiplying by 2^60 — a power of two — only
+    * shifts the exponent) or a single correctly-rounded IEEE op (the
+    * weight's and h+1's casts to double, the final division), so the
+    * SAME bits come out of Spark and DuckDB — no pow/log/exp, whose
+    * libm implementations differ across engines. Weights stay DOUBLE
+    * end to end: fractional weights (quality scores in (0,1)) are
+    * first-class, never truncated.
     */
   private def priorityCol(id: Column, weight: Column): Column =
     weight.cast("double") * lit(1.152921504606846976e18) /
@@ -346,7 +348,7 @@ object Sampling {
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val top = df
-      .select(col(id), weight.cast("long").as("weight"))
+      .select(col(id), weight.cast("double").as("weight"))
       .filter(col("weight") > 0)
       .withColumn("priority", priorityCol(col(id), col("weight")))
       .orderBy(col("priority").desc, col(id).asc)
@@ -359,7 +361,7 @@ object Sampling {
         col("priority")).otherwise(lit(0.0))).over(all))
       .filter(col("sample_rank") <= k)
       .select(col(id), col("weight"), col("priority"), col("sample_rank"),
-        greatest(col("weight").cast("double"), col("__tau")).as("weight_est"))
+        greatest(col("weight"), col("__tau")).as("weight_est"))
   }
 
   /** Per-stratum priority sampling: the k highest-priority rows of
@@ -377,7 +379,7 @@ object Sampling {
     val w = Window.partitionBy(col("stratum"))
       .orderBy(col("priority").desc, col(id).asc)
     df.select(col(id), col(stratum).as("stratum"),
-        weight.cast("long").as("weight"))
+        weight.cast("double").as("weight"))
       .filter(col("weight") > 0)
       .withColumn("priority", priorityCol(col(id), col("weight")))
       .withColumn("sample_rank", row_number().over(w))

@@ -567,7 +567,6 @@ object Similarity {
 
   def semanticDedup(df: DataFrame, id: String, vec: String,
       nSeeds: Int = 16, tau: Double = 0.35): DataFrame = {
-    def safeCos(d: Column, den: Column): Column = safeCosine(d, den)
     val assigned = assignCells(df, id, vec, nSeeds)
     val a = assigned.select(col(id).as("id_a"), col("__v").as("__va"),
       col("__n").as("__na"), col("cell"))
@@ -575,7 +574,7 @@ object Similarity {
       col("__n").as("__nb"), col("cell"))
     val dupEdges = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(safeCos(dot(col("__va"), col("__vb")),
+      .filter(safeCosine(dot(col("__va"), col("__vb")),
         col("__na") * col("__nb")) >= tau)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
     assigned.join(dupEdges, col(id) === col("id_b"), "left")

@@ -1521,12 +1521,12 @@ class ExtSpec extends SparkTestBase {
   }
 
   // independent reimplementation of the 60-bit hash + DLT priority
-  private def prio(id: Long, w: Long): Double = {
+  private def prio(id: Long, w: Double): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(15)
     val h = java.lang.Long.parseLong(hex, 16)
-    w.toDouble * 1.152921504606846976e18 / (h + 1L).toDouble
+    w * 1.152921504606846976e18 / (h + 1L).toDouble
   }
 
   test("prioritySample: exact top-k by w/u priority, unbiased tau estimator") {
@@ -1537,22 +1537,37 @@ class ExtSpec extends SparkTestBase {
       .orderBy("sample_rank").collect()
     assert(out.length == 5)
     // expected: rank by priority desc over the 20 positive-weight rows
-    val expect = (1L to 20L).map(i => (i, i * 10L, prio(i, i * 10L)))
+    val expect = (1L to 20L).map(i => (i, i * 10.0, prio(i, i * 10.0)))
       .sortBy { case (id, _, p) => (-p, id) }
     val tau = expect(5)._3 // the (k+1)-th priority
     out.zipWithIndex.foreach { case (r, i) =>
       assert(r.getAs[Long]("doc_id") == expect(i)._1)
-      assert(r.getAs[Long]("weight") == expect(i)._2)
+      assert(r.getAs[Double]("weight") == expect(i)._2)
       assert(r.getAs[Double]("priority") == expect(i)._3) // bit-exact
       assert(r.getAs[Int]("sample_rank") == i + 1)
-      assert(r.getAs[Double]("weight_est") == math.max(expect(i)._2.toDouble, tau))
+      assert(r.getAs[Double]("weight_est") == math.max(expect(i)._2, tau))
     }
     // zero-weight row 21 can never appear even with a huge k
     val all = Sampling.prioritySample(d, "doc_id", col("w"), k = 50).collect()
     assert(all.length == 20 && !all.exists(_.getAs[Long]("doc_id") == 21L))
     // underfull sample: tau = 0 so the estimator degrades to w itself
     assert(all.forall(r =>
-      r.getAs[Double]("weight_est") == r.getAs[Long]("weight").toDouble))
+      r.getAs[Double]("weight_est") == r.getAs[Double]("weight")))
+  }
+
+  test("prioritySample: fractional weights (quality scores) are first-class") {
+    import spark.implicits._
+    val d = Seq((1L, 0.9), (2L, 0.5), (3L, 0.1), (4L, 0.0))
+      .toDF("doc_id", "q")
+    val out = Sampling.prioritySample(d, "doc_id", col("q"), k = 2)
+      .orderBy("sample_rank").collect()
+    // nothing truncates to zero: the three positive-score docs compete
+    val expect = Seq(1L, 2L, 3L).map(i =>
+      (i, prio(i, d.collect().find(_.getLong(0) == i).get.getDouble(1))))
+      .sortBy { case (id, p) => (-p, id) }
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == expect.take(2).map(_._1))
+    assert(out.head.getAs[Double]("priority") == expect.head._2)
   }
 
   test("prioritySamplePerStratum keeps the k best of every stratum") {
