@@ -1279,6 +1279,16 @@ object SparkEntry {
     "q_text_clean" -> ((s, dir) =>
       TextStats.cleanText(Tables.documents(s, dir), "doc_id", "text")),
 
+    // the WHOLE curation pipeline as one declarative DAG: quality +
+    // language gates, NEAR-dup family keeper (exact dups are
+    // hamming-0 family members, so this subsumes the exact-hash
+    // keeper), leakage-safe split by family hash. Every verdict
+    // carries its reason bits.
+    "q_curation_e2e" -> ((s, dir) =>
+      TextStats.curationPipeline(Tables.documents(s, dir), "doc_id",
+        "text", minQuality = 0.5, keepLangs = Seq("en"),
+        maxDist = 3, trainBps = 9000, valBps = 500)),
+
     // end-to-end curation decision: exact-dedup keeper AND quality
     // AND language — the composition a training-data pipeline ships.
     "q_corpus_filter" -> ((s, dir) =>
@@ -4374,6 +4384,70 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
         |       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls
         |FROM c""".stripMargin,
+
+    // the e2e composite reuses the shared simhash chain's wd (its
+    // definition is byte-identical to q_corpus_filter's) for the
+    // quality/language aggregates, the q_split_safe_near family
+    // closure for keeper+split, and q_corpus_filter's gate CTEs
+    // verbatim — one definition per piece, three green standalone
+    // oracles composed.
+    "q_curation_e2e" ->
+      (s"WITH RECURSIVE $simhashCteBody, pr AS (\n" +
+        """  SELECT id_a, id_b FROM cd WHERE bit_count(xor(ha, hb)) <= 3
+          |), e AS (
+          |  SELECT id_a AS a, id_b AS b FROM pr
+          |  UNION ALL SELECT id_b, id_a FROM pr
+          |), reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+          |), cl AS (
+          |  SELECT id AS doc_id, min(r) AS family_id FROM reach GROUP BY id
+          |), sb AS (
+          |  SELECT doc_id, family_id,
+          |         CAST(CAST(('0x' || substr(md5(CAST(family_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |              % 10000 AS INT) AS bucket
+          |  FROM cl
+          |), qa AS (
+          |  SELECT doc_id, count(*) AS wc, count(DISTINCT w) AS dw,
+          |         sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS sc
+          |  FROM wd GROUP BY doc_id
+          |), q AS (
+          |  SELECT doc_id,
+          |         round((least(CAST(wc AS DOUBLE) / 100.0, 1.0)
+          |               + least(CAST(sc AS DOUBLE) / wc * 5.0, 1.0)
+          |               + least(CAST(dw AS DOUBLE) / wc * 2.0, 1.0)) / 3.0, 6) >= 0.5 AS quality_ok
+          |  FROM qa
+          |), la AS (
+          |  SELECT doc_id, count(*) AS n,
+          |         sum(CASE WHEN w IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS h_de,
+          |         sum(CASE WHEN w IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS h_en,
+          |         sum(CASE WHEN w IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS h_es,
+          |         sum(CASE WHEN w IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS h_fr
+          |  FROM wd GROUP BY doc_id
+          |), ls AS (
+          |  SELECT doc_id,
+          |         CAST(h_de AS DOUBLE)/n AS s_de, CAST(h_en AS DOUBLE)/n AS s_en,
+          |         CAST(h_es AS DOUBLE)/n AS s_es, CAST(h_fr AS DOUBLE)/n AS s_fr,
+          |         CAST(0 AS DOUBLE)/n AS s_zh
+          |  FROM la
+          |), lp AS (
+          |  SELECT doc_id,
+          |         CASE WHEN s_zh > (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN s_fr ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) END)
+          |              THEN 'zh'
+          |              ELSE (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN 'fr' ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN 'es' ELSE (CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END) END) END)
+          |         END AS lang_pred
+          |  FROM ls
+          |), l AS (
+          |  SELECT doc_id, (lang_pred IN ('en')) AS lang_ok FROM lp
+          |)
+          |SELECT sb.doc_id, sb.family_id, l.lang_ok, q.quality_ok,
+          |       (sb.doc_id = sb.family_id) AS is_keeper,
+          |       ((sb.doc_id = sb.family_id) AND q.quality_ok AND l.lang_ok) AS keep,
+          |       CASE WHEN bucket < 9000 THEN 'train'
+          |            WHEN bucket < 9500 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM sb JOIN q ON sb.doc_id = q.doc_id JOIN l ON sb.doc_id = l.doc_id""".stripMargin),
 
     "q_corpus_filter" ->
       """WITH h AS (

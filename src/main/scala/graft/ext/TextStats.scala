@@ -192,20 +192,18 @@ object TextStats {
       regexp_count(t, lit(url)).as("n_urls"))
   }
 
-  /** End-to-end curation filter — the composition a training-data
-    * pipeline actually runs: exact-dedup keeper ∧ quality ≥ minQuality
-    * ∧ language ∈ keepLangs. Emits every document with its keep/drop
-    * decision and the reason bits (kept docs have all three true).
-    * Output: id, is_keeper, quality_ok, lang_ok, keep.
+  /** Quality + language gate bits per document — the shared decision
+    * core of [[corpusFilter]] and [[curationPipeline]]: ONE
+    * tokenize+explode+groupBy computes the quality AND language
+    * aggregates (calling qualityScore + langId would tokenize and
+    * shuffle the full corpus twice); the value expressions replicate
+    * those operators term-for-term so the decisions are identical.
+    * Output: id, quality_ok, lang_ok.
     */
-  def corpusFilter(df: DataFrame, id: String, text: String,
+  def qualityLangDecisions(df: DataFrame, id: String, text: String,
       minQuality: Double = 0.5,
       keepLangs: Seq[String] = Seq("en"),
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
-    // ONE tokenize+explode+groupBy computes the quality AND language
-    // aggregates (calling qualityScore + langId would tokenize and
-    // shuffle the full corpus twice); the value expressions replicate
-    // those operators term-for-term so the decisions are identical.
     val words = df.withColumn("__w", explode(split(lower(trim(col(text))), "\\s+")))
     val langs = LangMarkers.keys.toSeq.sorted
     val langAggs = langs.map { l =>
@@ -228,13 +226,63 @@ object TextStats {
       (lit(scores.head._1), scores.head._2)) { case ((bl, bs), (l, sc)) =>
       (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
     }
+    agg.select(col(id),
+      (score >= minQuality).as("quality_ok"),
+      bestLang.isin(keepLangs: _*).as("lang_ok"))
+  }
+
+  /** End-to-end curation filter — the composition a training-data
+    * pipeline actually runs: exact-dedup keeper ∧ quality ≥ minQuality
+    * ∧ language ∈ keepLangs. Emits every document with its keep/drop
+    * decision and the reason bits (kept docs have all three true).
+    * Output: id, is_keeper, quality_ok, lang_ok, keep.
+    */
+  def corpusFilter(df: DataFrame, id: String, text: String,
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Seq("en"),
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
     val keeper = Dedup.exact(df, id, text)
       .select(col(id), (!col("is_duplicate")).as("is_keeper"))
-    keeper.join(agg.select(col(id),
-        (score >= minQuality).as("quality_ok"),
-        bestLang.isin(keepLangs: _*).as("lang_ok")), id)
+    keeper.join(
+        qualityLangDecisions(df, id, text, minQuality, keepLangs, stopwords),
+        id)
       .withColumn("keep",
         col("is_keeper") && col("quality_ok") && col("lang_ok"))
+  }
+
+  /** The WHOLE curation pipeline as one declarative DAG — what a user
+    * of this engine ships end to end: quality + language gates (the
+    * [[qualityLangDecisions]] core), NEAR-dup family keeper (SimHash
+    * connected components — an exact duplicate is a hamming-0 family
+    * member, so the near family strictly subsumes the exact-hash
+    * keeper corpusFilter uses), and the leakage-safe train/val/test
+    * split by family hash ([[Sampling.leakageSafeSplitNear]]), so a
+    * paraphrase of a kept doc can neither ship twice nor straddle
+    * train/test. keep = family keeper ∧ quality_ok ∧ lang_ok; every
+    * verdict carries its reason bits, so any dropped doc is
+    * explainable.
+    *
+    * Scale shape by part: gates = ONE tokenize shuffle with map-side
+    * partials; families = the banded SimHash pair join + pointer-
+    * doubling components (the q_dedup_clusters cost class); split =
+    * a hash projection. Catalyst fuses the three joins on the id key.
+    * Output: id, family_id, lang_ok, quality_ok, is_keeper, keep,
+    * split.
+    */
+  def curationPipeline(df: DataFrame, id: String, text: String,
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Seq("en"),
+      maxDist: Int = 3, trainBps: Int = 9000, valBps: Int = 500,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
+    val fam = Sampling.leakageSafeSplitNear(df, id, text, maxDist,
+      trainBps, valBps)
+    qualityLangDecisions(df, id, text, minQuality, keepLangs, stopwords)
+      .join(fam.select(col(id), col("family_id"), col("split")), Seq(id))
+      .withColumn("is_keeper", col(id) === col("family_id"))
+      .withColumn("keep",
+        col("is_keeper") && col("quality_ok") && col("lang_ok"))
+      .select(col(id), col("family_id"), col("lang_ok"), col("quality_ok"),
+        col("is_keeper"), col("keep"), col("split"))
   }
 
   /** Per-source curation scorecard — the aggregate a pipeline uses to

@@ -1592,6 +1592,33 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("curationPipeline: family keeper, gate bits, family-stable split") {
+    val good = ((1 to 40).map(i => s"tok$i") ++
+      Seq("the", "of", "and", "in", "a") ++
+      (1 to 60).map(i => s"w$i")).mkString(" ")
+    val spanish = Seq.fill(30)("el la de y es").mkString(" ")
+    val d = docs((1L, good), (2L, good), (3L, "x y z"), (4L, spanish))
+    val out = TextStats.curationPipeline(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // verdict for EVERY doc, never filtered away
+    // doc 1: keeper of the exact-dup family {1,2}, quality+lang ok
+    assert(out(0).getAs[Boolean]("keep") &&
+      out(0).getAs[Boolean]("is_keeper") &&
+      out(0).getAs[Long]("family_id") == 1L)
+    // doc 2: same family, not the keeper -> dropped, but SAME split
+    assert(!out(1).getAs[Boolean]("keep") &&
+      !out(1).getAs[Boolean]("is_keeper") &&
+      out(1).getAs[Long]("family_id") == 1L &&
+      out(1).getAs[String]("split") == out(0).getAs[String]("split"))
+    assert(out(1).getAs[Boolean]("quality_ok") &&
+      out(1).getAs[Boolean]("lang_ok")) // dropped ONLY for dedup
+    // doc 3: own family keeper but too short
+    assert(out(2).getAs[Boolean]("is_keeper") &&
+      !out(2).getAs[Boolean]("quality_ok") && !out(2).getAs[Boolean]("keep"))
+    // doc 4: spanish -> language gate fires
+    assert(!out(3).getAs[Boolean]("lang_ok") && !out(3).getAs[Boolean]("keep"))
+  }
+
   test("clusterBalancedSample keeps k per argmax-cosine cell") {
     import spark.implicits._
     // two well-separated directions; ids 1,2 are the pinned seeds
