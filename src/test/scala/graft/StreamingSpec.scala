@@ -246,6 +246,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("prioritySample merges across micro-batches: per-batch top-(k+1) union ≡ batch sample") {
+    // priority sampling is a mergeable/streaming summary: every
+    // element of the GLOBAL top-(k+1) has at most k elements above it
+    // globally, hence at most k above it inside its own micro-batch —
+    // so the global top-(k+1) is contained in the union of per-batch
+    // top-(k+1) lists, and re-sampling that union reproduces the
+    // batch sample EXACTLY, including τ and the max(w, τ) estimators.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val k = 4
+    val rows = (1L to 30L).map(i => (i, (i % 7 + 1) * 10.0))
+    val batches = rows.grouped(10).toSeq
+    val input = MemoryStream[(Long, Double)]
+    val partials = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Double)]]
+    val q = input.toDS().toDF("doc_id", "w").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        partials += graft.ext.Sampling
+          .prioritySample(batch, "doc_id", col("w"), k = k + 1)
+          .select("doc_id", "weight").collect().toSeq
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("weight")))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      assert(partials.length == 3)
+      val mergedIn = partials.toSeq.flatten.toDF("doc_id", "w")
+      val streamed = graft.ext.Sampling
+        .prioritySample(mergedIn, "doc_id", col("w"), k = k)
+        .orderBy("sample_rank").collect().map(_.toSeq)
+      val batchRun = graft.ext.Sampling
+        .prioritySample(rows.toDF("doc_id", "w"), "doc_id", col("w"), k = k)
+        .orderBy("sample_rank").collect().map(_.toSeq)
+      assert(streamed.toSeq == batchRun.toSeq) // ids, priorities, τ-estimators
+    } finally q.stop()
+  }
+
   test("unified dedupIngest streams per micro-batch via foreachBatch; batch ≡ stream") {
     // the UNIFIED ingest verdict (exact + cross-corpus near +
     // intra-batch near) under a stream: the intra-batch SimHash
