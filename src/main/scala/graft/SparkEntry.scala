@@ -116,15 +116,15 @@ object SparkEntry {
   private val CmsTopK = 30
 
   /** The ONE per-JVM BPE-artifact scratch dir for q_bpe_apply's
-    * store→load round trip: fixed under java.io.tmpdir, overwritten
-    * by every run (mode("overwrite")) — repeated bench reps reuse
-    * one bounded dir instead of leaking a fresh temp dir per
-    * invocation.
+    * store→load round trip: created ONCE per JVM (lazy), overwritten
+    * by every run (mode("overwrite")) — repeated bench reps reuse one
+    * bounded dir instead of leaking a fresh temp dir per invocation,
+    * while createTempDirectory keeps concurrent JVMs isolated (a
+    * fixed shared /tmp name would let one process overwrite the
+    * parquet another is mid-read on).
     */
   private lazy val bpeArtifactDir: String =
-    java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), "graft_bpe_artifact")
-      .toString
+    java.nio.file.Files.createTempDirectory("graft_bpe_artifact").toString
 
   /** The ONE Rademacher sign matrix for the JL random-projection
     * queries: computed once driver-side (md5-parity, no RNG state)
@@ -2586,6 +2586,49 @@ object SparkEntry {
        |  SELECT doc_id, $simhashFpExpr AS simhash FROM bs$sfx
        |)""".stripMargin
 
+  /** Quality/language gate CTE chain (qa … l) over a token table
+    * `wd` (doc_id, w) — the SQL twin of
+    * TextStats.qualityLangDecisions, shared VERBATIM by
+    * q_corpus_filter and q_curation_e2e so the gate formulas (quality
+    * composite, marker lists, argmax fold) exist in exactly one
+    * place; a missed hand-copy could otherwise silently diverge the
+    * two oracles while each kept passing its own parity gate.
+    */
+  private val qualityLangGateCtes: String =
+    """qa AS (
+      |  SELECT doc_id, count(*) AS wc, count(DISTINCT w) AS dw,
+      |         sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS sc
+      |  FROM wd GROUP BY doc_id
+      |), q AS (
+      |  SELECT doc_id,
+      |         round((least(CAST(wc AS DOUBLE) / 100.0, 1.0)
+      |               + least(CAST(sc AS DOUBLE) / wc * 5.0, 1.0)
+      |               + least(CAST(dw AS DOUBLE) / wc * 2.0, 1.0)) / 3.0, 6) >= 0.5 AS quality_ok
+      |  FROM qa
+      |), la AS (
+      |  SELECT doc_id, count(*) AS n,
+      |         sum(CASE WHEN w IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS h_de,
+      |         sum(CASE WHEN w IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS h_en,
+      |         sum(CASE WHEN w IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS h_es,
+      |         sum(CASE WHEN w IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS h_fr
+      |  FROM wd GROUP BY doc_id
+      |), ls AS (
+      |  SELECT doc_id,
+      |         CAST(h_de AS DOUBLE)/n AS s_de, CAST(h_en AS DOUBLE)/n AS s_en,
+      |         CAST(h_es AS DOUBLE)/n AS s_es, CAST(h_fr AS DOUBLE)/n AS s_fr,
+      |         CAST(0 AS DOUBLE)/n AS s_zh
+      |  FROM la
+      |), lp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN s_zh > (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN s_fr ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) END)
+      |              THEN 'zh'
+      |              ELSE (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN 'fr' ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN 'es' ELSE (CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END) END) END)
+      |         END AS lang_pred
+      |  FROM ls
+      |), l AS (
+      |  SELECT doc_id, (lang_pred IN ('en')) AS lang_ok FROM lp
+      |)""".stripMargin
+
   /** SimHash candidate-pair CTE chain (wd … cd), shared by the pair
     * query and the cluster query; caller prepends WITH / WITH RECURSIVE
     * and appends its tail.
@@ -4393,7 +4436,7 @@ object SparkEntry {
     // oracles composed.
     "q_curation_e2e" ->
       (s"WITH RECURSIVE $simhashCteBody, pr AS (\n" +
-        """  SELECT id_a, id_b FROM cd WHERE bit_count(xor(ha, hb)) <= 3
+        s"""  SELECT id_a, id_b FROM cd WHERE bit_count(xor(ha, hb)) <= 3
           |), e AS (
           |  SELECT id_a AS a, id_b AS b FROM pr
           |  UNION ALL SELECT id_b, id_a FROM pr
@@ -4408,90 +4451,35 @@ object SparkEntry {
           |         CAST(CAST(('0x' || substr(md5(CAST(family_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |              % 10000 AS INT) AS bucket
           |  FROM cl
-          |), qa AS (
-          |  SELECT doc_id, count(*) AS wc, count(DISTINCT w) AS dw,
-          |         sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS sc
-          |  FROM wd GROUP BY doc_id
-          |), q AS (
-          |  SELECT doc_id,
-          |         round((least(CAST(wc AS DOUBLE) / 100.0, 1.0)
-          |               + least(CAST(sc AS DOUBLE) / wc * 5.0, 1.0)
-          |               + least(CAST(dw AS DOUBLE) / wc * 2.0, 1.0)) / 3.0, 6) >= 0.5 AS quality_ok
-          |  FROM qa
-          |), la AS (
-          |  SELECT doc_id, count(*) AS n,
-          |         sum(CASE WHEN w IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS h_de,
-          |         sum(CASE WHEN w IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS h_en,
-          |         sum(CASE WHEN w IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS h_es,
-          |         sum(CASE WHEN w IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS h_fr
-          |  FROM wd GROUP BY doc_id
-          |), ls AS (
-          |  SELECT doc_id,
-          |         CAST(h_de AS DOUBLE)/n AS s_de, CAST(h_en AS DOUBLE)/n AS s_en,
-          |         CAST(h_es AS DOUBLE)/n AS s_es, CAST(h_fr AS DOUBLE)/n AS s_fr,
-          |         CAST(0 AS DOUBLE)/n AS s_zh
-          |  FROM la
-          |), lp AS (
-          |  SELECT doc_id,
-          |         CASE WHEN s_zh > (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN s_fr ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) END)
-          |              THEN 'zh'
-          |              ELSE (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN 'fr' ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN 'es' ELSE (CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END) END) END)
-          |         END AS lang_pred
-          |  FROM ls
-          |), l AS (
-          |  SELECT doc_id, (lang_pred IN ('en')) AS lang_ok FROM lp
-          |)
-          |SELECT sb.doc_id, sb.family_id, l.lang_ok, q.quality_ok,
+          |), $qualityLangGateCtes
+          |SELECT sb.doc_id, sb.family_id,
+          |       coalesce(l.lang_ok, FALSE) AS lang_ok,
+          |       coalesce(q.quality_ok, FALSE) AS quality_ok,
           |       (sb.doc_id = sb.family_id) AS is_keeper,
-          |       ((sb.doc_id = sb.family_id) AND q.quality_ok AND l.lang_ok) AS keep,
+          |       ((sb.doc_id = sb.family_id) AND coalesce(q.quality_ok, FALSE)
+          |         AND coalesce(l.lang_ok, FALSE)) AS keep,
           |       CASE WHEN bucket < 9000 THEN 'train'
           |            WHEN bucket < 9500 THEN 'val'
           |            ELSE 'test' END AS split
-          |FROM sb JOIN q ON sb.doc_id = q.doc_id JOIN l ON sb.doc_id = l.doc_id""".stripMargin),
+          |FROM sb LEFT JOIN q ON sb.doc_id = q.doc_id LEFT JOIN l ON sb.doc_id = l.doc_id""".stripMargin),
 
+    // LEFT JOIN + coalesce(FALSE) mirrors corpusFilter's NULL-text
+    // contract: a doc with no token rows still gets a (failing)
+    // verdict instead of vanishing.
     "q_corpus_filter" ->
-      """WITH h AS (
+      (s"""WITH h AS (
         |  SELECT doc_id, md5(lower(trim(text))) AS th FROM documents
         |), k AS (
         |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY th) AS is_keeper FROM h
         |), wd AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents
-        |), qa AS (
-        |  SELECT doc_id, count(*) AS wc, count(DISTINCT w) AS dw,
-        |         sum(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS sc
-        |  FROM wd GROUP BY doc_id
-        |), q AS (
-        |  SELECT doc_id,
-        |         round((least(CAST(wc AS DOUBLE) / 100.0, 1.0)
-        |               + least(CAST(sc AS DOUBLE) / wc * 5.0, 1.0)
-        |               + least(CAST(dw AS DOUBLE) / wc * 2.0, 1.0)) / 3.0, 6) >= 0.5 AS quality_ok
-        |  FROM qa
-        |), la AS (
-        |  SELECT doc_id, count(*) AS n,
-        |         sum(CASE WHEN w IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS h_de,
-        |         sum(CASE WHEN w IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS h_en,
-        |         sum(CASE WHEN w IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS h_es,
-        |         sum(CASE WHEN w IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS h_fr
-        |  FROM wd GROUP BY doc_id
-        |), ls AS (
-        |  SELECT doc_id,
-        |         CAST(h_de AS DOUBLE)/n AS s_de, CAST(h_en AS DOUBLE)/n AS s_en,
-        |         CAST(h_es AS DOUBLE)/n AS s_es, CAST(h_fr AS DOUBLE)/n AS s_fr,
-        |         CAST(0 AS DOUBLE)/n AS s_zh
-        |  FROM la
-        |), lp AS (
-        |  SELECT doc_id,
-        |         CASE WHEN s_zh > (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN s_fr ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) END)
-        |              THEN 'zh'
-        |              ELSE (CASE WHEN s_fr > (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN s_es ELSE (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) END) THEN 'fr' ELSE (CASE WHEN s_es > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN 'es' ELSE (CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END) END) END)
-        |         END AS lang_pred
-        |  FROM ls
-        |), l AS (
-        |  SELECT doc_id, (lang_pred IN ('en')) AS lang_ok FROM lp
-        |)
-        |SELECT k.doc_id, k.is_keeper, q.quality_ok, l.lang_ok,
-        |       (k.is_keeper AND q.quality_ok AND l.lang_ok) AS keep
-        |FROM k JOIN q ON k.doc_id = q.doc_id JOIN l ON k.doc_id = l.doc_id""".stripMargin,
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
+        |), $qualityLangGateCtes
+        |SELECT k.doc_id, k.is_keeper,
+        |       coalesce(q.quality_ok, FALSE) AS quality_ok,
+        |       coalesce(l.lang_ok, FALSE) AS lang_ok,
+        |       (k.is_keeper AND coalesce(q.quality_ok, FALSE)
+        |         AND coalesce(l.lang_ok, FALSE)) AS keep
+        |FROM k LEFT JOIN q ON k.doc_id = q.doc_id LEFT JOIN l ON k.doc_id = l.doc_id""".stripMargin),
 
     // the calibrated composite: the lm / repetition / pii / domain
     // CTEs are the same bodies as their standalone green oracles

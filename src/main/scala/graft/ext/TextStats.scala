@@ -243,9 +243,15 @@ object TextStats {
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
     val keeper = Dedup.exact(df, id, text)
       .select(col(id), (!col("is_duplicate")).as("is_keeper"))
+    // LEFT join + coalesce(false): a NULL-text doc produces no token
+    // rows (explode of a NULL split emits nothing), so it has no gate
+    // aggregates — it must still receive a verdict (fails quality),
+    // never silently vanish from the output
     keeper.join(
         qualityLangDecisions(df, id, text, minQuality, keepLangs, stopwords),
-        id)
+        Seq(id), "left")
+      .withColumn("quality_ok", coalesce(col("quality_ok"), lit(false)))
+      .withColumn("lang_ok", coalesce(col("lang_ok"), lit(false)))
       .withColumn("keep",
         col("is_keeper") && col("quality_ok") && col("lang_ok"))
   }
@@ -276,8 +282,15 @@ object TextStats {
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
     val fam = Sampling.leakageSafeSplitNear(df, id, text, maxDist,
       trainBps, valBps)
-    qualityLangDecisions(df, id, text, minQuality, keepLangs, stopwords)
-      .join(fam.select(col(id), col("family_id"), col("split")), Seq(id))
+    // fam carries EVERY input doc; the gate side misses NULL-text
+    // docs (no token rows), so the join is LEFT from fam with the
+    // missing gate bits coalesced to false — every doc gets a
+    // verdict, a NULL-text doc simply fails quality
+    fam.select(col(id), col("family_id"), col("split"))
+      .join(qualityLangDecisions(df, id, text, minQuality, keepLangs,
+        stopwords), Seq(id), "left")
+      .withColumn("quality_ok", coalesce(col("quality_ok"), lit(false)))
+      .withColumn("lang_ok", coalesce(col("lang_ok"), lit(false)))
       .withColumn("is_keeper", col(id) === col("family_id"))
       .withColumn("keep",
         col("is_keeper") && col("quality_ok") && col("lang_ok"))

@@ -1562,8 +1562,9 @@ class ExtSpec extends SparkTestBase {
     val out = Sampling.prioritySample(d, "doc_id", col("q"), k = 2)
       .orderBy("sample_rank").collect()
     // nothing truncates to zero: the three positive-score docs compete
+    val rows = d.collect()
     val expect = Seq(1L, 2L, 3L).map(i =>
-      (i, prio(i, d.collect().find(_.getLong(0) == i).get.getDouble(1))))
+      (i, prio(i, rows.find(_.getLong(0) == i).get.getDouble(1))))
       .sortBy { case (id, p) => (-p, id) }
     assert(out.length == 2)
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == expect.take(2).map(_._1))
@@ -1597,10 +1598,20 @@ class ExtSpec extends SparkTestBase {
       Seq("the", "of", "and", "in", "a") ++
       (1 to 60).map(i => s"w$i")).mkString(" ")
     val spanish = Seq.fill(30)("el la de y es").mkString(" ")
-    val d = docs((1L, good), (2L, good), (3L, "x y z"), (4L, spanish))
+    val d = {
+      import spark.implicits._
+      Seq((1L, Some(good)), (2L, Some(good)), (3L, Some("x y z")),
+        (4L, Some(spanish)), (5L, Option.empty[String]))
+        .toDF("doc_id", "text")
+    }
     val out = TextStats.curationPipeline(d, "doc_id", "text")
       .orderBy("doc_id").collect()
-    assert(out.length == 4) // verdict for EVERY doc, never filtered away
+    assert(out.length == 5) // verdict for EVERY doc, never filtered away
+    // NULL text: no token rows, so both gates coalesce to false — the
+    // doc fails quality rather than silently vanishing
+    assert(!out(4).getAs[Boolean]("quality_ok") &&
+      !out(4).getAs[Boolean]("lang_ok") && !out(4).getAs[Boolean]("keep") &&
+      out(4).getAs[Long]("family_id") == 5L)
     // doc 1: keeper of the exact-dup family {1,2}, quality+lang ok
     assert(out(0).getAs[Boolean]("keep") &&
       out(0).getAs[Boolean]("is_keeper") &&
