@@ -301,6 +301,18 @@ object OpsScaleBench {
         graft.ext.Sampling.prioritySample(docs, "doc_id",
           length(col("text")), k = 25).count())
 
+      // end-to-end curation composite on vocab-disjoint replicas
+      // (families never cross replicas — matched-pair volume linear):
+      // the cost is the simhash-pair + pointer-doubling CC chain (the
+      // q_split_safe_near class) plus one gate shuffle; wall must
+      // stay near-linear on this axis.
+      bench("curation_e2e", n, nDocs * n) { () =>
+        val c = TextStats.curationPipeline(
+          replicateSuffixed(docs0, n, 0), "doc_id", "text").count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
       // budget select: the corpus axis widens but the cross-value
       // running totals always run over the (distinct quality)-sized
       // table — the single-partition stage is corpus-size-independent
