@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val form = children(1).eval()
         require(form != null,
           "graft_normalize form must be one of NFC|NFD|NFKC|NFKD, got NULL")
+        // membership is validated HERE (and re-checked by the case
+        // class's own require), not deferred to checkInputDataTypes:
+        // doGenCode interpolates the form into generated Java source,
+        // so no constructed instance may ever hold an invalid form
+        require(NormalizeUnicode.Forms.contains(form.toString),
+          s"graft_normalize form must be one of NFC|NFD|NFKC|NFKD, got '$form'")
         NormalizeUnicode(children(0), form.toString)
       }))
     ext.injectFunction((

@@ -115,16 +115,36 @@ object SparkEntry {
   private val CmsWidth = 256
   private val CmsTopK = 30
 
+  /** The ONE BPE merge-round count — shared by the four q_bpe_*
+    * Spark entries and the unrolled-training oracle CTE builder
+    * ([[bpeTrainCtes]]) so the two sides cannot drift.
+    */
+  private val BpeNumMerges = 12
+
   /** The ONE per-JVM BPE-artifact scratch dir for q_bpe_apply's
     * store→load round trip: created ONCE per JVM (lazy), overwritten
     * by every run (mode("overwrite")) — repeated bench reps reuse one
     * bounded dir instead of leaking a fresh temp dir per invocation,
     * while createTempDirectory keeps concurrent JVMs isolated (a
     * fixed shared /tmp name would let one process overwrite the
-    * parquet another is mid-read on).
+    * parquet another is mid-read on). A shutdown hook deletes the
+    * dir on JVM exit (it is bounded but was never reclaimed), and
+    * same-JVM invocations serialize the write→read round trip on
+    * [[bpeArtifactLock]] — two concurrent q_bpe_apply runs would
+    * otherwise race one's overwrite against the other's mid-read.
     */
-  private lazy val bpeArtifactDir: String =
-    java.nio.file.Files.createTempDirectory("graft_bpe_artifact").toString
+  private[graft] val bpeArtifactLock = new Object
+  private lazy val bpeArtifactDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_bpe_artifact")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
 
   /** The ONE Rademacher sign matrix for the JL random-projection
     * queries: computed once driver-side (md5-parity, no RNG state)
@@ -1387,22 +1407,26 @@ object SparkEntry {
     // BPE tokenizer training: 12 merge rounds learned from the
     // distinct-word frequency table (corpus-size-independent after the
     // first tokenize+count pass). Deterministic total tie order; one
-    // driver row per round. Rows-only: iterative argmax training is
-    // not SQL-expressible — BpeSpec pins the merge sequence against a
-    // literal reference implementation on the same corpus.
+    // driver row per round. STRICT-oracled since round 12: the fixed
+    // round count unrolls into bpeTrainCtes' per-round argmax+fold
+    // CTE chain (integer weights + binary-collation tie order — no
+    // floats anywhere), so DuckDB replays the full training; BpeSpec
+    // additionally pins the merge sequence against a literal
+    // reference implementation on the same corpus.
     "q_bpe_train" -> ((s, dir) =>
       TextStats.trainBpe(Tables.documents(s, dir), "doc_id", "text",
-        numMerges = 12)),
+        numMerges = BpeNumMerges)),
 
     // BPE ENCODE with the table trained above: per-doc BPE token
     // counts via the distinct-word table (each word encoded once,
-    // one join back). Rows-only by the same declared contract as
-    // q_bpe_train (iterative merge application is not
-    // SQL-expressible); BpeSpec pins encode == literal rank-order
-    // replay of the merge table.
+    // one join back). STRICT-oracled since round 12: bpeTrainCtes'
+    // final vocab table v_N IS the rank-order replay of all learned
+    // merges, which BpeSpec pins equivalent to encodeBpe's
+    // lowest-rank-first loop — so the oracle re-derives the merges
+    // AND the per-word token counts independently in DuckDB.
     "q_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = BpeNumMerges)
       TextStats.encodeBpe(docs, "doc_id", "text", merges)
     }),
 
@@ -1418,7 +1442,7 @@ object SparkEntry {
     // implementation; this adds the driver-gate signal.
     "q_bpe_check" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = BpeNumMerges)
       val enc = TextStats.encodeBpe(docs, "doc_id", "text", merges)
       val encAgg = enc.agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -1431,7 +1455,7 @@ object SparkEntry {
         coalesce(min(col("merged") === concat(col("left"), col("right"))) &&
           max(col("rank")) === count(lit(1)) &&
           countDistinct(col("rank")) === count(lit(1)) &&
-          count(lit(1)) <= 12, lit(false)).as("merges_ok"))
+          count(lit(1)) <= BpeNumMerges, lit(false)).as("merges_ok"))
       encAgg.crossJoin(broadcast(mAgg))
     }),
 
@@ -1444,15 +1468,19 @@ object SparkEntry {
     // to the direct in-memory encode.
     "q_bpe_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 12)
+      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = BpeNumMerges)
       val direct = TextStats.encodeBpe(docs, "doc_id", "text", merges)
       // ONE fixed per-JVM artifact path, overwritten each run — a
       // fresh createTempDirectory per invocation leaked a dir + a
-      // parquet write every bench rep
+      // parquet write every bench rep. The write→read round trip is
+      // serialized on the lock; encodeBpe collects the loaded merge
+      // rows EAGERLY (its ranks map), so no lazy parquet reference
+      // escapes the critical section for a later run to overwrite.
       val art = bpeArtifactDir
-      merges.write.mode("overwrite").parquet(art)
-      val viaArtifact = TextStats.encodeBpe(docs, "doc_id", "text",
-        s.read.parquet(art))
+      val viaArtifact = bpeArtifactLock.synchronized {
+        merges.write.mode("overwrite").parquet(art)
+        TextStats.encodeBpe(docs, "doc_id", "text", s.read.parquet(art))
+      }
       direct.as("d")
         .join(viaArtifact.as("a"), "doc_id")
         .agg(
@@ -2902,6 +2930,66 @@ object SparkEntry {
        |       CAST(bit_count(xor(x.afp, y.afp)) AS INT) AS hamming
        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.afp, y.afp)) <= 3""".stripMargin
+  }
+
+  /** Unrolled BPE-training CTE chain — the oracle for q_bpe_train and
+    * q_bpe_encode, which were no_oracle rows through round 11 under an
+    * "iterative argmax training is not SQL-expressible" contract. It
+    * IS expressible once the round count is a compile-time constant:
+    * each of the `numMerges` rounds unrolls to two CTEs —
+    *   p_k: the round's winning pair (adjacent-pair weights off the
+    *        current vocab symbol table; HAVING sum(wt) >= 2 mirrors
+    *        the "a pair seen once compresses nothing" stop; ORDER BY
+    *        w DESC, l ASC, r ASC is trainBpe's total tie order —
+    *        pure integer weights + binary string order, so the
+    *        argmax is bit-portable), and
+    *   v_k: the vocab table with that merge applied, a list_reduce
+    *        fold identical in shape to trainBpe's `aggregate` greedy
+    *        left-to-right merge (merged = left||right is strictly
+    *        longer than left, so a freshly-merged symbol can never
+    *        chain into an overlapping second merge — the fold IS the
+    *        non-overlapping scan). A LEFT JOIN ON TRUE against the
+    *        0-or-1-row p_k makes exhausted rounds (early stop) pass
+    *        symbols through unchanged, matching trainBpe's `done`.
+    * Every CTE is MATERIALIZED: v_k is referenced twice (p_{k+1} and
+    * v_{k+1}), so default inlining would expand the chain 2^rounds.
+    * The final v_N doubles as the ENCODE oracle: applying merges
+    * 1..N in rank order to the vocab is exactly the replay that
+    * BpeSpec pins equivalent to encodeBpe's lowest-rank-first loop,
+    * so len(syms) of v_N is each word's BPE token count.
+    * Rounds run on the DISTINCT-WORD table (the same vocab trick as
+    * trainBpe) — the corpus is tokenized once in `w`.
+    */
+  private def bpeTrainCtes(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { k =>
+      s"""|, p$k AS MATERIALIZED (
+          |  SELECT p.l AS l, p.r AS r, CAST(sum(wt) AS BIGINT) AS w
+          |  FROM (SELECT wt, unnest(list_transform(range(1, len(syms)), i ->
+          |          {'l': syms[CAST(i AS INT)], 'r': syms[CAST(i AS INT)+1]})) AS p
+          |        FROM v${k - 1} WHERE len(syms) > 1) z
+          |  GROUP BY 1, 2 HAVING sum(wt) >= 2
+          |  ORDER BY w DESC, l ASC, r ASC LIMIT 1
+          |), v$k AS MATERIALIZED (
+          |  SELECT word, CASE WHEN m.l IS NULL OR len(syms) < 2 THEN syms
+          |         ELSE list_reduce(list_transform(syms, s -> [s]),
+          |           (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+          |             THEN list_slice(acc, 1, len(acc)-1) || [m.l || m.r]
+          |             ELSE acc || x END) END AS syms, wt
+          |  FROM v${k - 1} LEFT JOIN p$k m ON TRUE
+          |)""".stripMargin
+    }.mkString("\n")
+    s"""|WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents
+        |), v0 AS MATERIALIZED (
+        |  SELECT word,
+        |         list_transform(range(1, length(word)+1),
+        |                        i -> substring(word, CAST(i AS INT), 1)) AS syms,
+        |         CAST(count(*) AS BIGINT) AS wt
+        |  FROM w GROUP BY word
+        |)$rounds""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4672,6 +4760,33 @@ object SparkEntry {
         |       count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY 1
         |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
+
+    // FULL BPE-training replay (see bpeTrainCtes): every round's
+    // argmax pair re-derived in DuckDB off the same vocab table,
+    // union'd in rank order. Exhausted rounds contribute no row —
+    // the same early-stop as trainBpe's `done`.
+    "q_bpe_train" ->
+      (bpeTrainCtes(BpeNumMerges) + "\n" +
+        (1 to BpeNumMerges).map(k =>
+          s"""SELECT $k AS rank, l AS "left", r AS "right", l || r AS merged, w AS weight FROM p$k""")
+          .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n)")),
+
+    // ENCODE replay: bpeTrainCtes' final vocab table already holds
+    // every distinct word's symbols after all learned merges applied
+    // in rank order (pinned equivalent to encodeBpe's
+    // lowest-rank-first loop), so per-doc counts are one join back
+    // onto the (doc, word) count table. Word width is UTF-8 bytes
+    // (strlen ≡ octet_length), the one cross-engine-stable width.
+    "q_bpe_encode" ->
+      (bpeTrainCtes(BpeNumMerges) +
+        s"""|, enc AS (SELECT word, CAST(len(syms) AS INT) AS n_toks FROM v$BpeNumMerges),
+            |wd AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+            |SELECT doc_id,
+            |       CAST(sum(cnt) AS BIGINT) AS n_words,
+            |       CAST(sum(cnt * n_toks) AS BIGINT) AS n_bpe_tokens,
+            |       CAST(sum(cnt * strlen(word)) AS BIGINT) AS n_bytes_tokenized
+            |FROM wd JOIN enc USING (word)
+            |GROUP BY doc_id""".stripMargin),
 
     // BPE semi-oracle: exact whitespace-token structural counts + the
     // in-band bound/soundness assertions TRUE. Word width is UTF-8

@@ -34,6 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class NormalizeUnicode(child: Expression, form: String)
     extends UnaryExpression {
 
+  // Constructor-time guard, not just analysis-time: doGenCode
+  // interpolates `form` into generated Java source, so an invalid
+  // form must be unrepresentable — any path that codegens the
+  // expression without full analysis would otherwise inject an
+  // arbitrary string into the generated code.
+  require(NormalizeUnicode.Forms.contains(form),
+    s"graft_normalize form must be one of NFC|NFD|NFKC|NFKD, got '$form'")
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
@@ -47,23 +55,35 @@ case class NormalizeUnicode(child: Expression, form: String)
 
   override def prettyName: String = "graft_normalize"
 
-  override def nullSafeEval(input: Any): Any =
-    NormalizeUnicode.normalize(input.asInstanceOf[UTF8String], form)
+  // Resolve the enum ONCE per expression instance (transient: the
+  // Form enum re-resolves cheaply after executor deserialization) —
+  // the per-row valueOf lookup was a string-to-enum scan on the hot
+  // path of a whole-stage-codegen'd expression.
+  @transient private lazy val resolvedForm: Normalizer.Form =
+    Normalizer.Form.valueOf(form)
 
+  override def nullSafeEval(input: Any): Any =
+    NormalizeUnicode.normalize(input.asInstanceOf[UTF8String], resolvedForm)
+
+  // The four valid forms are exactly the Normalizer.Form enum constant
+  // names (guaranteed by the constructor require), so the generated
+  // code references the enum constant statically — no per-row lookup.
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.NormalizeUnicode.normalize($c, "$form");""")
+      s"""${ev.value} = graft.functions.NormalizeUnicode.normalize($c, java.text.Normalizer.Form.$form);""")
 
   override protected def withNewChildInternal(
       newChild: Expression): NormalizeUnicode = copy(child = newChild)
 }
 
 object NormalizeUnicode {
-  private[functions] val Forms = Set("NFC", "NFD", "NFKC", "NFKD")
+  private[graft] val Forms = Set("NFC", "NFD", "NFKC", "NFKD")
 
-  /** Static kernel shared by interpreted eval and generated code. */
-  def normalize(s: UTF8String, form: String): UTF8String = {
-    val f = Normalizer.Form.valueOf(form)
+  /** Static kernel shared by interpreted eval and generated code —
+    * takes the resolved enum, so neither path pays a per-row
+    * string-to-enum lookup.
+    */
+  def normalize(s: UTF8String, f: Normalizer.Form): UTF8String = {
     val str = s.toString
     if (Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(Normalizer.normalize(str, f))
