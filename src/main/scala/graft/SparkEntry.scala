@@ -121,6 +121,15 @@ object SparkEntry {
     */
   private val BpeNumMerges = 12
 
+  /** The ONE hot-band df cap for the capped SimHash pair twin —
+    * shared by the q_dedup_simhash_capped Spark entry and its oracle
+    * so the two sides cannot drift. Not binding on the synthetic
+    * corpus at any tested SF (the twin is row-identical to
+    * q_dedup_simhash there); it binds under a planted exact-dup
+    * flood, which the skew bench axis measures.
+    */
+  private val SimhashMaxChunkDf = 5000L
+
   /** The ONE per-JVM BPE-artifact scratch dir for q_bpe_apply's
     * store→load round trip: created ONCE per JVM (lazy), overwritten
     * by every run (mode("overwrite")) — repeated bench reps reuse one
@@ -702,6 +711,24 @@ object SparkEntry {
       Sampling.leakageSafeSplitNear(Tables.documents(s, dir), "doc_id",
         "text", maxDist = 3)),
 
+    // FROZEN-FAMILY incremental split: the known corpus (doc_id % 4
+    // != 0) seeds a persistable family registry; the new batch
+    // (doc_id % 4 == 0) is assigned WITHOUT renumbering — a batch
+    // component inheriting the oldest matched family, novel
+    // components minting new families from their own min id. This is
+    // the append-only upgrade of q_split_safe_near's documented
+    // renumbering weakness: existing docs' splits are frozen by
+    // construction. Output is the batch assignment + frozen split.
+    "q_split_safe_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val known = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val reg = Sampling.familyRegistry(known, "doc_id", "text", maxDist = 3)
+      Sampling.familySplit(
+        Sampling.assignFamiliesIncremental(batch, reg, "doc_id", "text",
+          maxDist = 3))
+    }),
+
     // winnowing fingerprints (Schleimer et al. 2003 / MOSS): each
     // sliding window of w k-gram hashes keeps its minimum (ties →
     // rightmost) — guarantees any shared run ≥ w+k−1 tokens shares a
@@ -959,6 +986,16 @@ object SparkEntry {
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)),
+
+    // the skew-guarded twin: hot chunk keys (df > SimhashMaxChunkDf)
+    // are pruned from candidate generation map-side, bounding any one
+    // band reducer at cap²/2 rows no matter how pathological the
+    // corpus. Row-identical to q_dedup_simhash wherever the cap does
+    // not bind (it never binds on this corpus — both oracles replay
+    // their own form, and the two queries hash-agree at every SF).
+    "q_dedup_simhash_capped" -> ((s, dir) =>
+      Dedup.simHashPairsCapped(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 3, maxChunkDf = SimhashMaxChunkDf)),
 
     // pairs -> duplicate clusters: connected components by iterative
     // min-label propagation with pointer doubling (O(log n) rounds of
@@ -3736,6 +3773,23 @@ object SparkEntry {
         """SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
           |FROM cd WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin),
 
+    // the capped twin replays the df prune itself: per-(chunk, value)
+    // counts over ch, keys over the cap dropped before the self-join
+    // (cd — the uncapped candidate table — is simply left unused)
+    "q_dedup_simhash_capped" ->
+      (s"WITH $simhashCteBody, cdf AS (\n" +
+        s"""  SELECT c, v, count(*) AS df FROM ch GROUP BY c, v
+           |), chc AS (
+           |  SELECT ch.doc_id, ch.simhash, ch.c, ch.v
+           |  FROM ch JOIN cdf USING (c, v) WHERE cdf.df <= $SimhashMaxChunkDf
+           |), cdc AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, x.simhash AS ha,
+           |                  y.doc_id AS id_b, y.simhash AS hb
+           |  FROM chc x JOIN chc y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+           |)
+           |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+           |FROM cdc WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin),
+
     // connected components over the simhash pair graph: min reachable
     // id per node via a recursive transitive closure (UNION dedups ->
     // terminates), mirroring the engine's min-label propagation.
@@ -3790,6 +3844,66 @@ object SparkEntry {
           |  FROM cl
           |)
           |SELECT doc_id, family_id, bucket,
+          |       CASE WHEN bucket < 9000 THEN 'train'
+          |            WHEN bucket < 9500 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM h""".stripMargin),
+
+    // frozen-family incremental split: known-side (doc_id % 4 <> 0)
+    // families via the recursive closure over known-only pairs; batch
+    // components over batch-only pairs; batch↔known matches off the
+    // same chunk-candidate table (cd holds ALL chunk-sharing pairs,
+    // filtered by side); a component inherits the min matched known
+    // family, else mints its own min-id family. Same family-id hash
+    // routing as q_split_safe / q_split_safe_near.
+    "q_split_safe_incr" ->
+      (s"WITH RECURSIVE $simhashCteBody, pk AS (\n" +
+        """  SELECT id_a, id_b FROM cd
+          |  WHERE bit_count(xor(ha, hb)) <= 3 AND id_a % 4 <> 0 AND id_b % 4 <> 0
+          |), ek AS (
+          |  SELECT id_a AS a, id_b AS b FROM pk
+          |  UNION ALL SELECT id_b, id_a FROM pk
+          |), rk(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 <> 0
+          |  UNION
+          |  SELECT ek.b, rk.r FROM rk JOIN ek ON ek.a = rk.id
+          |), famk AS (
+          |  SELECT id AS doc_id, min(r) AS family_id FROM rk GROUP BY id
+          |), pb AS (
+          |  SELECT id_a, id_b FROM cd
+          |  WHERE bit_count(xor(ha, hb)) <= 3 AND id_a % 4 = 0 AND id_b % 4 = 0
+          |), eb AS (
+          |  SELECT id_a AS a, id_b AS b FROM pb
+          |  UNION ALL SELECT id_b, id_a FROM pb
+          |), rb(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 = 0
+          |  UNION
+          |  SELECT eb.b, rb.r FROM rb JOIN eb ON eb.a = rb.id
+          |), comp AS (
+          |  SELECT id AS doc_id, min(r) AS comp_id FROM rb GROUP BY id
+          |), xm AS (
+          |  SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS bdoc,
+          |         CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS kdoc
+          |  FROM cd
+          |  WHERE bit_count(xor(ha, hb)) <= 3
+          |    AND ((id_a % 4 = 0) <> (id_b % 4 = 0))
+          |), hits AS (
+          |  SELECT xm.bdoc AS doc_id, min(f.family_id) AS hit
+          |  FROM xm JOIN famk f ON f.doc_id = xm.kdoc GROUP BY xm.bdoc
+          |), cf AS (
+          |  SELECT comp_id, min(hit) AS fam
+          |  FROM comp LEFT JOIN hits USING (doc_id) GROUP BY comp_id
+          |), asg AS (
+          |  SELECT comp.doc_id, coalesce(cf.fam, comp.comp_id) AS family_id,
+          |         cf.fam IS NULL AS is_new_family
+          |  FROM comp JOIN cf USING (comp_id)
+          |), h AS (
+          |  SELECT asg.doc_id, asg.family_id, asg.is_new_family, fp.simhash,
+          |         CAST(CAST(('0x' || substr(md5(CAST(asg.family_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |              % 10000 AS INT) AS bucket
+          |  FROM asg LEFT JOIN fp ON fp.doc_id = asg.doc_id
+          |)
+          |SELECT doc_id, family_id, is_new_family, simhash, bucket,
           |       CASE WHEN bucket < 9000 THEN 'train'
           |            WHEN bucket < 9500 THEN 'val'
           |            ELSE 'test' END AS split

@@ -511,7 +511,7 @@ object Dedup {
     * self-pair finder and the incremental cross-corpus form share
     * this single definition of the chunking).
     */
-  private def chunkExploded(fp: DataFrame, hashCol: String, nChunks: Int,
+  private[ext] def chunkExploded(fp: DataFrame, hashCol: String, nChunks: Int,
       chunkBits: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
     fp.withColumn("chunk",
@@ -570,6 +570,78 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val fp = graft.core.Caches.cached(simHash(df, id, text))
     hammingPairs(fp, id, "simhash", nChunks = 4, chunkBits = 8, maxDist)
+  }
+
+  /** [[hammingPairs]] with a hot-band df cap — the skew guard of the
+    * pigeonhole band join (the [[ngramJaccardCapped]] `maxDf` idiom
+    * applied to chunk keys). A chunk value shared by d fingerprints
+    * contributes d·(d−1)/2 candidate rows; one pathological band key
+    * (an exact-dup flood, a degenerate fingerprint) makes that single
+    * reducer quadratic while every other key stays tiny. Here any
+    * (chunk index, value) key with df > `maxChunkDf` is dropped from
+    * candidate generation BEFORE the self-join, via a broadcast
+    * anti-join against the (tiny) hot-key table — the prune is
+    * map-side; the self-join then has a per-key row bound of
+    * maxChunkDf·(maxChunkDf−1)/2.
+    *
+    * Recall contract: a pair is missed only if EVERY chunk the two
+    * fingerprints agree on is hot — on a corpus with no hot keys the
+    * output is row-identical to [[hammingPairs]]. The typical hot key
+    * is an exact-duplicate flood (identical fingerprints heat all
+    * their chunks at once), which an upstream exact pass
+    * ([[exactDups]]) already collapses — run the cap AFTER exact
+    * dedup and the misses are pathological near-dup floods a curation
+    * pipeline wants rate-limited anyway.
+    *
+    * The smallest-shared-chunk dedup trick is unsound under a cap (a
+    * pair whose smallest shared chunk is hot would vanish even when a
+    * later cold chunk still matches it), so the capped form dedups
+    * candidates with a distinct on the pair key — multiplicity is
+    * bounded by nChunks, and the distinct rides the same pair-key
+    * exchange the hamming filter needs.
+    * Output: id_a < id_b, hamming — [[hammingPairs]]' schema.
+    */
+  def hammingPairsCapped(fp: DataFrame, id: String, hashCol: String,
+      nChunks: Int, chunkBits: Int, maxDist: Int,
+      maxChunkDf: Long): DataFrame = {
+    require(maxDist < nChunks,
+      s"pigeonhole needs maxDist ($maxDist) < nChunks ($nChunks)")
+    require(chunkBits >= 1 && chunkBits <= 63,
+      s"chunkBits must be in [1, 63], got $chunkBits")
+    require(nChunks * chunkBits <= 64,
+      s"chunks must fit a 64-bit hash: nChunks*chunkBits = ${nChunks * chunkBits}")
+    require(maxChunkDf >= 1, s"maxChunkDf must be >= 1, got $maxChunkDf")
+    val chunks = chunkExploded(fp, hashCol, nChunks, chunkBits)
+    // the hot-key table holds ONLY keys over the cap — at a sane cap
+    // that is a handful of rows even on a skewed corpus, so the prune
+    // broadcasts and the chunk table never shuffles for it
+    val hot = chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxChunkDf)
+      .select("chunk")
+    val kept = chunks.join(broadcast(hot), Seq("chunk"), "left_anti")
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.chunk") === col("y.chunk") && col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("id_a"), col(s"x.$hashCol").as("ha"),
+        col(s"y.$id").as("id_b"), col(s"y.$hashCol").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** [[simHashPairs]] with the [[hammingPairsCapped]] hot-band guard:
+    * SimHash near-dup pairs whose band join is skew-bounded by
+    * `maxChunkDf`. Row-identical to [[simHashPairs]] whenever no
+    * 8-bit chunk key is shared by more than `maxChunkDf` documents.
+    * Output: id_a < id_b, hamming.
+    */
+  def simHashPairsCapped(df: DataFrame, id: String, text: String,
+      maxDist: Int = 3, maxChunkDf: Long = 5000L): DataFrame = {
+    val fp = graft.core.Caches.cached(simHash(df, id, text))
+    hammingPairsCapped(fp, id, "simhash", nChunks = 4, chunkBits = 8,
+      maxDist, maxChunkDf)
   }
 
   /** Incremental NEAR-dup against a known corpus — the append-only

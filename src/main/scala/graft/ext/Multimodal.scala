@@ -213,37 +213,196 @@ object Multimodal {
         val docId = rowId(row, idx)
         // fingerprint path: everything below reads the DECODED image
         val dec = synthDecodeRoundTrip(docId)
-        val dr = dec.getRaster
-        val w = dec.getWidth
-        val h = dec.getHeight
-        val s = Array.ofDim[Int](8, 8)
-        var r = 0
-        while (r < 8) {
-          var g = 0
-          while (g < 8) { s(r)(g) = dr.getSample(g * w / 8, r * h / 8, 0); g += 1 }
-          r += 1
-        }
-        var dhash = 0L
-        var ahash = 0L
-        var sum = 0
-        r = 0
-        while (r < 8) {
-          var g = 0
-          while (g < 7) { sum += s(r)(g); g += 1 }
-          r += 1
-        }
-        r = 0
-        while (r < 8) {
-          var g = 0
-          while (g < 7) {
-            val bit = 1L << (r * 7 + g)
-            if (s(r)(g + 1) > s(r)(g)) dhash |= bit
-            if (s(r)(g).toLong * 56 > sum) ahash |= bit
-            g += 1
-          }
-          r += 1
-        }
-        Row(docId, w, h, dhash, ahash)
+        val (dhash, ahash) = gridHashes(dec)
+        Row(docId, dec.getWidth, dec.getHeight, dhash, ahash)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** The 8×8-grid 56-bit dHash/aHash block over a DECODED image's
+    * band-0 samples — extracted verbatim from [[pngPerceptualHash]]
+    * (whose oracle replays it bit for bit) so the lossy JPEG path
+    * fingerprints with the IDENTICAL form. Sampling is
+    * nearest-neighbor at (⌊g·w/8⌋, ⌊r·h/8⌋).
+    */
+  private def gridHashes(dec: java.awt.image.BufferedImage): (Long, Long) = {
+    val dr = dec.getRaster
+    val w = dec.getWidth
+    val h = dec.getHeight
+    val s = Array.ofDim[Int](8, 8)
+    var r = 0
+    while (r < 8) {
+      var g = 0
+      while (g < 8) { s(r)(g) = dr.getSample(g * w / 8, r * h / 8, 0); g += 1 }
+      r += 1
+    }
+    var dhash = 0L
+    var ahash = 0L
+    var sum = 0
+    r = 0
+    while (r < 8) {
+      var g = 0
+      while (g < 7) { sum += s(r)(g); g += 1 }
+      r += 1
+    }
+    r = 0
+    while (r < 8) {
+      var g = 0
+      while (g < 7) {
+        val bit = 1L << (r * 7 + g)
+        if (s(r)(g + 1) > s(r)(g)) dhash |= bit
+        if (s(r)(g).toLong * 56 > sum) ahash |= bit
+        g += 1
+      }
+      r += 1
+    }
+    (dhash, ahash)
+  }
+
+  /** The id→source-image function of the JPEG corpus and its twin
+    * construction: everything derives from key = id mod 10⁷, so ids
+    * i and i + 10⁷ synthesize the SAME source image (the planted
+    * exact-twin structure q_jpeg_neardup's oracle replays). The
+    * field is an 8×8 grid of CONSTANT cells whose values are an
+    * integer mix of (key, row, col) — pseudo-random per key, so the
+    * 56-bit grid hashes of distinct keys are well-separated — and
+    * whose geometry is chosen so each cell is a whole number of
+    * JPEG's 8×8 DCT blocks (w, h multiples of 8): a constant aligned
+    * block survives compression as its DC coefficient, so the decoded
+    * grid stays readable (bounded quantization error) while the codec
+    * is still genuinely lossy. A sawtooth field here (the PNG
+    * corpus' choice) degrades to near-uniform gray and collapses
+    * thousands of distinct keys onto colliding fingerprints.
+    */
+  private def synthJpegSource(docId: Long): java.awt.image.BufferedImage = {
+    val key = docId % 10000000L
+    val w = (8 * (8 + key % 5)).toInt // 64..96, cell-aligned
+    val h = (8 * (8 + key % 3)).toInt // 64..80
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = x * 8 / w
+        // splitmix64-style finalizer: an AFFINE mix here would give
+        // every key the same ±step gradient pattern along a row and
+        // collapse thousands of keys onto colliding grid hashes
+        var z = key * 64 + r * 8 + c
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+        z ^= (z >>> 33)
+        val v = ((z & 0x7fffffffL) % 256L).toInt
+        raster.setSample(x, y, 0, v)
+        raster.setSample(x, y, 1, v)
+        raster.setSample(x, y, 2, v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Synthesize→JPEG-encode→DECODE round trip — the LOSSY sibling of
+    * [[synthDecodeRoundTrip]]: ImageIO's real JPEG writer (libjpeg
+    * quantization, default quality) then its real reader. Returns
+    * (source, decoded); unlike the PNG path the decoded samples are
+    * NOT the closed-form values — callers report decoded facts plus
+    * source-vs-decoded error bounds, and fingerprints face genuine
+    * compression artifacts.
+    */
+  private def synthJpegRoundTrip(docId: Long)
+      : (java.awt.image.BufferedImage, java.awt.image.BufferedImage) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val src = synthJpegSource(docId)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", baos)
+    (src, javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray)))
+  }
+
+  /** LOSSY codec round-trip audit: per id, synthesize the closed-form
+    * source, JPEG-encode + decode it, and report decoded header facts
+    * (width/height/channels — JPEG preserves geometry, so these ARE
+    * oracle-replayable closed-form) plus the error verdict
+    * `err_ok` = max |decoded − source| over band 0 ≤ `tol` — the
+    * oracle states the spec bound (constant true), the ENGINE proves
+    * compliance by measuring the real decode against the real source:
+    * a broken codec path, a channel swap, a wrong-quality writer all
+    * flip the boolean. The raw max error is spec-pinned in ExtSpec
+    * (nonzero — the codec is genuinely lossy — and well under tol).
+    * Output: id, width, height, channels, err_ok.
+    */
+  def jpegRoundTripMeta(df: DataFrame, id: String, tol: Int = 48): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("err_ok", BooleanType, nullable = false)))
+    val idx = df.schema.fieldIndex(id)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val docId = rowId(row, idx)
+        val (src, dec) = synthJpegRoundTrip(docId)
+        Row(docId, dec.getWidth, dec.getHeight, dec.getRaster.getNumBands,
+          jpegMaxErr(src, dec) <= tol)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** max |decoded − source| over band 0 — the lossy-error metric of
+    * [[jpegRoundTripMeta]] and the ExtSpec lossiness pins.
+    */
+  private[graft] def jpegMaxErr(src: java.awt.image.BufferedImage,
+      dec: java.awt.image.BufferedImage): Int = {
+    val sr = src.getRaster
+    val dr = dec.getRaster
+    var err = 0
+    var y = 0
+    while (y < src.getHeight) {
+      var x = 0
+      while (x < src.getWidth) {
+        val d = math.abs(dr.getSample(x, y, 0) - sr.getSample(x, y, 0))
+        if (d > err) err = d
+        x += 1
+      }
+      y += 1
+    }
+    err
+  }
+
+  /** test hook: the (source, decoded) pair for one id. */
+  private[graft] def jpegRoundTripForTest(docId: Long) = synthJpegRoundTrip(docId)
+
+  /** Perceptual fingerprints over LOSSY-decoded JPEG rasters — the
+    * same 56-bit [[gridHashes]] form the PNG path ships, but computed
+    * on pixels that carry real libjpeg quantization artifacts. Twin
+    * ids (i and i + 10⁷, identical source by [[synthJpegSource]]'s
+    * key construction) produce byte-identical JPEGs and therefore
+    * hamming-0 fingerprints — the deterministic plant
+    * q_jpeg_neardup's oracle replays — while distinct keys yield
+    * artifact-laden hashes whose spread the band join prunes.
+    * Output: id, width, height, dhash, ahash.
+    */
+  def jpegPerceptualHash(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val idx = df.schema.fieldIndex(id)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val docId = rowId(row, idx)
+        val (_, dec) = synthJpegRoundTrip(docId)
+        val (dhash, ahash) = gridHashes(dec)
+        Row(docId, dec.getWidth, dec.getHeight, dhash, ahash)
       }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)

@@ -185,6 +185,140 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** The pigeonhole chunking every frozen-family SimHash join uses —
+    * ONE (nChunks, chunkBits) pair shared by the registry seed, the
+    * incremental assignment, and [[graft.ext.Dedup.simHashPairs]]'
+    * defaults, so the candidate-generation geometry cannot drift
+    * between the batch and incremental forms.
+    */
+  private val FamChunks = 4
+  private val FamChunkBits = 8
+
+  /** The empty frozen-family registry — the seed of a from-scratch
+    * incremental pipeline (the first [[assignFamiliesIncremental]]
+    * batch mints every family). Schema: id, family_id, simhash.
+    */
+  def emptyFamilyRegistry(spark: org.apache.spark.sql.SparkSession,
+      id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(id, LongType), StructField("family_id", LongType),
+        StructField("simhash", LongType))))
+  }
+
+  /** Seed a FROZEN-FAMILY registry from a corpus snapshot — the
+    * persistable artifact that upgrades [[leakageSafeSplitNear]]'s
+    * documented renumbering weakness into an append-only guarantee
+    * (the [[graft.ext.Dedup.dedupIngestIndexed]] index pattern):
+    * one row per document with its near-dup family id and SimHash
+    * fingerprint. Families are the same connected components
+    * [[leakageSafeSplitNear]] computes (SimHash pairs within
+    * `maxDist` → min-id component), so a registry seeded from a
+    * snapshot reproduces that snapshot's split exactly — and once
+    * written, rows are never rewritten: later batches extend the
+    * registry via [[assignFamiliesIncremental]] without touching
+    * existing assignments. Documents with NULL text carry a NULL
+    * fingerprint (they can never near-match; each is its own
+    * family), exactly as the batch form treats them.
+    * Output: id, family_id, simhash (nullable).
+    */
+  def familyRegistry(df: DataFrame, id: String, text: String,
+      maxDist: Int = 3): DataFrame = {
+    val fp = graft.core.Caches.cached(Dedup.simHash(df, id, text))
+    val pairs = Dedup.hammingPairs(fp, id, "simhash",
+      FamChunks, FamChunkBits, maxDist)
+    Dedup.dupClusters(df.select(col(id)), pairs, id)
+      .select(col(id), col("cluster_id").as("family_id"))
+      .join(fp, Seq(id), "left")
+      .select(col(id), col("family_id"), col("simhash"))
+  }
+
+  /** Assign a NEW batch of documents to frozen families — the
+    * per-ingest call of an append-only split pipeline. Existing
+    * registry rows are never renumbered BY CONSTRUCTION: this emits
+    * batch rows only, and the family ids it reuses are read, not
+    * rewritten. Semantics per batch near-dup component (components
+    * over the batch's own SimHash pair graph, so intra-batch
+    * duplicates stay together):
+    *  - some member near-matches the registry (Hamming ≤ maxDist
+    *    against a known fingerprint) → the WHOLE component inherits
+    *    the OLDEST matched family (minimum family_id — family ids
+    *    are min doc ids and doc ids grow over time in an append-only
+    *    corpus, so min = oldest). A batch that BRIDGES two existing
+    *    families routes to the older one; the younger family keeps
+    *    its rows — the freeze is the contract: append-only
+    *    assignment beats transitive re-closure, because re-closure
+    *    is exactly the train/val/test churn this exists to prevent.
+    *  - no member matches → a genuinely new family, id = the
+    *    component's min batch doc id (doc ids are globally unique,
+    *    so new family ids can never collide with existing ones).
+    *
+    * Scale shape: the known side contributes ONLY its registry rows
+    * (id, family_id, 8-byte fingerprint — never corpus text), chunk-
+    * exploded map-side into one equi-join against the batch's chunks
+    * ([[graft.ext.Dedup.dedupIngestIndexed]]'s cross-leg shape); the
+    * component pass runs on batch-sized tables. Per-ingest cost is
+    * O(|batch text| + |registry index| + matches) — the corpus text
+    * is never rescanned.
+    * Output (batch docs only): id, family_id, is_new_family,
+    * simhash — the simhash column makes extending the registry a
+    * pure union: registry' = registry ∪ output.select(id,
+    * family_id, simhash), no re-fingerprinting pass.
+    */
+  def assignFamiliesIncremental(batch: DataFrame, registry: DataFrame,
+      id: String, text: String, maxDist: Int = 3): DataFrame = {
+    val fpB = graft.core.Caches.cached(Dedup.simHash(batch, id, text))
+    val intraPairs = Dedup.hammingPairs(fpB, id, "simhash",
+      FamChunks, FamChunkBits, maxDist)
+    val comp = Dedup.dupClusters(batch.select(col(id)), intraPairs, id)
+      .select(col(id), col("cluster_id").as("__comp"))
+    // registry match leg: batch chunks × registry chunks equi-join,
+    // exact Hamming verify, min family per batch doc. Candidate
+    // multiplicity (a pair sharing m chunks surfaces m times) is
+    // absorbed by the min aggregate — no distinct pass needed.
+    val regChunks = Dedup.chunkExploded(
+      registry.select(col(id).as("__kid"), col("family_id"),
+        col("simhash").as("__ksh")),
+      "__ksh", FamChunks, FamChunkBits)
+    val batChunks = Dedup.chunkExploded(
+      fpB.select(col(id), col("simhash").as("__bsh")),
+      "__bsh", FamChunks, FamChunkBits)
+    val hits = batChunks.join(regChunks, Seq("chunk"))
+      .filter(bit_count(col("__bsh").bitwiseXOR(col("__ksh"))) <= maxDist)
+      .groupBy(col(id))
+      .agg(min(col("family_id")).as("__hit"))
+    // component-level inheritance: min matched family over members
+    val compFam = comp.join(hits, Seq(id), "left")
+      .groupBy(col("__comp"))
+      .agg(min(col("__hit")).as("__fam"))
+    comp.join(compFam, Seq("__comp"))
+      .join(fpB, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__fam"), col("__comp")).as("family_id"),
+        col("__fam").isNull.as("is_new_family"),
+        col("simhash"))
+  }
+
+  /** The frozen split decision off a family assignment — the same
+    * deterministic family-id basis-point hash as
+    * [[leakageSafeSplit]]/[[leakageSafeSplitNear]], factored out so
+    * registry rows (old or just-assigned) route identically forever:
+    * a family's split can never change because its id never does.
+    * Input needs (id, family_id[, …]); output appends bucket, split.
+    */
+  def familySplit(assigned: DataFrame, trainBps: Int = 9000,
+      valBps: Int = 500): DataFrame = {
+    require(trainBps > 0 && valBps >= 0 && trainBps + valBps < 10000,
+      s"invalid split: train=$trainBps val=$valBps")
+    assigned
+      .withColumn("bucket", bucketBps(col("family_id")))
+      .withColumn("split",
+        when(col("bucket") < trainBps, "train")
+          .when(col("bucket") < trainBps + valBps, "val")
+          .otherwise("test"))
+  }
+
   /** Global quantile bucketing WITHOUT a global sort — the curriculum
     * / quality-tier assignment (e.g. length deciles for bucketed
     * packing, quality quartiles for mixture weights). The naive form,

@@ -298,6 +298,40 @@ object TextStats {
         col("is_keeper"), col("keep"), col("split"))
   }
 
+  /** One micro-batch of the end-to-end curation verdict against a
+    * FROZEN family registry — [[curationPipeline]]'s append-only /
+    * foreachBatch twin (the [[graft.ext.Dedup.dedupIngestIndexed]]
+    * streaming shape): families come from
+    * [[graft.ext.Sampling.assignFamiliesIncremental]], so existing
+    * docs are never renumbered and a family's split can never change;
+    * gates (quality + language) are per-doc and batch-local. The
+    * keeper rule is the batch form's `id == family_id` — a doc
+    * joining an existing family can never be its keeper (the founder,
+    * in an older batch, already is), a new family's min-id founder
+    * is. Output: [[curationPipeline]]'s columns plus `simhash`, which
+    * makes extending the registry a pure union:
+    * registry' = registry ∪ out.select(id, family_id, simhash).
+    */
+  def curationIngest(batch: DataFrame, registry: DataFrame, id: String,
+      text: String, minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Seq("en"),
+      maxDist: Int = 3, trainBps: Int = 9000, valBps: Int = 500,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
+    val fam = Sampling.familySplit(
+      Sampling.assignFamiliesIncremental(batch, registry, id, text, maxDist),
+      trainBps, valBps)
+    fam.select(col(id), col("family_id"), col("split"), col("simhash"))
+      .join(qualityLangDecisions(batch, id, text, minQuality, keepLangs,
+        stopwords), Seq(id), "left")
+      .withColumn("quality_ok", coalesce(col("quality_ok"), lit(false)))
+      .withColumn("lang_ok", coalesce(col("lang_ok"), lit(false)))
+      .withColumn("is_keeper", col(id) === col("family_id"))
+      .withColumn("keep",
+        col("is_keeper") && col("quality_ok") && col("lang_ok"))
+      .select(col(id), col("family_id"), col("lang_ok"), col("quality_ok"),
+        col("is_keeper"), col("keep"), col("split"), col("simhash"))
+  }
+
   /** Per-source curation scorecard — the aggregate a pipeline uses to
     * rank or drop whole sources (domains, crawls, dumps) before
     * touching individual documents: volume, exact-dup rate inside the

@@ -261,6 +261,93 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("familyRegistry reproduces the batch near-split's families on the same snapshot") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> (base + " " + base), 3L -> base,
+      4L -> other)
+    val reg = Sampling.familyRegistry(d, "doc_id", "text", maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Sampling.leakageSafeSplitNear(d, "doc_id", "text",
+      maxDist = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("family_id")).toMap
+    assert(reg === batch)
+  }
+
+  test("assignFamiliesIncremental: inherit / mint / zero churn across two ingests") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val novel = (200 to 260).map(i => s"x$i").mkString(" ")
+    val novel2 = (300 to 360).map(i => s"y$i").mkString(" ")
+    val corpus = docs(1L -> base, 3L -> base, 5L -> other)
+    val reg0 = Sampling.familyRegistry(corpus, "doc_id", "text", maxDist = 3)
+    val reg0Rows = reg0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reg0Rows === Set((1L, 1L), (3L, 1L), (5L, 5L)))
+
+    // ingest 1: doc 10 near-dups base → inherits family 1; docs 12+14
+    // are an intra-batch novel pair → ONE new family = min batch id 12
+    val b1 = docs(10L -> (base + " " + base), 12L -> novel, 14L -> novel)
+    val a1 = Sampling.assignFamiliesIncremental(b1, reg0, "doc_id", "text",
+      maxDist = 3)
+    val a1m = a1.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(a1m === Map(10L -> ((1L, false)), 12L -> ((12L, true)),
+      14L -> ((12L, true))))
+
+    // registry extension is a pure union — no re-fingerprinting pass
+    val reg1 = reg0.unionByName(a1.select(col("doc_id"), col("family_id"),
+      col("simhash")))
+    // zero churn BY CONSTRUCTION: the union kept every reg0 row intact
+    val reg1Map = reg1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reg0Rows.foreach { case (id, fam) => assert(reg1Map(id) == fam) }
+
+    // ingest 2: doc 20 near-dups ingest-1's minted family → inherits 12
+    // (NOT renumbered to 20); doc 22 still novel
+    val b2 = docs(20L -> novel, 22L -> novel2)
+    val a2m = Sampling.assignFamiliesIncremental(b2, reg1, "doc_id", "text",
+      maxDist = 3).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(a2m === Map(20L -> ((12L, false)), 22L -> ((22L, true))))
+  }
+
+  test("assignFamiliesIncremental: multi-hit component routes to the OLDEST family") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val batch = docs(30L -> base)
+    // handcrafted registry: two distinct families whose fingerprints
+    // both sit within maxDist of the batch doc (the bridging shape a
+    // text fixture can't pin exactly) — the component must inherit
+    // min(family_id)=2, and family 9 keeps its rows untouched
+    val sh = graft.ext.Dedup.simHash(batch, "doc_id", "text")
+      .collect()(0).getLong(1)
+    val reg = Seq((2L, 2L, sh), (9L, 9L, sh ^ 1L))
+      .toDF("doc_id", "family_id", "simhash")
+    val out = Sampling.assignFamiliesIncremental(batch, reg, "doc_id",
+      "text", maxDist = 3).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 2L &&
+      !out(0).getBoolean(2))
+  }
+
+  test("assignFamiliesIncremental: NULL-text doc mints its own family, null simhash") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = docs(1L -> base)
+    val reg = Sampling.familyRegistry(corpus, "doc_id", "text", maxDist = 3)
+    val nullDoc = docs(40L -> (null: String))
+    val out = Sampling.assignFamiliesIncremental(nullDoc, reg,
+      "doc_id", "text", maxDist = 3).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 40L &&
+      out(0).getBoolean(2) && out(0).isNullAt(3))
+    // and familySplit routes it deterministically off the family id
+    val s = Sampling.familySplit(
+      Sampling.assignFamiliesIncremental(nullDoc, reg,
+        "doc_id", "text", maxDist = 3)).collect()(0)
+    val b = s.getAs[Int]("bucket")
+    assert(b >= 0 && b < 10000)
+  }
+
   test("keepScore: fixed calibration over four signals; absent signals score 0") {
     import spark.implicits._
     val base = Seq(1L, 2L, 3L, 4L).toDF("doc_id")

@@ -511,6 +511,58 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("hammingPairsCapped: hot band pruned; cold-chunk pairs survive a hot smallest chunk") {
+    import spark.implicits._
+    // planted flood: 21 identical fingerprints heat all four of their
+    // chunk keys past the cap; docs 1/2 share the flood's chunk-0
+    // value (0xEF) but differ from it everywhere else, and differ
+    // from EACH OTHER by one bit in chunk 1
+    val flood = (100L to 120L).map(i => (i, 0xDEADBEEFL))
+    val fp = (flood :+ ((1L, 0x111111EFL)) :+ ((2L, 0x111111EFL ^ (1L << 8))))
+      .toDF("doc_id", "h")
+    val capped = Dedup.hammingPairsCapped(fp, "doc_id", "h",
+      nChunks = 4, chunkBits = 8, maxDist = 3, maxChunkDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // flood pairs are gone, and the (1,2) pair SURVIVES via its cold
+    // chunks 2/3 even though its smallest shared chunk is heated by
+    // the flood — the reason the capped form dedups by distinct, not
+    // by the smallest-shared-chunk trick
+    assert(capped == Seq((1L, 2L, 1)))
+    // the uncapped form pays the flood: 21·20/2 pairs + the real one
+    assert(Dedup.hammingPairs(fp, "doc_id", "h", 4, 8, 3).count() == 211L)
+    // with no hot keys the two forms are row-identical
+    val cold = fp.filter(col("doc_id") < 100L)
+    val cSet = Dedup.hammingPairsCapped(cold, "doc_id", "h", 4, 8, 3, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val uSet = Dedup.hammingPairs(cold, "doc_id", "h", 4, 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cSet == uSet && cSet.nonEmpty)
+  }
+
+  test("jpeg round trip is genuinely lossy, bounded, and twin-deterministic") {
+    import spark.implicits._
+    // direct codec pins, no Spark: the codec really degrades pixels
+    // (lossy), within the tol the q_jpeg_meta oracle states, and the
+    // planted twin (key construction) decodes byte-identically
+    val errs = (0L until 768L).map { id => // full (w,h,cell) synth period
+      val (s, d) = Multimodal.jpegRoundTripForTest(id)
+      assert(d.getWidth == s.getWidth && d.getHeight == s.getHeight)
+      Multimodal.jpegMaxErr(s, d)
+    }
+    assert(errs.max > 0, "JPEG round trip was lossless — not a lossy test")
+    assert(errs.max <= 48, s"max error ${errs.max} exceeds the oracle tol")
+    // perceptual chain: twins hamming-0 through REAL artifacts;
+    // distinct keys separated
+    val ids = Seq(1L, 2L, 3L, 10000001L).toDF("doc_id")
+    val fp = Multimodal.jpegPerceptualHash(ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fp(1L) == fp(10000001L))
+    assert(fp(1L) != fp(2L) && fp(2L) != fp(3L))
+    // and the decode is genuinely artifact-laden for these very ids
+    val (s1, d1) = Multimodal.jpegRoundTripForTest(1L)
+    assert(Multimodal.jpegMaxErr(s1, d1) > 0)
+  }
+
   test("dedupIngest: exact + near verdicts in one call, keep only when all clear") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val known = docs((1L, base), (2L, (100 to 160).map(i => s"v$i").mkString(" ")))

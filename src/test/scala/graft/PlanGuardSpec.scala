@@ -386,6 +386,55 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  // The declared broadcast-scan designs: a small BROADCAST side (a
+  // filtered query set, a bench split, seed labels, a k-row recall
+  // probe) probed against the corpus scan in one pass — the corpus
+  // itself never shuffles. Every other non-scalar nested-loop join in
+  // any registry plan is a regression.
+  private val allPairsAllowlist = Set(
+    "q_ann_brute",            // exact top-k anchor: queries × corpus
+    "q_ann_ivf_recall",       // recall bound rides the brute anchor
+    "q_ann_pq",               // ADC scan: broadcast codebooks × corpus
+    "q_ann_pq_recall",        // brute anchor + PQ scan
+    "q_ann_rerank",           // declared: brute retrieval pair loop
+    "q_decontaminate_semantic", // bench split broadcast × corpus scan
+    "q_dedup_semantic_recall",  // exact-bound companion of SemDeDup
+    "q_knn_label",            // seed broadcast × corpus scan
+    "q_margin_mine",          // declared brute mining baseline
+    "q_margin_mine_ivf_recall", // agreement row rides the brute form
+    "q_margin_mine_recall",     // agreement row rides the brute form
+    "q_rproj_recall")         // exact-bound companion of the projection
+
+  test("registry sweep: no all-pairs join outside the declared allowlist") {
+    withStaticPlans {
+      try {
+        val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+          val plan = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.executedPlan
+          val cartesians = plan.collect {
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }
+          assert(cartesians.isEmpty,
+            s"$name plans a CartesianProduct — never acceptable:\n$plan")
+          val loops = plan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+                // the scalar-join idiom — a crossJoin against a 1-row
+                // (groupless) aggregate such as a corpus total — is a
+                // broadcast of one row, allowed everywhere
+                if !b.children.exists(_.collect {
+                  case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+                      if a.groupingExpressions.isEmpty => a
+                }.nonEmpty) => b
+          }
+          if (loops.nonEmpty && !allPairsAllowlist.contains(name)) Some(name)
+          else None
+        }
+        assert(offenders.isEmpty,
+          s"non-scalar nested-loop joins outside the allowlist: $offenders")
+      } finally graft.core.Caches.unpersistAll()
+    }
+  }
+
   test("perceptual-hash hamming pairs join on chunk equality, never all-pairs") {
     withStaticPlans {
       val fp = graft.ext.Multimodal.pngPerceptualHash(

@@ -339,6 +339,68 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("curation ingest streams per micro-batch against a frozen registry; batch ≡ stream") {
+    // the END-TO-END curation verdict under a stream: gates are
+    // per-doc and batch-local; families come from the frozen-family
+    // registry (assignFamiliesIncremental), extended after each
+    // micro-batch by a pure union of the batch's own output rows —
+    // the foreachBatch shape of q_curation_e2e. On a corpus whose
+    // near-dup families never bridge across batches the streamed
+    // union must equal the one-shot batch composite row for row.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val enText = (1 to 12).flatMap(i =>
+      Seq("the", s"w$i", "of", s"x$i", "and", s"y$i")).mkString(" ")
+    val deText = (1 to 12).flatMap(i =>
+      Seq("der", s"d$i", "und", s"e$i")).mkString(" ")
+    // lexically disjoint from enText — SimHash is driven by the
+    // highest-count words, so a "fresh" doc must not reuse enText's
+    // heavy stopwords or the two fingerprints land within maxDist
+    val enText2 = (100 to 160).map(i => s"v$i").mkString(" ")
+    val batches = Seq(
+      Seq((1L, enText), (2L, enText + " " + enText), (3L, deText)),
+      // 10 near-dups batch-1's family 1 ACROSS the batch boundary —
+      // it must inherit family 1 from the registry, never renumber;
+      // 11 is genuinely novel and mints its own family
+      Seq((10L, enText), (11L, enText2)))
+    val regSchema = graft.ext.Sampling.emptyFamilyRegistry(spark).schema
+    val regRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    def registry() = spark.createDataFrame(
+      spark.sparkContext.parallelize(regRows.toSeq), regSchema)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.ext.TextStats.curationIngest(batch, registry(),
+          "doc_id", "text", maxDist = 3).orderBy("doc_id").collect()
+        got ++= out
+        regRows ++= out.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getLong(1), r.get(7)))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = got.sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getString(6)))
+      val batchRun = graft.ext.TextStats.curationPipeline(
+        batches.flatten.toDF("doc_id", "text"), "doc_id", "text",
+        maxDist = 3).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getString(6)))
+      assert(streamed.toSeq == batchRun.toSeq)
+      // the cross-batch near-dup inherited the OLD family (no renumber)
+      val byId = streamed.map(t => t._1 -> t).toMap
+      assert(byId(10L)._2 == 1L && !byId(10L)._5) // family 1, not keeper
+      assert(byId(11L)._2 == 11L && byId(11L)._5) // novel: own family, keeper
+      assert(byId(3L)._3 == false)                // de doc fails lang gate
+      graft.core.Caches.unpersistAll()
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first arrival, drops repeats across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
