@@ -264,6 +264,18 @@ object OpsScaleBench {
         TextStats.applyQualityClassifier(docs, "doc_id", "text",
           qModelDf).count())
 
+      // EVAL half on the same fixed model: score the n× corpus and
+      // reduce to one confusion-count row — the projection above plus
+      // a groupless aggregate whose map-side partials ship 4 counters
+      // per task, so the exchange is partition-count-sized and wall
+      // tracks the corpus linearly with flat Mrows/s. (count() the
+      // 1-row result forces the whole eval; nothing prunes.)
+      bench("quality_eval", n, nDocs * n)(() =>
+        TextStats.evalQualityClassifier(
+          TextStats.applyQualityClassifier(docs, "doc_id", "text",
+            qModelDf),
+          pmod(col("doc_id"), lit(3)) =!= 0).count())
+
       // BPE apply from a fixed trained artifact: the ingest batch
       // widens n× while the merge table stays 12 rows — the distinct-
       // word encode table is vocabulary-sized (flat under same-vocab
@@ -406,6 +418,17 @@ object OpsScaleBench {
         Similarity.semanticDedup(embRot, "vec_id", "embedding",
           nSeeds = 16 * n, tau = 0.35).count())
 
+      // D4 cluster-balanced sampling on the same rotated axis with
+      // the same seeds ∝ n contract (E|cell| constant): assignment is
+      // the broadcast argmax projection (n·k dot products, map-side),
+      // the per-cell keep a WindowGroupLimit heap — the ONLY exchange
+      // carries (id, cell, weight) rows, never embedding bytes, so
+      // shuffle MB must stay vector-free-linear while wall tracks the
+      // n·k assignment term.
+      benchShuffle("cluster_sample", n, nVecs * n)(() =>
+        Similarity.clusterBalancedSample(embRot, "vec_id", "embedding",
+          nSeeds = 16 * n, k = 10).count())
+
       // JL random projection 64→16: pure per-row codegen'd dot
       // products against literal ±1 vectors, zero shuffles — flat
       // Mrows/s is the pass bar, and the projected table carries 4×
@@ -466,6 +489,13 @@ object OpsScaleBench {
       // flat per-doc codec cost the single-frame media_hash row pins.
       bench("video_frames", n, nDocs * n)(() =>
         Multimodal.gifFrameMeta(mediaIds, "doc_id").count())
+
+      // LOSSY-codec axis: per-doc JPEG synth→encode→decode→grid-hash
+      // is pure map work like media_hash, but on 64×64–96×80 images
+      // through libjpeg's real DCT path — wall must stay linear in
+      // docs with a flat (larger) per-doc codec cost.
+      bench("jpeg_hash", n, nDocs * n)(() =>
+        Multimodal.jpegPerceptualHash(mediaIds, "doc_id").count())
 
       // incremental near-dup vs full re-pairing on the growing-corpus
       // axis: the KNOWN corpus widens n× (replicas r>0 vocab-suffixed
@@ -560,34 +590,48 @@ object OpsScaleBench {
         registry.unpersist()
       }
 
-      // hot-band skew axis: a planted exact-dup flood (100·n copies of
+      // hot-band skew axis: a planted exact-dup flood (400·n copies of
       // one text, distinct ids) heats all four of its SimHash chunk
-      // keys; the uncapped band join pays flood²/2 candidate rows on
-      // ONE reducer key per chunk, so its shuffle bytes grow
-      // quadratically in n — the capped form (maxChunkDf=200) prunes
-      // the hot keys map-side once the flood crosses the cap (n≥8 on
-      // this axis; at n=1 the flood is under the cap and the two rows
-      // match) and stays corpus-bound. This is the one skew risk the
-      // r11 verdict flagged in the q_curation_e2e family chain.
+      // keys; the uncapped band join evaluates flood²/2 candidate rows
+      // on ONE join key per chunk — a single hot reducer task whose
+      // work grows quadratically in n while every other task stays
+      // tiny (shuffle WRITE bytes stay linear: the blowup is join
+      // OUTPUT on the reducer, which is why wall, not bytes, is the
+      // skew signal here) — the capped form (maxChunkDf=300) prunes
+      // the hot keys map-side once the flood crosses the cap (n≥1 on
+      // this axis) and stays corpus-bound. This is the one skew risk
+      // the r11 verdict flagged in the q_curation_e2e family chain.
       if (selected("simhash_hot") || selected("simhash_cap")) {
         val floodText = (1 to 40).map(i => s"flood$i").mkString(" ")
-        val flood = spark.range(100L * n).select(
+        val flood = spark.range(400L * n).select(
           (col("id") + 50000000L).as("doc_id"),
           lit(floodText).as("text"))
         val skewed = docs0.select("doc_id", "text").unionByName(flood)
-        val skewRows = nDocs + 100L * n
-        benchShuffle("simhash_hot", n, skewRows) { () =>
-          val c = graft.ext.Dedup.simHashPairs(skewed, "doc_id", "text",
-            maxDist = 3).count()
-          graft.core.Caches.unpersistAll()
-          c
-        }
-        benchShuffle("simhash_cap", n, skewRows) { () =>
-          val c = graft.ext.Dedup.simHashPairsCapped(skewed, "doc_id",
-            "text", maxDist = 3, maxChunkDf = 200L).count()
-          graft.core.Caches.unpersistAll()
-          c
-        }
+        val skewRows = nDocs + 400L * n
+        // at bench SF the chunk table broadcasts, which spreads the
+        // hot key's probe work across every task and hides the skew;
+        // at 100 TB the fingerprint table is NOT broadcastable and
+        // the band join shuffles — force that shape so the row
+        // measures the at-scale behavior (AQE skew splitting may
+        // spread the hot partition, but the flood²/2 candidate
+        // evaluations still happen; the cap REMOVES them)
+        val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          benchShuffle("simhash_hot", n, skewRows) { () =>
+            val c = graft.ext.Dedup.simHashPairs(skewed, "doc_id", "text",
+              maxDist = 3).count()
+            graft.core.Caches.unpersistAll()
+            c
+          }
+          benchShuffle("simhash_cap", n, skewRows) { () =>
+            val c = graft.ext.Dedup.simHashPairsCapped(skewed, "doc_id",
+              "text", maxDist = 3, maxChunkDf = 300L).count()
+            graft.core.Caches.unpersistAll()
+            c
+          }
+        } finally
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
       }
     }
     spark.stop()

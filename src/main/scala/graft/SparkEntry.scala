@@ -1648,6 +1648,33 @@ object SparkEntry {
       Multimodal.pngPerceptualHash(
         Tables.documents(s, dir).select("doc_id"), "doc_id")),
 
+    // LOSSY codec round-trip audit: real libjpeg encode+decode per
+    // doc; geometry columns are closed-form (JPEG preserves them),
+    // err_ok is the engine-measured artifact bound (oracle states the
+    // spec constant; the measured global max over the full synth
+    // period is 42, tol 48 — ExtSpec pins lossiness and the margin).
+    "q_jpeg_meta" -> ((s, dir) =>
+      Multimodal.jpegRoundTripMeta(
+        Tables.documents(s, dir).select("doc_id"), "doc_id")),
+
+    // perceptual near-dup FACING COMPRESSION ARTIFACTS: each doc id
+    // gets a twin (id + 10⁷) whose SOURCE image is identical, so the
+    // twin pair survives the lossy round trip at hamming 0 (same
+    // bytes in ⇒ same artifacts out — determinism the oracle
+    // replays), while every distinct key carries artifact-laden
+    // hashes the band join must keep apart. Same 4×14-bit pigeonhole
+    // chain as q_media_neardup.
+    "q_jpeg_neardup" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select("doc_id")
+      val fp = graft.core.Caches.cached(
+        Multimodal.jpegPerceptualHash(
+          ids.unionByName(ids.select(
+            (col("doc_id") + lit(10000000L)).as("doc_id"))), "doc_id")
+          .select("doc_id", "dhash"))
+      Dedup.hammingPairs(fp, "doc_id", "dhash",
+        nChunks = 4, chunkBits = 14, maxDist = 3)
+    }),
+
     // REAL audio codec round-trip: per-doc PCM synthesized, framed as
     // WAV by javax.sound on the executors, decoded back; every output
     // column comes from the DECODED stream, verified by the oracle's
@@ -5151,6 +5178,27 @@ object SparkEntry {
     // at (g·w//8, r·h//8), bit r·7+g = gradient sign; brute pair join
     // (test-SF only — the engine side is the bucketed band join).
     "q_media_neardup" -> mediaNeardupOracleSql,
+
+    // JPEG geometry is lossless (closed-form); err_ok is the spec
+    // bound the ENGINE proves by measuring the real lossy decode
+    // against the real source (measured global max 42 ≤ tol 48)
+    "q_jpeg_meta" ->
+      """SELECT doc_id,
+        |       CAST(8 * (8 + doc_id % 5) AS INT) AS width,
+        |       CAST(8 * (8 + doc_id % 3) AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       TRUE AS err_ok
+        |FROM documents""".stripMargin,
+
+    // the planted twins (id, id + 10⁷) share one SOURCE image, so the
+    // deterministic codec gives byte-identical JPEGs → hamming 0;
+    // distinct keys' artifact-laden hashes stay outside maxDist (the
+    // strict hash over 3 SFs proves both directions: all twins found,
+    // no artifact-driven false pair)
+    "q_jpeg_neardup" ->
+      """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+        |       CAST(0 AS INT) AS hamming
+        |FROM documents""".stripMargin,
 
     "q_media_hashes" -> mediaHashesOracleSql,
     "q_video_frames" -> videoFramesOracleSql,
