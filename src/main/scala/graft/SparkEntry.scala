@@ -1061,13 +1061,12 @@ object SparkEntry {
     }),
 
     // agreement companion for the TRAINED-quantizer retriever: the
-    // same margin chain over ivfRetriever (k-means coarse cells,
-    // nlist=16, nprobe=4) vs the exact brute baseline. The IVF side
-    // is the declared non-SQL contract (q_ann_ivf's k-means), so only
-    // the brute-exact n_brute and the in-band bound ship: measured
-    // agreement 56-68% across SFs, bound 40 (the LSH row's bound) —
-    // the q_ann_ivf_recall semi-oracle shape, closing the one
-    // public retriever without a driver-checked signal.
+    // same margin chain over ivfRetriever (Lloyd coarse cells,
+    // nlist=16, nprobe=4) vs the exact brute baseline — the semi-
+    // oracle ships the brute-exact n_brute plus the in-band bound
+    // (measured agreement 56-68% across SFs, bound 40, the LSH row's
+    // bound); the quantizer itself is fully oracled via q_ann_ivf's
+    // training replay.
     "q_margin_mine_ivf_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.marginMineAgreement(emb.filter(col("label") < 2),
@@ -1096,8 +1095,8 @@ object SparkEntry {
     // SemDeDup-style embedding-cluster dedup: assignment to pinned
     // deterministic centroids (the 16 smallest-id vectors) is a pure
     // projection; the τ-prune self-join never leaves a cell — Σ|cell|²
-    // candidates, not n². Fully oracled (the trained-k-means variant
-    // of this family is q_ann_ivf's declared no-oracle contract).
+    // candidates, not n². Fully oracled, as is the trained-k-means
+    // variant of this family (q_ann_ivf's Lloyd training replay).
     "q_dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", nSeeds = 16, tau = 0.35)),
@@ -1159,9 +1158,11 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, bitsUsed = 8)
     }),
 
-    // IVF ANN (k-means coarse quantizer, seeded). No SQL oracle —
-    // k-means training is not DuckDB-expressible -> rows-only check;
-    // recall vs the brute-force baseline asserted in ExtSpec.
+    // IVF ANN (deterministic-Lloyd coarse quantizer). STRICT oracle
+    // including training: the fixed-iteration driver-side Lloyd fit
+    // replays in unrolled SQL (lloydCtes — the q_bpe_train pattern
+    // for floats); recall vs brute additionally asserted in ExtSpec
+    // and q_ann_ivf_recall.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
@@ -2570,6 +2571,148 @@ object SparkEntry {
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings
        |)""".stripMargin
+
+  /** Unrolled deterministic-Lloyd k-means replay — the q_bpe_train
+    * pattern applied to floats. Requires a source CTE `${pfx}s(ord,
+    * v DOUBLE[dim])` with ord = 1-based id-order rank; emits
+    * `${pfx}c0 … ${pfx}c$iters(cell, cent)`. Every step mirrors
+    * [[graft.ext.Similarity]]'s driver-side lloyd exactly: init =
+    * first k points; assignment = argmin of the ascending-dim
+    * sequential L2² fold with ties to the lower cell (struct min);
+    * update = per-dim sequential sum in sample order divided once by
+    * the count (list(v ORDER BY ord) → list_sum = the same IEEE left
+    * fold as the Scala accumulation loop); empty cells keep their
+    * previous centroid.
+    */
+  private def lloydCtes(pfx: String, k: Int, iters: Int, dim: Int): String = {
+    def sq(vE: String, cE: String) =
+      s"($vE[CAST(i AS INT)] - $cE[CAST(i AS INT)]) * ($vE[CAST(i AS INT)] - $cE[CAST(i AS INT)])"
+    val d2 = s"list_sum(list_transform(range(1, ${dim + 1}), i -> ${sq("s.v", "c.cent")}))"
+    val rounds = (1 to iters).map { it =>
+      s"""|, ${pfx}a$it AS MATERIALIZED (
+          |  SELECT s.ord, s.v,
+          |         (min({'d': $d2, 'c': c.cell})).c AS cell
+          |  FROM ${pfx}s s, ${pfx}c${it - 1} c GROUP BY s.ord, s.v
+          |), ${pfx}u$it AS (
+          |  SELECT cell, list(v ORDER BY ord) AS vs, count(*) AS cnt
+          |  FROM ${pfx}a$it GROUP BY cell
+          |), ${pfx}c$it AS MATERIALIZED (
+          |  SELECT p.cell,
+          |         CASE WHEN u.cell IS NULL THEN p.cent
+          |              ELSE list_transform(range(1, ${dim + 1}), i ->
+          |                list_sum(list_transform(u.vs, vv -> vv[CAST(i AS INT)])) / u.cnt)
+          |         END AS cent
+          |  FROM ${pfx}c${it - 1} p LEFT JOIN ${pfx}u$it u USING (cell)
+          |)""".stripMargin
+    }.mkString("\n")
+    s"""|, ${pfx}c0 AS (
+        |  SELECT ord - 1 AS cell, v AS cent FROM ${pfx}s WHERE ord <= $k
+        |)$rounds""".stripMargin
+  }
+
+  /** q_ann_ivf oracle: the coarse quantizer's Lloyd training replayed
+    * by [[lloydCtes]], then the exact IVF chain — corpus argmin cell,
+    * nprobe nearest query cells (ties to the smaller cell), true
+    * cosine inside probed cells, top-k. Constants mirror the entry:
+    * nlist=16, nprobe=4, iters=10, k=5, queries = vec_id < 10.
+    */
+  private def ivfOracleSql: String = {
+    val dim = 64
+    def d2c(vE: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+        s"(CAST($vE[CAST(i AS INT)] AS DOUBLE) - c.cent[CAST(i AS INT)]) * " +
+        s"(CAST($vE[CAST(i AS INT)] AS DOUBLE) - c.cent[CAST(i AS INT)])))"
+    normCte +
+      s""", ivs AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS ord,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 100000)
+         |)""".stripMargin +
+      lloydCtes("iv", k = 16, iters = 10, dim = dim) +
+      s""", ivcc AS MATERIALIZED (
+         |  SELECT e.vec_id, (min({'d': ${d2c("e.embedding")}, 'c': c.cell})).c AS cell
+         |  FROM embeddings e, ivc10 c GROUP BY e.vec_id
+         |), ivqp AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${d2c("e.embedding")} ASC, c.cell ASC) AS pr
+         |    FROM embeddings e, ivc10 c WHERE e.vec_id < 10)
+         |  WHERE pr <= 4
+         |), ivsc AS (
+         |  SELECT qp.query_id, cc.vec_id,
+         |         ${safeCosSql(dotSql("q.embedding", "e.embedding"), "q.nrm * e.nrm")} AS cos0
+         |  FROM ivqp qp JOIN ivcc cc USING (cell)
+         |  JOIN n q ON q.vec_id = qp.query_id
+         |  JOIN n e ON e.vec_id = cc.vec_id
+         |  WHERE qp.query_id <> cc.vec_id
+         |), ivrk AS (
+         |  SELECT query_id, vec_id, cos0,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos0 DESC, vec_id ASC) AS rank
+         |  FROM ivsc
+         |)
+         |SELECT query_id, vec_id, round(cos0, 6) AS cosine, CAST(rank AS INT) AS rank
+         |FROM ivrk WHERE rank <= 5""".stripMargin
+  }
+
+  /** q_ann_pq oracle: the m per-subspace Lloyd fits replayed by
+    * [[lloydCtes]] over the unit-normalized sample, then the exact
+    * ADC chain — corpus codes by argmin ‖c‖²−2·u_j·c (ties to the
+    * lower code), per-query per-code partial scores, adist = the
+    * seed-1.0-first sequential fold over the m lookups, top-k.
+    * Constants mirror the entry: m=8, dsub=8, ksub=32, iters=10,
+    * k=5, queries = vec_id < 10.
+    */
+  private def pqOracleSql: String = {
+    val m = 8; val dsub = 8; val ksub = 32; val iters = 10
+    def dot8(aE: String, bE: String) =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> " +
+        s"$aE[CAST(i AS INT)] * $bE[CAST(i AS INT)]))"
+    val subspaces = (0 until m).map { j =>
+      s""", p${j}s AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS ord,
+         |         list_slice(u, ${j * dsub + 1}, ${(j + 1) * dsub}) AS v
+         |  FROM (SELECT vec_id, u FROM pu ORDER BY vec_id LIMIT 100000)
+         |)""".stripMargin + lloydCtes(s"p$j", ksub, iters, dsub)
+    }.mkString("")
+    val bookUnion = (0 until m).map(j =>
+      s"SELECT $j AS j, cell AS code, cent, " +
+        s"list_sum(list_transform(cent, x -> x * x)) AS cn2 FROM p${j}c$iters")
+      .mkString("\n  UNION ALL ")
+    val subOfU = s"list_slice(u.u, b.j * $dsub + 1, (b.j + 1) * $dsub)"
+    normCte +
+      s""", pu AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+         |  FROM n
+         |)""".stripMargin + subspaces +
+      s""", books AS MATERIALIZED (
+         |  $bookUnion
+         |), pcode AS MATERIALIZED (
+         |  SELECT u.vec_id, b.j,
+         |         (min({'d': b.cn2 - 2.0 * ${dot8(subOfU, "b.cent")}, 'c': b.code})).c AS code
+         |  FROM pu u JOIN books b ON TRUE
+         |  GROUP BY u.vec_id, b.j
+         |), pqsc AS MATERIALIZED (
+         |  SELECT u.vec_id AS query_id, b.j, b.code,
+         |         b.cn2 - 2.0 * ${dot8(subOfU, "b.cent")} AS sc
+         |  FROM pu u JOIN books b ON TRUE WHERE u.vec_id < 10
+         |), pad AS (
+         |  SELECT q.query_id, pc.vec_id,
+         |         list_sum(list_prepend(CAST(1.0 AS DOUBLE),
+         |           list(q.sc ORDER BY q.j))) AS adist
+         |  FROM pcode pc JOIN pqsc q ON q.j = pc.j AND q.code = pc.code
+         |  WHERE q.query_id <> pc.vec_id
+         |  GROUP BY q.query_id, pc.vec_id
+         |), prk AS (
+         |  SELECT query_id, vec_id, adist,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adist ASC, vec_id ASC) AS rank
+         |  FROM pad
+         |)
+         |SELECT query_id, vec_id, round(adist, 6) AS adist, CAST(rank AS INT) AS rank
+         |FROM prk WHERE rank <= 5""".stripMargin
+  }
 
   private val bucketSql: String =
     (0 until 8).map(j =>
@@ -3995,7 +4138,7 @@ object SparkEntry {
 
     // IVF agreement semi-oracle: the brute margin count is exact SQL,
     // agree_ok is the in-band bound assertion (the annRecallOracleSql
-    // pattern — the k-means side is the declared non-SQL contract)
+    // pattern; the quantizer itself is strictly oracled in q_ann_ivf)
     "q_margin_mine_ivf_recall" ->
       (marginPoolsCte(4) + ", " +
         marginChainCtes("b", lsh = false, nk = 4, bits = 4, minMargin = 1.2) +
@@ -4091,6 +4234,13 @@ object SparkEntry {
     // the brute top-5 structural counts are exact SQL; recall_ok is
     // the in-band bound assertion (one shared oracle for both recall
     // semi-oracles — see annRecallOracleSql)
+    // the full IVF / PQ chains INCLUDING quantizer training: the
+    // deterministic driver-side Lloyd replays in unrolled SQL (the
+    // q_bpe_train pattern for floats — see lloydCtes), so the two
+    // long-declared no-oracle contracts flip strict
+    "q_ann_ivf" -> ivfOracleSql,
+    "q_ann_pq" -> pqOracleSql,
+
     "q_ann_ivf_recall" -> annRecallOracleSql,
     "q_ann_pq_recall" -> annRecallOracleSql,
     "q_rproj_recall" -> annRecallOracleSql,

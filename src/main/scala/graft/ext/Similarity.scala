@@ -174,36 +174,44 @@ object Similarity {
         round(col("__score"), 6).as("rerank_score"), col("rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    * (MLlib, seeded) assigns every corpus vector to its nearest of
-    * `nlist` centroid cells; a query scans only its `nprobe` closest
-    * cells. Training touches a bounded sample; assignment, probing
-    * and scoring are plain joins on the (tiny, broadcast) centroid
-    * table — the standard ANN shape at cluster scale, recall traded
-    * via nlist/nprobe.
+  /** IVF (inverted-file) approximate top-k: a k-means coarse
+    * quantizer (the deterministic fixed-iteration [[lloyd]], trained
+    * driver-side on a bounded id-ordered sample) assigns every corpus
+    * vector to its nearest of `nlist` centroid cells; a query scans
+    * only its `nprobe` closest cells. Assignment, probing and scoring
+    * are pure projections against the (tiny, literal) centroid table
+    * — the standard ANN shape at cluster scale, recall traded via
+    * nlist/nprobe. Because the training trajectory is sequential IEEE
+    * arithmetic, the ENTIRE chain including training is exact-hash
+    * oracled (SparkEntry.lloydCtes replays the fit in unrolled SQL).
     * Output: query_id, vec_id, cosine, rank.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      trainSample: Int = 100000, excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      k: Int, nlist: Int = 16, nprobe: Int = 2,
+      trainSample: Int = 100000, iters: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
     // Deterministic training set: orderBy(id) before limit — a bare
     // limit over a multi-partition scan is not a stable sample, so the
-    // "seeded" quantizer could vary run to run despite the fixed seed.
-    val train = corpus
+    // quantizer could vary run to run. The Lloyd fit runs DRIVER-side
+    // on the bounded collected sample (the trainPq rationale: k·iters
+    // MLlib jobs on a tiny sample are pure scheduling overhead), and
+    // — because [[lloyd]]'s whole trajectory is deterministic
+    // sequential IEEE arithmetic — the DuckDB oracle replays training
+    // iteration by iteration, making the IVF chain exact-hash
+    // checkable end to end.
+    val sample = corpus
       .orderBy(col(id))
       .limit(trainSample)
-      .select(array_to_vector(col(vec).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
-      .fit(train)
+      .select(col(vec).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = lloyd(sample, nlist, iters)
     // Centroids as a LITERAL array<struct<cell,cent>> — cell assignment
     // becomes a pure projection (transform → array_sort → slice): no
     // broadcast join, no per-row window sort over the corpus. nlist is
     // small by construction, so the literal stays tiny.
-    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"),
-        array(c.toArray.map(lit(_)): _*).as("cent"))
+        array(c.map(lit(_)): _*).as("cent"))
     }: _*)
     def dist2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) =>
@@ -236,7 +244,7 @@ object Similarity {
   }
 
   /** Product-quantization codebooks: `m` subspaces × `ksub` centroids
-    * each (trained per subspace with seeded MLlib k-means on a
+    * each (trained per subspace with the deterministic driver-side Lloyd on a
     * bounded, deterministic sample). codebooks(j)(c) is the centroid
     * c of subspace j, of length dim/m.
     */
@@ -251,7 +259,8 @@ object Similarity {
     * downstream is a projection over the tiny literal codebooks.
     */
   def trainPq(corpus: DataFrame, vec: String, m: Int = 8, ksub: Int = 16,
-      seed: Long = 42L, trainSample: Int = 100000, idCol: String = "vec_id"): PqModel = {
+      trainSample: Int = 100000, iters: Int = 10,
+      idCol: String = "vec_id"): PqModel = {
     val dim = corpus.select(size(col(vec))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -260,24 +269,26 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     val books = (0 until m).map { j =>
       val sub = sample.map(u => java.util.Arrays.copyOfRange(u, j * dsub, (j + 1) * dsub))
-      lloyd(sub, ksub, iters = 20, seed = seed + j)
+      lloyd(sub, ksub, iters)
     }.toArray
     PqModel(m, dsub, books)
   }
 
-  /** Deterministic Lloyd's k-means on a driver-side sample: seeded
-    * shuffle picks the k initial centroids; empty clusters keep their
-    * previous centroid. O(n·k·d·iters) — microseconds-to-ms at any
-    * bounded sample size.
+  /** Deterministic Lloyd's k-means on a driver-side sample: the
+    * initial centroids are the FIRST k sample points (the sample is
+    * already a deterministic id-ordered prefix — an RNG-shuffled init
+    * would bar any cross-engine replay); ties in the argmin go to the
+    * lower cell index; empty clusters keep their previous centroid.
+    * Every accumulation is a sequential left fold in sample/dim
+    * order and every division a single correctly-rounded IEEE op, so
+    * an oracle can replay the whole trajectory bit for bit.
+    * O(n·k·d·iters) — microseconds-to-ms at any bounded sample size.
     */
-  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
-      seed: Long): Array[Array[Double]] = {
+  private def lloyd(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     require(points.nonEmpty, "empty training sample")
     val d = points.head.length
-    val rng = new scala.util.Random(seed)
-    val init = rng.shuffle(points.indices.toVector).take(math.min(k, points.length))
-    val cents = Array.tabulate(k)(i =>
-      points(init(i % init.length)).clone())
+    val cents = Array.tabulate(k)(i => points(i % points.length).clone())
     val sums = Array.ofDim[Double](k, d)
     val counts = new Array[Int](k)
     var it = 0
@@ -512,9 +523,9 @@ object Similarity {
     * Centroids are PINNED deterministically — the `nSeeds` smallest-id
     * vectors — so assignment (argmax cosine, ties → smaller seed id)
     * is a pure closed-form projection both engines replay exactly:
-    * this is the oracle-checkable member of the family (the k-means
-    * IVF quantizer in [[ivfTopK]] drops in for trained centroids, at
-    * the cost of the declared no-oracle contract). The seed collect is
+    * this is the closed-form member of the family (the Lloyd-trained
+    * IVF quantizer in [[ivfTopK]] drops in for trained centroids —
+    * itself exact-hash oracled via training replay). The seed collect is
     * bounded (nSeeds rows) and mirrors the IVF literal-centroid
     * pattern; at cluster scale a large centroid table becomes a
     * broadcast join with the identical plan downstream.
@@ -710,10 +721,10 @@ object Similarity {
     * ride the coarse-quantizer cell join; nlist grows with the
     * corpus.
     */
-  def ivfRetriever(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L)
+  def ivfRetriever(nlist: Int = 16, nprobe: Int = 4)
       : (DataFrame, DataFrame, String, String, Int) => DataFrame =
     (q, c, i, v, k) =>
-      ivfTopK(q, c, i, v, k, nlist, nprobe, seed, excludeSelf = false)
+      ivfTopK(q, c, i, v, k, nlist, nprobe, excludeSelf = false)
 
   /** kNN label propagation — spread labels from a small hand-labeled
     * seed set to the unlabeled corpus by majority vote of each
