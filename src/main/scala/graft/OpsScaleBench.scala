@@ -284,6 +284,30 @@ object OpsScaleBench {
       bench("bpe_apply", n, nDocs * n)(() =>
         TextStats.encodeBpe(docs, "doc_id", "text", bpeMergesDf).count())
 
+      // BPE training round count: the exact trainer pays one driver
+      // round (pair-count collect + fold) PER MERGE; the batched
+      // trainer amortizes batchSize merges per round. On a
+      // vocab-suffixed axis (vocabulary grows n×) both trainers'
+      // per-round cost grows with the distinct-word table, so the
+      // wall gap isolates the ROUND COUNT — the term that makes the
+      // sequential loop a 30k-job scale-killer at a production
+      // vocabulary while the batched form stays at 30k/batchSize.
+      if (selected("bpe_train_ctl") || selected("bpe_batched")) {
+        val docsV = replicateSuffixed(docs0, n, suffixFrom = 0)
+        bench("bpe_train_ctl", n, nDocs * n) { () =>
+          val c = TextStats.trainBpe(docsV, "doc_id", "text",
+            numMerges = 24).count()
+          graft.core.Caches.unpersistAll()
+          c
+        }
+        bench("bpe_batched", n, nDocs * n) { () =>
+          val c = TextStats.trainBpeBatched(docsV, "doc_id", "text",
+            numMerges = 24, batchSize = 8).count()
+          graft.core.Caches.unpersistAll()
+          c
+        }
+      }
+
       // pii redact: pure codegen'd regexp map work — the throughput
       // floor of the curation family; must scale linearly (flat
       // Mrows/s) since there is no shuffle to widen.

@@ -121,6 +121,14 @@ object SparkEntry {
     */
   private val BpeNumMerges = 12
 
+  /** The ONE (batch, candidate-cap) pair for the batched BPE trainer
+    * — shared by the q_bpe_train_batched entry and its oracle builder
+    * so the greedy-selection geometry cannot drift. 12 merges in 3
+    * rounds of 4 (vs trainBpe's 12 rounds of 1).
+    */
+  private val BpeBatchSize = 4
+  private val BpeCandCap = 16
+
   /** The ONE hot-band df cap for the capped SimHash pair twin —
     * shared by the q_dedup_simhash_capped Spark entry and its oracle
     * so the two sides cannot drift. Not binding on the synthetic
@@ -1454,6 +1462,19 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       TextStats.trainBpe(Tables.documents(s, dir), "doc_id", "text",
         numMerges = BpeNumMerges)),
+
+    // BATCHED BPE training — the scale fix for trainBpe's
+    // one-merge-per-round driver loop: the same 12-merge budget in 3
+    // rounds of 4 symbol-disjoint picks (at a 30k-merge production
+    // vocabulary the round count drops batchSize-fold). Strict: the
+    // oracle replays candidate ordering, the greedy disjoint
+    // selection, and the simultaneous replacement fold round by round
+    // (bpeBatchedCtes); BpeSpec additionally pins batchSize=1 ≡
+    // trainBpe exactly.
+    "q_bpe_train_batched" -> ((s, dir) =>
+      TextStats.trainBpeBatched(Tables.documents(s, dir), "doc_id", "text",
+        numMerges = BpeNumMerges, batchSize = BpeBatchSize,
+        candCap = BpeCandCap)),
 
     // BPE ENCODE with the table trained above: per-doc BPE token
     // counts via the distinct-word table (each word encoded once,
@@ -3197,6 +3218,71 @@ object SparkEntry {
         |         CAST(count(*) AS BIGINT) AS wt
         |  FROM w GROUP BY word
         |)$rounds""".stripMargin
+  }
+
+  /** Unrolled replay of [[graft.ext.TextStats.trainBpeBatched]]: per
+    * round a MATERIALIZED ordered candidate table (same tie order as
+    * the engine collect), the greedy symbol-disjoint selection as
+    * `batchSize` unrolled LIMIT-1 steps (each picks the best
+    * candidate sharing no symbol with earlier picks — plain SQL, no
+    * lambdas: DuckDB 1.0's list_reduce miscomputes accumulator
+    * fields that feed the same call as element-bound values), and
+    * one simultaneous replacement fold matching ANY picked pair.
+    * Emits bv0…bvR and bs1…bsR(l, r, w, ord); the caller unions the
+    * picks into the rank table.
+    */
+  private def bpeBatchedCtes(numMerges: Int, batchSize: Int,
+      candCap: Int): String = {
+    val rounds = numMerges / batchSize
+    val roundCtes = (1 to rounds).map { k =>
+      val steps = (1 to batchSize).map { s =>
+        val prior = (1 until s).map(p => s"SELECT l, r FROM bs${k}_$p")
+          .mkString(" UNION ALL ")
+        val disjoint =
+          if (s == 1) ""
+          else
+            s"""|  WHERE NOT EXISTS (
+                |    SELECT 1 FROM ($prior) p
+                |    WHERE p.l IN (c.l, c.r) OR p.r IN (c.l, c.r))
+                |""".stripMargin
+        s"""|, bs${k}_$s AS MATERIALIZED (
+            |  SELECT c.l, c.r, c.w, $s AS ord FROM bq$k c
+            |$disjoint  ORDER BY c.w DESC, c.l ASC, c.r ASC LIMIT 1
+            |)""".stripMargin
+      }.mkString("\n")
+      val union = (1 to batchSize).map(s => s"SELECT * FROM bs${k}_$s")
+        .mkString("\n  UNION ALL ")
+      s"""|, bq$k AS MATERIALIZED (
+          |  SELECT p.l AS l, p.r AS r, CAST(sum(wt) AS BIGINT) AS w
+          |  FROM (SELECT wt, unnest(list_transform(range(1, len(syms)), i ->
+          |          {'l': syms[CAST(i AS INT)], 'r': syms[CAST(i AS INT)+1]})) AS p
+          |        FROM bv${k - 1} WHERE len(syms) > 1) z
+          |  GROUP BY 1, 2 HAVING sum(wt) >= 2
+          |  ORDER BY w DESC, l ASC, r ASC LIMIT $candCap
+          |)$steps
+          |, bs$k AS MATERIALIZED (
+          |  $union
+          |), bv$k AS MATERIALIZED (
+          |  SELECT CASE WHEN pk.pl IS NULL OR len(pk.pl) = 0 OR len(syms) < 2 THEN syms
+          |         ELSE list_reduce(list_transform(syms, s -> [s]),
+          |           (acc, x) -> CASE WHEN list_contains(pk.pl, [acc[-1], x[1]])
+          |             THEN list_slice(acc, 1, len(acc)-1) || [acc[-1] || x[1]]
+          |             ELSE acc || x END) END AS syms, wt
+          |  FROM bv${k - 1} LEFT JOIN
+          |    (SELECT list([l, r]) AS pl FROM bs$k) pk ON TRUE
+          |)""".stripMargin
+    }.mkString("\n")
+    s"""|WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents
+        |), bv0 AS MATERIALIZED (
+        |  SELECT list_transform(range(1, length(word)+1),
+        |                        i -> substring(word, CAST(i AS INT), 1)) AS syms,
+        |         CAST(count(*) AS BIGINT) AS wt
+        |  FROM w GROUP BY word
+        |)$roundCtes""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -5061,6 +5147,13 @@ object SparkEntry {
         (1 to BpeNumMerges).map(k =>
           s"""SELECT $k AS rank, l AS "left", r AS "right", l || r AS merged, w AS weight FROM p$k""")
           .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n)")),
+
+    "q_bpe_train_batched" ->
+      (bpeBatchedCtes(BpeNumMerges, BpeBatchSize, BpeCandCap) + "\n" +
+        s"""SELECT CAST(row_number() OVER (ORDER BY k ASC, ord ASC) AS INT) AS rank,
+           |       l AS "left", r AS "right", l || r AS merged, w AS weight
+           |FROM (${(1 to BpeNumMerges / BpeBatchSize).map(k =>
+                s"SELECT $k AS k, l, r, w, ord FROM bs$k").mkString("\n  UNION ALL ")}) z""".stripMargin),
 
     // ENCODE replay: bpeTrainCtes' final vocab table already holds
     // every distinct word's symbols after all learned merges applied

@@ -686,6 +686,96 @@ object TextStats {
     merges.toSeq.toDF("rank", "left", "right", "merged", "weight")
   }
 
+  /** BATCHED BPE training — the scale fix for [[trainBpe]]'s
+    * one-merge-per-round driver loop (at a real 30k-merge vocabulary
+    * that loop is 30k sequential Spark jobs, the job-count
+    * scale-killer; a production batched trainer is how e.g.
+    * SentencePiece's BPE amortizes the same greedy objective). Per
+    * round: ONE distributed pair count; the top `candCap` candidates
+    * (ordered w desc, l, r — [[trainBpe]]'s exact tie order) collect
+    * driver-side; a greedy scan picks up to `batchSize`
+    * SYMBOL-DISJOINT pairs (no symbol may appear in two picked pairs
+    * — disjointness is what makes one simultaneous replacement pass
+    * well-defined); one distributed fold applies all picks at once.
+    * numMerges must divide into rounds exactly (numMerges =
+    * rounds·batchSize), so the whole trajectory is a fixed,
+    * oracle-replayable schedule: with batchSize = 1 the output is
+    * IDENTICAL to [[trainBpe]] (BpeSpec pins it), and with
+    * batchSize = B the driver round count drops B-fold.
+    *
+    * Semantics note, replayed verbatim by the oracle: the application
+    * fold scans left to right matching ANY picked pair, so a symbol
+    * CREATED by a merge earlier in the pass can participate in a
+    * later match within the same pass iff its concatenation equals a
+    * picked left symbol — deterministic in both engines because both
+    * run the identical sequential fold.
+    * Output: rank, left, right, merged, weight — [[trainBpe]]'s
+    * schema, rank in pick order.
+    */
+  def trainBpeBatched(df: DataFrame, id: String, text: String,
+      numMerges: Int, batchSize: Int, candCap: Int = 0): DataFrame = {
+    require(batchSize >= 1 && numMerges % batchSize == 0,
+      s"numMerges ($numMerges) must be a multiple of batchSize ($batchSize)")
+    val cap = if (candCap > 0) candCap else math.max(4 * batchSize, 8)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(tokens(col(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wt"))
+      .withColumn("sym", split(col("word"), ""))
+      .select("sym", "wt")
+    var cur = words.cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    val rounds = numMerges / batchSize
+    var r = 0
+    var rank = 1
+    var done = false
+    while (r < rounds && !done) {
+      val cands = cur
+        .select(col("wt"), explode(zip_with(
+          slice(col("sym"), lit(1), greatest(size(col("sym")) - 1, lit(0))),
+          slice(col("sym"), lit(2), greatest(size(col("sym")) - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wt")).as("w"))
+        .filter(col("w") >= 2)
+        .orderBy(col("w").desc, col("l").asc, col("r").asc)
+        .limit(cap).collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      cands.foreach { row =>
+        val (l, rr, w) = (row.getString(0), row.getString(1), row.getLong(2))
+        if (picked.size < batchSize && !used(l) && !used(rr)) {
+          used += l; used += rr
+          picked += ((l, rr, w))
+        }
+      }
+      if (picked.isEmpty) done = true
+      else {
+        picked.foreach { case (l, rr, w) =>
+          merges += ((rank, l, rr, l + rr, w)); rank += 1
+        }
+        val pairLits = array(picked.map { case (l, rr, _) =>
+          struct(lit(l).as("l"), lit(rr).as("r"))
+        }.toSeq: _*)
+        val mergedSym = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && array_contains(pairLits,
+              struct(element_at(acc, -1).as("l"), x.as("r"))),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x))))
+        val next = cur.select(mergedSym.as("sym"), col("wt")).cache()
+        cur.unpersist()
+        cur = next
+      }
+      r += 1
+    }
+    cur.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "weight")
+  }
+
   /** Apply a [[trainBpe]] merge table to the corpus — the ENCODE side
     * of the tokenizer: per-document BPE token counts, the number every
     * packing/budget decision downstream actually needs (whitespace

@@ -78,6 +78,44 @@ class BpeSpec extends SparkTestBase {
     assert(got.size == 12) // corpus is rich enough for all 12 merges
   }
 
+  test("trainBpeBatched with batchSize=1 equals trainBpe merge for merge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest widest")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // batch of one = the exact greedy trainer, round for round
+    assert(rows(TextStats.trainBpeBatched(docs, "doc_id", "text",
+        numMerges = 8, batchSize = 1)) ==
+      rows(TextStats.trainBpe(docs, "doc_id", "text", numMerges = 8)))
+  }
+
+  test("trainBpeBatched picks symbol-disjoint pairs per round, dense ranks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest widest")
+    ).toDF("doc_id", "text")
+    val got = TextStats.trainBpeBatched(docs, "doc_id", "text",
+      numMerges = 8, batchSize = 4).orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSeq
+    assert(got.map(_._1) == (1 to got.size)) // dense pick-order ranks
+    // within each round of 4, no symbol repeats on either side
+    got.grouped(4).foreach { round =>
+      val syms = round.flatMap(t => Seq(t._2, t._3))
+      assert(syms.distinct.size == syms.size,
+        s"round shares a symbol: $round")
+    }
+    // the top pair is still the greedy top pair ('es' weight 9)
+    assert((got.head._2, got.head._3) == ("e", "s"))
+  }
+
   test("trainBpe stops early when no pair repeats") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
