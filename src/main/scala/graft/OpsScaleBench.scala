@@ -268,13 +268,17 @@ object OpsScaleBench {
       // reduce to one confusion-count row — the projection above plus
       // a groupless aggregate whose map-side partials ship 4 counters
       // per task, so the exchange is partition-count-sized and wall
-      // tracks the corpus linearly with flat Mrows/s. (count() the
-      // 1-row result forces the whole eval; nothing prunes.)
-      bench("quality_eval", n, nDocs * n)(() =>
-        TextStats.evalQualityClassifier(
+      // tracks the corpus linearly. collect() the 1-row result, NOT
+      // count(): count(1) over the groupless aggregate lets Catalyst
+      // prune every confusion sum and with them the whole scoring
+      // fold — the row would time scan+filter only.
+      bench("quality_eval", n, nDocs * n) { () =>
+        val r = TextStats.evalQualityClassifier(
           TextStats.applyQualityClassifier(docs, "doc_id", "text",
             qModelDf),
-          pmod(col("doc_id"), lit(3)) =!= 0).count())
+          pmod(col("doc_id"), lit(3)) =!= 0).collect()
+        r.length.toLong
+      }
 
       // BPE apply from a fixed trained artifact: the ingest batch
       // widens n× while the merge table stays 12 rows — the distinct-
@@ -293,7 +297,14 @@ object OpsScaleBench {
       // sequential loop a 30k-job scale-killer at a production
       // vocabulary while the batched form stays at 30k/batchSize.
       if (selected("bpe_train_ctl") || selected("bpe_batched")) {
-        val docsV = replicateSuffixed(docs0, n, suffixFrom = 0)
+        // tag n=1 too (replicateSuffixed leaves n<=1 untouched): the
+        // axis must train on the same word SHAPE at every n, or the
+        // 1x->8x point mixes vocabulary growth with a one-time change
+        // of suffix characters in the merge-candidate inventory
+        val docsV =
+          if (n == 1) docs0.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"), lit("$1_0")))
+          else replicateSuffixed(docs0, n, suffixFrom = 0)
         bench("bpe_train_ctl", n, nDocs * n) { () =>
           val c = TextStats.trainBpe(docsV, "doc_id", "text",
             numMerges = 24).count()

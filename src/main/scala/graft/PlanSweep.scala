@@ -1,6 +1,44 @@
 package graft
 
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** The ONE definition of "all-pairs join" shared by PlanGuardSpec's
+  * registry-wide sweep and the [[PlanSweep]] dev utility, so the two
+  * cannot drift.
+  */
+object PlanAudit {
+
+  /** The scalar-join idiom: a crossJoin against a 1-row (groupless)
+    * aggregate such as a corpus total. Allowed everywhere — but ONLY
+    * when the groupless aggregate sits on the BUILD (broadcast) side:
+    * a deep scalar aggregate inside the STREAMED side (e.g. a total
+    * used to normalize a column before a genuine all-pairs loop) must
+    * not whitewash the loop.
+    */
+  def isScalarBnlj(b: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = b.buildSide match {
+      case BuildLeft => b.left
+      case BuildRight => b.right
+    }
+    build.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.isEmpty => a
+    }.nonEmpty
+  }
+
+  def cartesians(plan: SparkPlan): Seq[SparkPlan] =
+    plan.collect { case c: CartesianProductExec => c }
+
+  /** Non-scalar nested-loop joins — the genuine all-pairs loops that
+    * must appear only in the declared broadcast-scan allowlist.
+    */
+  def allPairsLoops(plan: SparkPlan): Seq[BroadcastNestedLoopJoinExec] =
+    plan.collect {
+      case b: BroadcastNestedLoopJoinExec if !isScalarBnlj(b) => b
+    }
+}
 
 /** Dev utility: sweep every registry query's static physical plan and
   * print the ones containing a BroadcastNestedLoopJoin or
@@ -14,18 +52,12 @@ object PlanSweep {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       try {
-        val df = SparkEntry.queries(name)(spark, dir)
-        val hits = df.queryExecution.executedPlan.collect {
-          case b: BroadcastNestedLoopJoinExec =>
-            // flag the scalar-join idiom so the allowlist can tell a
-            // 1-row aggregate broadcast from a genuine all-pairs loop
-            val scalarSide = b.children.exists(_.collect {
-              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-                  if a.groupingExpressions.isEmpty => a
-            }.nonEmpty)
-            s"BNLJ(scalarSide=$scalarSide)"
-          case _: CartesianProductExec => "CARTESIAN"
-        }
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan
+        val hits = PlanAudit.cartesians(plan).map(_ => "CARTESIAN") ++
+          plan.collect { case b: BroadcastNestedLoopJoinExec =>
+            s"BNLJ(scalar=${PlanAudit.isScalarBnlj(b)})"
+          }
         if (hits.nonEmpty) println(s"SWEEP $name -> ${hits.mkString(", ")}")
         else println(s"SWEEP $name -> clean")
       } catch {

@@ -1685,7 +1685,10 @@ object SparkEntry {
     // bytes in ⇒ same artifacts out — determinism the oracle
     // replays), while every distinct key carries artifact-laden
     // hashes the band join must keep apart. Same 4×14-bit pigeonhole
-    // chain as q_media_neardup.
+    // chain as q_media_neardup. Twin construction contract: corpus
+    // ids < 10⁷ (all testdata SFs), else a planted twin id would
+    // alias a real doc — the key mod in synthJpegSource and the
+    // oracle are aligned regardless.
     "q_jpeg_neardup" -> ((s, dir) => {
       val ids = Tables.documents(s, dir).select("doc_id")
       val fp = graft.core.Caches.cached(
@@ -5422,13 +5425,15 @@ object SparkEntry {
     // (test-SF only — the engine side is the bucketed band join).
     "q_media_neardup" -> mediaNeardupOracleSql,
 
-    // JPEG geometry is lossless (closed-form); err_ok is the spec
-    // bound the ENGINE proves by measuring the real lossy decode
-    // against the real source (measured global max 42 ≤ tol 48)
+    // JPEG geometry is lossless (closed-form from key = id mod 10⁷ —
+    // the engine's synthJpegSource key, mirrored so ids ≥ 10⁷ can
+    // never diverge the two sides); err_ok is the spec bound the
+    // ENGINE proves by measuring the real lossy decode against the
+    // real source (measured global max 42 ≤ tol 48)
     "q_jpeg_meta" ->
       """SELECT doc_id,
-        |       CAST(8 * (8 + doc_id % 5) AS INT) AS width,
-        |       CAST(8 * (8 + doc_id % 3) AS INT) AS height,
+        |       CAST(8 * (8 + (doc_id % 10000000) % 5) AS INT) AS width,
+        |       CAST(8 * (8 + (doc_id % 10000000) % 3) AS INT) AS height,
         |       CAST(3 AS INT) AS channels,
         |       TRUE AS err_ok
         |FROM documents""".stripMargin,

@@ -288,9 +288,13 @@ object Similarity {
       iters: Int): Array[Array[Double]] = {
     require(points.nonEmpty, "empty training sample")
     val d = points.head.length
-    val cents = Array.tabulate(k)(i => points(i % points.length).clone())
-    val sums = Array.ofDim[Double](k, d)
-    val counts = new Array[Int](k)
+    // k truncates to the sample size — wrapping init (duplicate
+    // centroids that tie forever) would silently diverge from the
+    // oracle's `WHERE ord <= k` truncation on tiny corpora
+    val kEff = math.min(k, points.length)
+    val cents = Array.tabulate(kEff)(i => points(i).clone())
+    val sums = Array.ofDim[Double](kEff, d)
+    val counts = new Array[Int](kEff)
     var it = 0
     while (it < iters) {
       java.util.Arrays.fill(counts, 0)
@@ -298,7 +302,7 @@ object Similarity {
       points.foreach { p =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < k) {
+        while (c < kEff) {
           var s = 0.0; var i = 0
           while (i < d) { val t = p(i) - cents(c)(i); s += t * t; i += 1 }
           if (s < bestD) { bestD = s; best = c }
@@ -309,7 +313,7 @@ object Similarity {
         counts(best) += 1
       }
       var c = 0
-      while (c < k) {
+      while (c < kEff) {
         if (counts(c) > 0) {
           var i = 0
           while (i < d) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }

@@ -443,6 +443,26 @@ object TextStats {
   private def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
 
+  /** Split a word into CODE-POINT symbols — the BPE symbol alphabet.
+    * `split(word, "")` (and Scala's `String.split("")`) cut UTF-16
+    * code units, so a supplementary-plane character (emoji, musical
+    * symbols) becomes two lone-surrogate half-symbols while every SQL
+    * engine's substring/length are per code point — the engine and
+    * its oracle would train different merge sequences from round 1.
+    * The Spark-side twin is sequence(1, length(word)) + substr (both
+    * code-point-based on UTF8String).
+    */
+  private[graft] def codePointSyms(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Adjacent-pair bigrams of a BOUND token-array column. The argument
     * must be a materialized attribute (select the token array into a
     * column first): HOF lambdas evaluate interpreted with no CSE, so
@@ -646,7 +666,8 @@ object TextStats {
     val words = df
       .select(explode(tokens(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wt"))
-      .withColumn("sym", split(col("word"), ""))
+      .withColumn("sym", transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
       .select("sym", "wt")
     var cur = words.cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -722,7 +743,8 @@ object TextStats {
     val words = df
       .select(explode(tokens(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wt"))
-      .withColumn("sym", split(col("word"), ""))
+      .withColumn("sym", transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
       .select("sym", "wt")
     var cur = words.cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -818,7 +840,7 @@ object TextStats {
     val bc = spark.sparkContext.broadcast(ranks)
     val encodedLen = udf { (w: String) =>
       val rk = bc.value
-      var syms = w.split("").toVector
+      var syms = codePointSyms(w).toVector
       var go = syms.length > 1
       while (go) {
         var best = Int.MaxValue

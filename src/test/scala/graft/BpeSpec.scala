@@ -12,11 +12,15 @@ import graft.ext.TextStats
   */
 class BpeSpec extends SparkTestBase {
 
-  /** Reference BPE on a word→count map: plain Scala, no Spark. */
+  /** Reference BPE on a word→count map: plain Scala, no Spark.
+    * Symbols are CODE POINTS (not UTF-16 units), matching the engine
+    * and the SQL oracles.
+    */
   private def refBpe(wordCounts: Map[String, Long],
       numMerges: Int): Seq[(Int, String, String, String, Long)] = {
     var words: Map[Vector[String], Long] =
-      wordCounts.map { case (w, c) => (w.split("").toVector, c) }
+      wordCounts.map { case (w, c) =>
+        (graft.ext.TextStats.codePointSyms(w).toVector, c) }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 1
@@ -114,6 +118,27 @@ class BpeSpec extends SparkTestBase {
     }
     // the top pair is still the greedy top pair ('es' weight 9)
     assert((got.head._2, got.head._3) == ("e", "s"))
+  }
+
+  test("trainBpe symbols are code points: supplementary-plane text trains cleanly") {
+    import spark.implicits._
+    // 𝄞 (U+1D11E) is two UTF-16 units; a code-unit split would train
+    // on lone surrogates and diverge from every per-code-point SQL
+    // replay. The merged pair must be the real two-char string.
+    val docs = Seq((1L, "𝄞a 𝄞a 𝄞a"))
+      .toDF("doc_id", "text")
+    val got = TextStats.trainBpe(docs, "doc_id", "text", numMerges = 1)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "𝄞" && got(0).getString(2) == "a")
+    assert(got(0).getString(3) == "𝄞a")
+    assert(got(0).getLong(4) == 3L)
+    // and the reference trainer agrees (both are code-point-based)
+    assert(refBpe(Map("𝄞a" -> 3L), 1).head._4 == "𝄞a")
+    // encode side shares the same alphabet: 3 words of 1 token each
+    val enc = TextStats.encodeBpe(docs, "doc_id", "text",
+      TextStats.trainBpe(docs, "doc_id", "text", numMerges = 1)).collect()(0)
+    assert(enc.getLong(1) == 3L && enc.getLong(2) == 3L)
   }
 
   test("trainBpe stops early when no pair repeats") {

@@ -411,22 +411,14 @@ class PlanGuardSpec extends SparkTestBase {
         val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
           val plan = SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan
-          val cartesians = plan.collect {
-            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-          }
-          assert(cartesians.isEmpty,
+          assert(PlanAudit.cartesians(plan).isEmpty,
             s"$name plans a CartesianProduct — never acceptable:\n$plan")
-          val loops = plan.collect {
-            case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-                // the scalar-join idiom — a crossJoin against a 1-row
-                // (groupless) aggregate such as a corpus total — is a
-                // broadcast of one row, allowed everywhere
-                if !b.children.exists(_.collect {
-                  case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-                      if a.groupingExpressions.isEmpty => a
-                }.nonEmpty) => b
-          }
-          if (loops.nonEmpty && !allPairsAllowlist.contains(name)) Some(name)
+          // PlanAudit.isScalarBnlj allows the scalar-join idiom (a
+          // crossJoin against a 1-row groupless aggregate) ONLY when
+          // the aggregate is the BUILD side — one shared definition
+          // with the PlanSweep dev utility
+          if (PlanAudit.allPairsLoops(plan).nonEmpty &&
+            !allPairsAllowlist.contains(name)) Some(name)
           else None
         }
         assert(offenders.isEmpty,
