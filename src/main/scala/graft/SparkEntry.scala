@@ -737,6 +737,20 @@ object SparkEntry {
           maxDist = 3))
     }),
 
+    // the FULL incremental curation verdict on the same frozen
+    // registry: gates + frozen-family assignment + keeper + split for
+    // the batch, per-batch-callable — the driver-checked batch twin
+    // of the streaming foreachBatch suite (StreamingSpec proves
+    // batch ≡ stream; this row proves the batch form itself against
+    // an independent SQL replay).
+    "q_curation_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val known = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val reg = Sampling.familyRegistry(known, "doc_id", "text", maxDist = 3)
+      TextStats.curationIngest(batch, reg, "doc_id", "text", maxDist = 3)
+    }),
+
     // winnowing fingerprints (Schleimer et al. 2003 / MOSS): each
     // sliding window of w k-gram hashes keeps its minimum (ties →
     // rightmost) — guarantees any shared run ≥ w+k−1 tokens shares a
@@ -2888,6 +2902,57 @@ object SparkEntry {
       |  SELECT doc_id, (lang_pred IN ('en')) AS lang_ok FROM lp
       |)""".stripMargin
 
+  /** Frozen-family incremental assignment CTE chain (pk … asg) over
+    * [[simhashCteBody]]'s cd candidate table, batch = doc_id % 4 == 0:
+    * known-side recursive closure → famk, batch-only components →
+    * comp, cross-side matches → min-family inheritance → asg(doc_id,
+    * family_id, is_new_family). ONE definition shared by
+    * q_split_safe_incr and q_curation_incr so the assignment
+    * semantics cannot drift between the split and the full verdict.
+    */
+  private val incrFamilyCtes: String =
+    """pk AS (
+      |  SELECT id_a, id_b FROM cd
+      |  WHERE bit_count(xor(ha, hb)) <= 3 AND id_a % 4 <> 0 AND id_b % 4 <> 0
+      |), ek AS (
+      |  SELECT id_a AS a, id_b AS b FROM pk
+      |  UNION ALL SELECT id_b, id_a FROM pk
+      |), rk(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 <> 0
+      |  UNION
+      |  SELECT ek.b, rk.r FROM rk JOIN ek ON ek.a = rk.id
+      |), famk AS (
+      |  SELECT id AS doc_id, min(r) AS family_id FROM rk GROUP BY id
+      |), pb AS (
+      |  SELECT id_a, id_b FROM cd
+      |  WHERE bit_count(xor(ha, hb)) <= 3 AND id_a % 4 = 0 AND id_b % 4 = 0
+      |), eb AS (
+      |  SELECT id_a AS a, id_b AS b FROM pb
+      |  UNION ALL SELECT id_b, id_a FROM pb
+      |), rb(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 = 0
+      |  UNION
+      |  SELECT eb.b, rb.r FROM rb JOIN eb ON eb.a = rb.id
+      |), comp AS (
+      |  SELECT id AS doc_id, min(r) AS comp_id FROM rb GROUP BY id
+      |), xm AS (
+      |  SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS bdoc,
+      |         CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS kdoc
+      |  FROM cd
+      |  WHERE bit_count(xor(ha, hb)) <= 3
+      |    AND ((id_a % 4 = 0) <> (id_b % 4 = 0))
+      |), hits AS (
+      |  SELECT xm.bdoc AS doc_id, min(f.family_id) AS hit
+      |  FROM xm JOIN famk f ON f.doc_id = xm.kdoc GROUP BY xm.bdoc
+      |), cf AS (
+      |  SELECT comp_id, min(hit) AS fam
+      |  FROM comp LEFT JOIN hits USING (doc_id) GROUP BY comp_id
+      |), asg AS (
+      |  SELECT comp.doc_id, coalesce(cf.fam, comp.comp_id) AS family_id,
+      |         cf.fam IS NULL AS is_new_family
+      |  FROM comp JOIN cf USING (comp_id)
+      |)""".stripMargin
+
   /** SimHash candidate-pair CTE chain (wd … cd), shared by the pair
     * query and the cluster query; caller prepends WITH / WITH RECURSIVE
     * and appends its tail.
@@ -4116,48 +4181,8 @@ object SparkEntry {
     // family, else mints its own min-id family. Same family-id hash
     // routing as q_split_safe / q_split_safe_near.
     "q_split_safe_incr" ->
-      (s"WITH RECURSIVE $simhashCteBody, pk AS (\n" +
-        """  SELECT id_a, id_b FROM cd
-          |  WHERE bit_count(xor(ha, hb)) <= 3 AND id_a % 4 <> 0 AND id_b % 4 <> 0
-          |), ek AS (
-          |  SELECT id_a AS a, id_b AS b FROM pk
-          |  UNION ALL SELECT id_b, id_a FROM pk
-          |), rk(id, r) AS (
-          |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 <> 0
-          |  UNION
-          |  SELECT ek.b, rk.r FROM rk JOIN ek ON ek.a = rk.id
-          |), famk AS (
-          |  SELECT id AS doc_id, min(r) AS family_id FROM rk GROUP BY id
-          |), pb AS (
-          |  SELECT id_a, id_b FROM cd
-          |  WHERE bit_count(xor(ha, hb)) <= 3 AND id_a % 4 = 0 AND id_b % 4 = 0
-          |), eb AS (
-          |  SELECT id_a AS a, id_b AS b FROM pb
-          |  UNION ALL SELECT id_b, id_a FROM pb
-          |), rb(id, r) AS (
-          |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 = 0
-          |  UNION
-          |  SELECT eb.b, rb.r FROM rb JOIN eb ON eb.a = rb.id
-          |), comp AS (
-          |  SELECT id AS doc_id, min(r) AS comp_id FROM rb GROUP BY id
-          |), xm AS (
-          |  SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS bdoc,
-          |         CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS kdoc
-          |  FROM cd
-          |  WHERE bit_count(xor(ha, hb)) <= 3
-          |    AND ((id_a % 4 = 0) <> (id_b % 4 = 0))
-          |), hits AS (
-          |  SELECT xm.bdoc AS doc_id, min(f.family_id) AS hit
-          |  FROM xm JOIN famk f ON f.doc_id = xm.kdoc GROUP BY xm.bdoc
-          |), cf AS (
-          |  SELECT comp_id, min(hit) AS fam
-          |  FROM comp LEFT JOIN hits USING (doc_id) GROUP BY comp_id
-          |), asg AS (
-          |  SELECT comp.doc_id, coalesce(cf.fam, comp.comp_id) AS family_id,
-          |         cf.fam IS NULL AS is_new_family
-          |  FROM comp JOIN cf USING (comp_id)
-          |), h AS (
-          |  SELECT asg.doc_id, asg.family_id, asg.is_new_family, fp.simhash,
+      (s"WITH RECURSIVE $simhashCteBody, $incrFamilyCtes, h AS (\n" +
+        """  SELECT asg.doc_id, asg.family_id, asg.is_new_family, fp.simhash,
           |         CAST(CAST(('0x' || substr(md5(CAST(asg.family_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |              % 10000 AS INT) AS bucket
           |  FROM asg LEFT JOIN fp ON fp.doc_id = asg.doc_id
@@ -4167,6 +4192,31 @@ object SparkEntry {
           |            WHEN bucket < 9500 THEN 'val'
           |            ELSE 'test' END AS split
           |FROM h""".stripMargin),
+
+    // the incremental curation verdict driver-checked end to end: the
+    // SAME frozen-family chain as q_split_safe_incr (incrFamilyCtes,
+    // one definition) plus the SAME gate CTEs as q_corpus_filter /
+    // q_curation_e2e (qualityLangGateCtes) — keeper = founder,
+    // NULL-text batch docs get explicit failing gate bits.
+    "q_curation_incr" ->
+      (s"WITH RECURSIVE $simhashCteBody, $incrFamilyCtes, $qualityLangGateCtes, f AS (\n" +
+        """  SELECT asg.doc_id, asg.family_id,
+          |         coalesce(l.lang_ok, FALSE) AS lang_ok,
+          |         coalesce(q.quality_ok, FALSE) AS quality_ok,
+          |         asg.doc_id = asg.family_id AS is_keeper,
+          |         CAST(CAST(('0x' || substr(md5(CAST(asg.family_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |              % 10000 AS INT) AS bucket,
+          |         fp.simhash
+          |  FROM asg LEFT JOIN q USING (doc_id) LEFT JOIN l USING (doc_id)
+          |       LEFT JOIN fp ON fp.doc_id = asg.doc_id
+          |)
+          |SELECT doc_id, family_id, lang_ok, quality_ok, is_keeper,
+          |       is_keeper AND quality_ok AND lang_ok AS keep,
+          |       CASE WHEN bucket < 9000 THEN 'train'
+          |            WHEN bucket < 9500 THEN 'val'
+          |            ELSE 'test' END AS split,
+          |       simhash
+          |FROM f""".stripMargin),
 
     "q_embed_pairs" ->
       (normCte +

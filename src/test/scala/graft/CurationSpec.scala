@@ -312,6 +312,29 @@ class CurationSpec extends SparkTestBase {
     assert(a2m === Map(20L -> ((12L, false)), 22L -> ((22L, true))))
   }
 
+  test("family registry round-trips through parquet — the persisted-artifact shape") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = docs(1L -> base, 3L -> base)
+    val reg = Sampling.familyRegistry(corpus, "doc_id", "text", maxDist = 3)
+    val dir = java.nio.file.Files.createTempDirectory("fam_reg").toString
+    try {
+      reg.write.mode("overwrite").parquet(dir)
+      val loaded = spark.read.parquet(dir)
+      // assignment against the LOADED registry equals assignment
+      // against the live one — no column (incl. the nullable simhash)
+      // loses fidelity in the round trip
+      val b = docs(10L -> (base + " " + base), 12L -> (null: String))
+      val viaLive = Sampling.assignFamiliesIncremental(b, reg,
+        "doc_id", "text", maxDist = 3).orderBy("doc_id").collect().toSeq
+      val viaLoaded = Sampling.assignFamiliesIncremental(b, loaded,
+        "doc_id", "text", maxDist = 3).orderBy("doc_id").collect().toSeq
+      assert(viaLive == viaLoaded)
+      assert(viaLoaded.map(_.getLong(1)) == Seq(1L, 12L))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("assignFamiliesIncremental: multi-hit component routes to the OLDEST family") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
