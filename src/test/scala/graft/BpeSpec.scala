@@ -153,7 +153,7 @@ class BpeSpec extends SparkTestBase {
     * trainer applied to its own working corpus). */
   private def refEncode(word: String,
       merges: Seq[(Int, String, String)]): Int = {
-    var syms = word.split("").toVector
+    var syms = graft.ext.TextStats.codePointSyms(word).toVector
     for ((_, l, r) <- merges.sortBy(_._1)) {
       val acc = scala.collection.mutable.ArrayBuffer.empty[String]
       for (x <- syms) {
