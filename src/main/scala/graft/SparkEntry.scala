@@ -1307,6 +1307,29 @@ object SparkEntry {
         "qtext", k = 10)
     }),
 
+    // BM25 over a PERSISTABLE postings index maintained incrementally:
+    // the index is the union of two per-slice bm25Index builds (the
+    // append-only ingest shape — a real pipeline loads the known
+    // slice's postings from storage and tokenizes only the batch),
+    // and scoring derives df/N/avgdl from the index itself. Scoring
+    // is EXACTLY full-corpus BM25: the oracle is q_bm25's, and the
+    // two queries hash-agree at every SF — the agreement proof that
+    // index maintenance loses nothing.
+    "q_bm25_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= lit(""))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(toks, 1, 4), " ").as("qtext"))
+      val known = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val postings = Retrieval.bm25Index(known, "doc_id", "text")
+        .unionByName(Retrieval.bm25Index(batch, "doc_id", "text"))
+      Retrieval.bm25TopKIndexed(postings, queries, "query_id", "qtext",
+        k = 10)
+    }),
+
     // PSI distribution drift: per event type, day-over-day population
     // stability of the value distribution (10 fixed bins over
     // [0, 500), half-count Laplace smoothing).
@@ -3353,6 +3376,60 @@ object SparkEntry {
         |)$roundCtes""".stripMargin
   }
 
+  /** q_bm25's replay — shared verbatim by q_bm25_indexed: the
+    * indexed form must score EXACTLY like the one-shot form, so the
+    * two registry rows share one oracle (and one result hash).
+    */
+  private val bm25OracleSql: String =
+    """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents
+        |), dt0 AS (
+        |  SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM arr
+        |), dt AS (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |  FROM dt0 GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM dt GROUP BY 1
+        |), perdoc AS (
+        |  SELECT doc_id, any_value(dl) AS dl FROM dt GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         sum(dl) * CAST(1.0 AS DOUBLE) / count(*) AS avgdl
+        |  FROM perdoc
+        |), q0 AS (
+        |  SELECT doc_id AS query_id, unnest(ws[1:4]) AS term
+        |  FROM arr WHERE doc_id < 5
+        |), qt AS (
+        |  SELECT DISTINCT query_id, term FROM q0
+        |), scored AS (
+        |  SELECT qt.query_id, dt.doc_id,
+        |         CAST(round(
+        |           ln(CAST(1.0 AS DOUBLE) +
+        |              (s.n_docs - f.df + CAST(0.5 AS DOUBLE)) /
+        |              (f.df + CAST(0.5 AS DOUBLE))) *
+        |           (dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |            (dt.tf + CAST(1.2 AS DOUBLE) *
+        |             (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |              CAST(0.75 AS DOUBLE) * dt.dl / s.avgdl))), 9)
+        |           AS DECIMAL(38,9)) AS ts
+        |  FROM qt JOIN dt USING (term) JOIN dfreq f USING (term)
+        |  CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT query_id, doc_id, sum(ts) AS sq, count(*) AS n_matched
+        |  FROM scored GROUP BY 1, 2
+        |), r AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sq DESC, doc_id ASC) AS INT) AS rank,
+        |         n_matched, round(CAST(sq AS DOUBLE), 6) AS score
+        |  FROM agg
+        |)
+        |SELECT query_id, doc_id, rank, n_matched, score
+        |FROM r WHERE rank <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents)
@@ -4681,55 +4758,11 @@ object SparkEntry {
     // don't diverge from Spark's IEEE arithmetic; per-term scores
     // round to 9 and sum as DECIMAL(38,9) (order-free), rank compares
     // the exact decimal with doc-id ties.
-    "q_bm25" ->
-      """WITH arr AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |                     x -> x <> '') AS ws
-        |  FROM documents
-        |), dt0 AS (
-        |  SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM arr
-        |), dt AS (
-        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
-        |  FROM dt0 GROUP BY 1, 2
-        |), dfreq AS (
-        |  SELECT term, count(*) AS df FROM dt GROUP BY 1
-        |), perdoc AS (
-        |  SELECT doc_id, any_value(dl) AS dl FROM dt GROUP BY 1
-        |), stats AS (
-        |  SELECT count(*) AS n_docs,
-        |         sum(dl) * CAST(1.0 AS DOUBLE) / count(*) AS avgdl
-        |  FROM perdoc
-        |), q0 AS (
-        |  SELECT doc_id AS query_id, unnest(ws[1:4]) AS term
-        |  FROM arr WHERE doc_id < 5
-        |), qt AS (
-        |  SELECT DISTINCT query_id, term FROM q0
-        |), scored AS (
-        |  SELECT qt.query_id, dt.doc_id,
-        |         CAST(round(
-        |           ln(CAST(1.0 AS DOUBLE) +
-        |              (s.n_docs - f.df + CAST(0.5 AS DOUBLE)) /
-        |              (f.df + CAST(0.5 AS DOUBLE))) *
-        |           (dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
-        |            (dt.tf + CAST(1.2 AS DOUBLE) *
-        |             (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
-        |              CAST(0.75 AS DOUBLE) * dt.dl / s.avgdl))), 9)
-        |           AS DECIMAL(38,9)) AS ts
-        |  FROM qt JOIN dt USING (term) JOIN dfreq f USING (term)
-        |  CROSS JOIN stats s
-        |), agg AS (
-        |  SELECT query_id, doc_id, sum(ts) AS sq, count(*) AS n_matched
-        |  FROM scored GROUP BY 1, 2
-        |), r AS (
-        |  SELECT query_id, doc_id,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY sq DESC, doc_id ASC) AS INT) AS rank,
-        |         n_matched, round(CAST(sq AS DOUBLE), 6) AS score
-        |  FROM agg
-        |)
-        |SELECT query_id, doc_id, rank, n_matched, score
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "q_bm25" -> bm25OracleSql,
+
+    // identical scoring from the maintained postings index — the
+    // agreement proof IS the shared oracle (and the shared hash)
+    "q_bm25_indexed" -> bm25OracleSql,
 
     "q_psi_drift" ->
       """WITH e AS (

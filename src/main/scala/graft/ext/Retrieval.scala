@@ -19,24 +19,66 @@ object Retrieval {
   private final case class Bm25Index(docTerms: DataFrame,
       dfreq: DataFrame, stats: DataFrame)
 
-  // cached: dfreq and the (N, avgdl) scalars derive from this table
-  // rather than re-tokenizing the corpus (Spark plans each DataFrame
-  // reuse as a fresh scan otherwise — this is THE index table, built
-  // once per corpus; a production deployment would persist it
-  // bucketed by term)
-  private def buildIndex(docs: DataFrame, docId: String,
-      text: String): Bm25Index = {
+  /** The PERSISTABLE BM25 postings table — one row per (doc, term)
+    * with the term frequency and the doc length: the artifact an
+    * incremental retrieval pipeline maintains instead of re-tokenizing
+    * its corpus per batch. Because rows are strictly per-document,
+    * extending the index for an APPEND-ONLY corpus is a pure union:
+    * index' = index ∪ bm25Index(batch) — per-ingest cost is one
+    * tokenize pass over the BATCH text; every corpus-level statistic
+    * BM25 needs (df, N, avgdl) derives from the index itself with
+    * index-sized aggregates (see [[bm25TopKIndexed]]). A production
+    * deployment persists it partitioned/bucketed by term.
+    * Output: doc_id, term, tf, dl.
+    */
+  def bm25Index(docs: DataFrame, docId: String, text: String): DataFrame = {
     val toks = filter(split(lower(trim(col(text))), "\\s+"), w => w =!= lit(""))
-    val docTerms = graft.core.Caches.cached(docs
+    docs
       .select(col(docId).as("doc_id"), explode(toks).as("term"),
         size(toks).as("dl"))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Derive the full scoring index from a postings table (fresh or
+    * loaded from storage): df per term and the (N, avgdl) scalars are
+    * index-sized aggregates — no corpus text is touched. The postings
+    * are cached: every leg of the scoring join reads this one table.
+    */
+  private def indexFrom(postings: DataFrame): Bm25Index = {
+    val docTerms = graft.core.Caches.cached(postings)
     val dfreq = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docTerms.groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
     Bm25Index(docTerms, dfreq, stats)
+  }
+
+  // the one-shot form: tokenize + derive, built once per corpus
+  private def buildIndex(docs: DataFrame, docId: String,
+      text: String): Bm25Index =
+    indexFrom(bm25Index(docs, docId, text))
+
+  /** BM25 top-k against a PREBUILT postings index ([[bm25Index]] rows,
+    * fresh or persisted) — identical scoring to [[bm25TopK]] (same
+    * per-term Okapi weight, same exact-decimal rank sum), with the
+    * corpus text never touched: the ingest-reuse shape. With an
+    * append-only index maintained as index ∪ bm25Index(batch), each
+    * retrieval pays index-sized aggregates plus the postings
+    * equi-join — never a corpus re-tokenize.
+    * Output: query_id, doc_id, rank, n_matched, score.
+    */
+  def bm25TopKIndexed(postings: DataFrame, queries: DataFrame,
+      queryId: String, queryText: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val ix = indexFrom(postings)
+    val perTerm = queryTerms(queries, queryId, queryText)
+      .join(ix.docTerms, "term")
+      .join(ix.dfreq, "term")
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("doc_id"), termScore(k1, b).as("ts"))
+    rankTopK(perTerm, k)
   }
 
   /** Distinct (query_id, term) pairs of the query set. */

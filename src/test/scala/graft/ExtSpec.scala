@@ -1533,6 +1533,39 @@ class ExtSpec extends SparkTestBase {
     assert(math.abs(out(0).getAs[Double]("score") - exp1) < 1e-5)
   }
 
+  test("bm25TopKIndexed: per-slice index union scores exactly like one-shot BM25, " +
+      "and the postings survive parquet") {
+    import spark.implicits._
+    val d = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "durian elderberry fig"), (4L, "banana fig fig"))
+      .toDF("doc_id", "text")
+    val q = Seq((10L, "apple banana"), (11L, "fig")).toDF("query_id", "qtext")
+    val oneShot = graft.ext.Retrieval.bm25TopK(d, "doc_id", "text",
+      q, "query_id", "qtext", k = 3).orderBy("query_id", "rank")
+      .collect().toSeq
+    // append-only index maintenance: two per-slice builds unioned
+    val ix = graft.ext.Retrieval
+      .bm25Index(d.filter(col("doc_id") <= 2), "doc_id", "text")
+      .unionByName(graft.ext.Retrieval
+        .bm25Index(d.filter(col("doc_id") > 2), "doc_id", "text"))
+    val viaIx = graft.ext.Retrieval.bm25TopKIndexed(ix, q,
+      "query_id", "qtext", k = 3).orderBy("query_id", "rank")
+      .collect().toSeq
+    assert(viaIx == oneShot)
+    // and the PERSISTED index drives the identical ranking (the
+    // artifact shape a real pipeline reloads per batch)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_ix").toString
+    try {
+      ix.write.mode("overwrite").parquet(dir)
+      val viaLoaded = graft.ext.Retrieval.bm25TopKIndexed(
+        spark.read.parquet(dir), q, "query_id", "qtext", k = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(viaLoaded == oneShot)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    graft.core.Caches.unpersistAll()
+  }
+
   test("bm25TopKCapped: hot terms never generate candidates but still score") {
     import spark.implicits._
     // "the" is in 4/5 docs (df frac 0.8 > 0.5 cap) -> generates no
