@@ -401,6 +401,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("BM25 index maintenance streams per micro-batch; retrieval ≡ batch at every step") {
+    // the retrieval-family ingest twin: the postings index (bm25Index
+    // rows — per-document, so append-only) is extended by a pure
+    // union in foreachBatch; after each micro-batch, scoring against
+    // the maintained index must equal one-shot bm25TopK over every
+    // document seen so far.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val batches = Seq(
+      Seq((1L, "apple banana apple"), (2L, "apple cherry")),
+      Seq((3L, "durian elderberry fig"), (4L, "banana fig fig")))
+    val q = Seq((10L, "apple banana"), (11L, "fig")).toDF("query_id", "qtext")
+    val ixSchema = graft.ext.Retrieval.bm25Index(
+      Seq((0L, "x")).toDF("doc_id", "text"), "doc_id", "text").schema
+    val ixRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ixRows ++= graft.ext.Retrieval.bm25Index(batch, "doc_id", "text")
+          .collect()
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*); stream.processAllAvailable()
+        seen ++= b
+        val ix = spark.createDataFrame(
+          spark.sparkContext.parallelize(ixRows.toSeq), ixSchema)
+        val viaIx = graft.ext.Retrieval.bm25TopKIndexed(ix, q,
+          "query_id", "qtext", k = 3).orderBy("query_id", "rank")
+          .collect().toSeq
+        val oneShot = graft.ext.Retrieval.bm25TopK(
+          seen.toSeq.toDF("doc_id", "text"), "doc_id", "text", q,
+          "query_id", "qtext", k = 3).orderBy("query_id", "rank")
+          .collect().toSeq
+        assert(viaIx == oneShot,
+          s"streamed index diverged after ${seen.size} docs")
+        graft.core.Caches.unpersistAll()
+      }
+    } finally stream.stop()
+  }
+
   test("streaming exact dedup keeps first arrival, drops repeats across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
