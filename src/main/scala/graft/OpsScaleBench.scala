@@ -392,6 +392,22 @@ object OpsScaleBench {
         c
       }
 
+      // DSIR importance resampling: the corpus axis widens n× (the
+      // src0 target slice widens with it); the bucket model tables
+      // stay 4096-row aggregates whatever the corpus, so wall should
+      // be linear (one tokenize+hash pass + a bucket-keyed join) and
+      // shuffle dominated by the per-(doc,bucket) count table — the
+      // linear-in-corpus, constant-in-model signature. Top-k sampling
+      // adds only a TakeOrderedAndProject heap on the weights.
+      benchShuffle("dsir", n, nDocs * n) { () =>
+        val c = graft.ext.Sampling.dsirSample(
+          graft.ext.Sampling.dsirWeights(docsS, "doc_id", "text",
+            refFilter = col("source") === "src0", buckets = 4096),
+          "doc_id", k = 30).count()
+        graft.core.Caches.unpersistAll()
+        c
+      }
+
       // semantic decontamination: the corpus axis widens n× while
       // the broadcast bench set stays fixed — wall should be linear
       // in the corpus (one broadcast-nested-loop scan), with the

@@ -450,6 +450,25 @@ object SparkEntry {
       Sampling.prioritySamplePerStratum(Tables.documents(s, dir),
         "doc_id", "lang", col("n_chars"), k = 5)),
 
+    // DSIR (Xie et al. NeurIPS 2023): importance weights of every raw
+    // doc under a hashed-ngram target-vs-raw ratio model (target =
+    // the src0 slice), then Gumbel top-k resampling — the principled
+    // "make the crawl look like the reference" selection step. One
+    // tokenize pass; model tables are bucket-sized broadcasts; the
+    // decimal(38,9) term sum keeps the log weights order-free.
+    "q_dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        refFilter = col("source") === "src0", buckets = 4096)),
+
+    // Gumbel top-k over the DSIR log weights: exact without-
+    // replacement sampling from p ∝ w with deterministic hash
+    // uniforms; top-k plans as TakeOrderedAndProject.
+    "q_dsir_sample" -> ((s, dir) =>
+      Sampling.dsirSample(
+        Sampling.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          refFilter = col("source") === "src0", buckets = 4096),
+        "doc_id", k = 30)),
+
     // superset-stable 90/5/5 train/val/test split by hash bucket —
     // zero shuffle, assignment independent of the rest of the corpus.
     "q_split" -> ((s, dir) =>
@@ -2404,6 +2423,48 @@ object SparkEntry {
        |  FROM ${p}scored GROUP BY 1
        |)""".stripMargin
 
+  /** The DSIR hashed-ngram importance-weight chain (q_dsir_weights'
+    * model + per-doc aggregate); ends at `dagg` (doc_id, s, n_grams).
+    * Shapes mirror Sampling.dsirWeights term for term: bucket =
+    * 60-bit md5 hash % 4096 (nonnegative, ≡ pmod), probabilities in
+    * the literal (c+1)*1.0/(N+B) form, per-term round-9 →
+    * DECIMAL(38,9) order-free sum.
+    */
+  private def dsirCtes: String =
+    s"""darr AS (
+       |  SELECT doc_id, source,
+       |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                     x -> x <> '') AS ws
+       |  FROM documents
+       |), dg AS (
+       |  SELECT doc_id, source, unnest(ws) AS gram FROM darr
+       |  UNION ALL
+       |  SELECT doc_id, source, w1 || ' ' || w2 AS gram FROM (
+       |    SELECT doc_id, source, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+       |    FROM darr WHERE len(ws) >= 2)
+       |), ddb AS (
+       |  SELECT doc_id, source,
+       |         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 4096 AS b,
+       |         count(*) AS n
+       |  FROM dg GROUP BY 1, 2, 3
+       |), draw AS (
+       |  SELECT b, sum(n) AS rc FROM ddb GROUP BY 1
+       |), dtgt AS (
+       |  SELECT b, sum(n) AS tc FROM ddb WHERE source = 'src0' GROUP BY 1
+       |), dtots AS (
+       |  SELECT (SELECT sum(rc) FROM draw) AS nr, (SELECT sum(tc) FROM dtgt) AS nt
+       |), dterms AS (
+       |  SELECT ddb.doc_id,
+       |         CAST(round(n * 1.0 * (log2((coalesce(tc, 0) + 1) * 1.0 / (nt + 4096))
+       |                             - log2((rc + 1) * 1.0 / (nr + 4096))), 9)
+       |              AS DECIMAL(38,9)) AS t,
+       |         n
+       |  FROM ddb JOIN draw USING (b) LEFT JOIN dtgt USING (b) CROSS JOIN dtots
+       |), dagg AS (
+       |  SELECT doc_id, sum(t) AS s, CAST(sum(n) AS BIGINT) AS n_grams
+       |  FROM dterms GROUP BY 1
+       |)""".stripMargin
+
   /** documents → distinct k-word shingles CTE (w, sh). */
   private def shingleCte(k: Int): String =
     s"""WITH w AS (
@@ -3609,6 +3670,32 @@ object SparkEntry {
         |    ORDER BY priority DESC, doc_id ASC) AS INT) AS sample_rank
         |  FROM p
         |) WHERE sample_rank <= 5""".stripMargin,
+
+    // DSIR: per-term round-9 → DECIMAL(38,9) sum (order-free), bucket
+    // hash the md5-prefix currency, probabilities in the literal
+    // (c+1)*1.0/(N+B) IEEE shape on both engines.
+    "q_dsir_weights" ->
+      (s"""WITH $dsirCtes
+         |SELECT d.doc_id,
+         |       coalesce(a.n_grams, 0) AS n_grams,
+         |       round(CAST(a.s AS DOUBLE), 6) AS logw
+         |FROM documents d LEFT JOIN dagg a USING (doc_id)""".stripMargin),
+
+    "q_dsir_sample" ->
+      (s"""WITH $dsirCtes, wdoc AS (
+         |  SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS logw
+         |  FROM dagg WHERE s IS NOT NULL
+         |), keyed AS (
+         |  SELECT doc_id, logw,
+         |         round(logw + round(-ln(-ln(
+         |           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+         |             / 1.152921504606846976e18)), 9), 6) AS gumbel_key
+         |  FROM wdoc
+         |)
+         |SELECT doc_id, logw, gumbel_key, sample_rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS INT) AS sample_rank
+         |  FROM keyed
+         |) WHERE sample_rank <= 30""".stripMargin),
 
     "q_split" ->
       """WITH h AS (

@@ -519,4 +519,105 @@ object Sampling {
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023):
+    * score every raw document by how much more likely its hashed
+    * n-gram profile is under a TARGET (high-quality reference)
+    * distribution than under the RAW corpus distribution. Features
+    * are unigrams + space-joined bigrams hashed into `buckets`
+    * cells; both distributions are add-1-smoothed bucket categoricals
+    * and the log importance weight is
+    *   log w(x) = Σ_b n_x(b) · (log2 p_tgt(b) − log2 p_raw(b)).
+    *
+    * Cross-engine determinism follows the bigram-LM idiom
+    * ([[TextStats.lmScore]]): each per-(doc,bucket) term is rounded to
+    * 9 decimals and summed as DECIMAL(38,9) — an exact, order-free
+    * reduction — and the probability expressions keep the literal
+    * `(c+1) * 1.0 / (N + B)` IEEE shape the oracle replays.
+    *
+    * Scale shape: ONE tokenize+hash+groupBy pass produces the
+    * per-(doc,bucket) count table; the two model tables are
+    * `buckets`-sized aggregates of IT (map-side combined, never a
+    * second corpus scan) and join back broadcast-sized; the scalar
+    * totals ride the 1-row crossJoin(broadcast) idiom. Per-row state
+    * is one document's gram set — nothing grows with the corpus
+    * except the linear count table. Docs with no tokens (or an empty
+    * target partition) surface logw = NULL but are KEPT — row count
+    * equals the corpus.
+    * Output: id, n_grams, logw (6-dp).
+    */
+  def dsirWeights(df: DataFrame, id: String, text: String,
+      refFilter: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val ws = TextStats.tokens(col(text))
+    val arr = df.select(col(id), ws.as("__ws"), refFilter.as("__ref"))
+    val bigrams = transform(
+      slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
+      (w, i) => concat(w, lit(" "), element_at(col("__ws"), i + 2)))
+    val grams = arr.select(col(id), col("__ref"),
+        explode(concat(col("__ws"), bigrams)).as("__g"))
+    val perDocBucket = graft.core.Caches.cached(grams
+      .select(col(id), col("__ref"),
+        pmod(Dedup.hash60(col("__g")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col(id), col("__ref"), col("__b"))
+      .agg(count(lit(1)).as("__n")))
+    val raw = perDocBucket.groupBy("__b").agg(sum("__n").as("__rc"))
+    val tgt = perDocBucket.filter(col("__ref"))
+      .groupBy("__b").agg(sum("__n").as("__tc"))
+    // ONE groupless aggregate for both scalar totals (the 1-row
+    // scalar-join idiom PlanSweep.isScalarBnlj recognizes); an empty
+    // target leaves __nt NULL → logw NULL corpus-wide, mirrored by
+    // the oracle's sum-over-empty
+    val tots = perDocBucket.agg(sum("__n").as("__nr"),
+      sum(when(col("__ref"), col("__n"))).as("__nt"))
+    val pT = (coalesce(col("__tc"), lit(0L)) + 1) * lit(1.0) /
+      (col("__nt") + buckets)
+    val pR = (col("__rc") + 1) * lit(1.0) / (col("__nr") + buckets)
+    val scored = perDocBucket
+      .join(raw, Seq("__b"))
+      .join(tgt, Seq("__b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col(id),
+        round(col("__n") * lit(1.0) * (log2(pT) - log2(pR)), 9)
+          .cast("decimal(38,9)").as("__t"),
+        col("__n"))
+      .groupBy(id)
+      .agg(sum("__t").as("__s"), sum("__n").as("n_grams"))
+    df.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(col("__s").cast("double"), 6).as("logw"))
+  }
+
+  /** DSIR resampling: Gumbel top-k over the [[dsirWeights]] log
+    * weights — the exact without-replacement sampler for
+    * p(x) ∝ w(x) (Gumbel-max applied k times): key = log w + G with
+    * G = −ln(−ln(u)) and u the id's deterministic 60-bit-hash
+    * uniform (the [[prioritySample]] currency), take the k largest
+    * keys. No RNG state, superset-reproducible.
+    *
+    * Scale shape: top-k is `orderBy.limit` → TakeOrderedAndProject (a
+    * k-sized heap per partition merged on the driver — no global
+    * sort); everything upstream is the [[dsirWeights]] linear pass.
+    * Docs with NULL logw (no tokens) are not sampleable and are
+    * excluded up front — mirrored in the oracle's WHERE. The Gumbel
+    * noise is rounded to 9 decimals and the key to 6 before ordering
+    * so the sort keys are bit-identical cross-engine; ties break by
+    * id ascending.
+    * Output: id, logw, gumbel_key, sample_rank (1..k).
+    */
+  def dsirSample(weights: DataFrame, id: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (Dedup.hash60(col(id).cast("string")) + lit(1L)).cast("double") /
+      lit(1.152921504606846976e18)
+    val gnoise = round(-log(-log(u)), 9)
+    val keyed = weights.filter(col("logw").isNotNull)
+      .select(col(id), col("logw"),
+        round(col("logw") + gnoise, 6).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(id).asc)
+      .limit(k)
+    val w = Window.orderBy(col("gumbel_key").desc, col(id).asc)
+    keyed.withColumn("sample_rank", row_number().over(w))
+  }
 }

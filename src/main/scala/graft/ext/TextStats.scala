@@ -440,7 +440,7 @@ object TextStats {
     * tokenizer of the repetition/bigram family (one definition, three
     * call sites, so the tokenization contract can't drift).
     */
-  private def tokens(text: Column): Column =
+  private[ext] def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
 
   /** Split a word into CODE-POINT symbols — the BPE symbol alphabet.

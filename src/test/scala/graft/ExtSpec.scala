@@ -1678,6 +1678,73 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("dsirWeights: target-like docs outscore off-target; row-count stable") {
+    import spark.implicits._
+    // target (src0) speaks the "t*" vocabulary; raw noise speaks "n*"
+    val tgtText = (1 to 30).map(i => s"t${i % 5}").mkString(" ")
+    val noise = (1 to 30).map(i => s"n${i % 7}").mkString(" ")
+    val d = Seq(
+      (1L, "src0", tgtText), (2L, "src0", tgtText),
+      (3L, "crawl", tgtText),           // looks like the target
+      (4L, "crawl", noise),             // off-target
+      (5L, "crawl", "")                 // no tokens
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.dsirWeights(d, "doc_id", "text",
+      col("source") === "src0", buckets = 256).orderBy("doc_id").collect()
+    assert(out.length == 5) // every doc keeps a row
+    val logw = out.map(r => Option(r.getAs[java.lang.Double]("logw")))
+    // target-profile crawl doc scores strictly above the off-target one
+    assert(logw(2).get > logw(3).get)
+    // zero-token doc: n_grams 0, logw NULL — kept, not dropped
+    assert(out(4).getAs[Long]("n_grams") == 0L && logw(4).isEmpty)
+    // 30 unigrams + 29 bigrams
+    assert(out(0).getAs[Long]("n_grams") == 59L)
+    // deterministic: a rerun is bit-identical
+    val rerun = Sampling.dsirWeights(d, "doc_id", "text",
+      col("source") === "src0", buckets = 256).orderBy("doc_id").collect()
+    assert(out.map(_.toString).toSeq == rerun.map(_.toString).toSeq)
+  }
+
+  test("dsirSample: Gumbel top-k is the k largest logw+noise keys") {
+    import spark.implicits._
+    val tgtText = (1 to 30).map(i => s"t${i % 5}").mkString(" ")
+    val noise = (1 to 30).map(i => s"n${i % 7}").mkString(" ")
+    val d = ((1L to 4L).map(i => (i, "src0", tgtText)) ++
+      (5L to 16L).map(i => (i, "crawl", if (i % 2 == 0) tgtText else noise)) :+
+      ((17L, "crawl", ""))).toDF("doc_id", "source", "text")
+    val wts = Sampling.dsirWeights(d, "doc_id", "text",
+      col("source") === "src0", buckets = 256)
+    val out = Sampling.dsirSample(wts, "doc_id", k = 6)
+      .orderBy("sample_rank").collect()
+    assert(out.length == 6)
+    assert(out.map(_.getAs[Int]("sample_rank")).toSeq == (1 to 6))
+    // keys are in weakly decreasing order and match the brute ranking
+    val keys = out.map(_.getAs[Double]("gumbel_key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    val brute = wts.filter(col("logw").isNotNull).collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        val u = (java.lang.Long.parseLong(hex, 16) + 1L).toDouble /
+          1.152921504606846976e18
+        val g = BigDecimal(-math.log(-math.log(u)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val key = BigDecimal(r.getAs[Double]("logw") + g)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, key)
+      }.sortBy { case (id, k2) => (-k2, id) }
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      brute.take(6).map(_._1).toSeq)
+    // zero-token doc is never sampleable
+    assert(!out.exists(_.getAs[Long]("doc_id") == 17L))
+    // top-k must plan as TakeOrderedAndProject, not a global sort
+    val phys = Sampling.dsirSample(wts, "doc_id", k = 6)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"))
+  }
+
   test("curationPipeline: family keeper, gate bits, family-stable split") {
     val good = ((1 to 40).map(i => s"tok$i") ++
       Seq("the", "of", "and", "in", "a") ++
