@@ -59,7 +59,7 @@ object Bench {
     val queryMap = SparkEntry.queries
     if (warmDir.nonEmpty && warmDir != "none")
       queryMap.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { Force.force(fn(spark, warmDir)) } catch { case _: Throwable => () }
         finally graft.core.Caches.unpersistAll()
       }
     // Median-of-3 per query: a single timed pass is hostage to one GC
@@ -73,7 +73,7 @@ object Bench {
       val samples = (1 to reps).map { _ =>
         val g0 = gcSeconds
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { Force.force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         finally graft.core.Caches.unpersistAll()
         ((System.nanoTime() - t0) / 1e9, gcSeconds - g0)
       }

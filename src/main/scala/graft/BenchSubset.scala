@@ -10,13 +10,13 @@ object BenchSubset {
     val names = args.toSeq
     val spark = Sessions.local()
     names.foreach { n =>
-      try { SparkEntry.queries(n)(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { Force.force(SparkEntry.queries(n)(spark, sfDir)) } catch { case _: Throwable => () }
       finally graft.core.Caches.unpersistAll()
     }
     val results = names.map { n =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        Force.force(SparkEntry.queries(n)(spark, sfDir))
         graft.core.Caches.unpersistAll()
         (System.nanoTime() - t0) / 1e9
       }.sorted

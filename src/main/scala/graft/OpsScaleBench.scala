@@ -31,6 +31,16 @@ object OpsScaleBench {
     // rows: the listener sums bytesWritten per completed stage; reads
     // go through ListenerFlush.flush (drain the async bus) so the
     // counter is exact per measured run, never racing delivery.
+    // Honest forcing for every timed row: execute the operator's own
+    // physical plan (all columns computed) instead of count(), which
+    // Catalyst optimizes around — see graft.Force for the round-12
+    // finding (count() over a row-stable left join or projection
+    // measured a bare parquet count). Sizing/materialization counts
+    // outside timed regions keep plain count().
+    implicit class ForcedOps(df: org.apache.spark.sql.DataFrame) {
+      def forcedRows(): Long = Force.force(df)
+    }
+
     val shuffleWritten = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -156,12 +166,12 @@ object OpsScaleBench {
       bench("robust_fit", n, liRows)(() =>
         Diagnostics.groupedRobustFit(li,
           Seq("l_returnflag", "l_linestatus"),
-          "l_quantity", "l_extendedprice").count())
+          "l_quantity", "l_extendedprice").forcedRows())
 
       val corpus = replicate(emb0, "vec_id", 10000000L, n)
       bench("rerank", n, nVecs * n)(() =>
         Similarity.rerankTopK(emb0.filter(col("vec_id") < 10), corpus,
-          "vec_id", "embedding", kRetrieve = 20, kFinal = 5).count())
+          "vec_id", "embedding", kRetrieve = 20, kFinal = 5).forcedRows())
 
       // offset must NOT be divisible by nShards=16, or every replica
       // lands back on its original shard (10^7 is 2^7·5^7) and the
@@ -169,7 +179,7 @@ object OpsScaleBench {
       val docs = replicate(docs0, "doc_id", 10000019L, n)
       bench("pack_bucketed", n, nDocs * n)(() =>
         TextStats.packBatchesBucketed(docs, "doc_id", "text",
-          budgetTokens = 2048, nShards = 16, nBuckets = 4).count())
+          budgetTokens = 2048, nShards = 16, nBuckets = 4).forcedRows())
 
       // bm25: same-vocab replication (the harsh axis — every query
       // term's postings list grows N×, so index build AND scoring both
@@ -180,7 +190,7 @@ object OpsScaleBench {
         val q = docs0.filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"), col("text").as("qtext"))
         val c = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
-          q, "query_id", "qtext", k = 10).count()
+          q, "query_id", "qtext", k = 10).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -192,7 +202,7 @@ object OpsScaleBench {
       val docsV = replicateSuffixed(docs0, n, suffixFrom = 0)
       bench("jacc_prefix", n, nDocs * n) { () =>
         val c = graft.ext.Dedup.ngramJaccardPrefix(docsV, "doc_id", "text",
-          k = 2, threshold = 0.9).count()
+          k = 2, threshold = 0.9).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -206,7 +216,7 @@ object OpsScaleBench {
       // bytes, not just linear wall, is the cluster-relevant fact.
       benchShuffle("substr_spans", n, nDocs * n) { () =>
         val c = graft.ext.Dedup.substringSpans(docsV, "doc_id", "text",
-          minLen = 8, maxDf = 20).count()
+          minLen = 8, maxDf = 20).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -216,7 +226,7 @@ object OpsScaleBench {
       // aggregate + one join back — wall must scale linearly.
       bench("novelty", n, nDocs * n) { () =>
         val c = TextStats.ngramNovelty(docsV, "doc_id", "text", k = 3)
-          .count()
+          .forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -227,7 +237,7 @@ object OpsScaleBench {
       // linearly in documents (the one exchange is the id groupBy).
       benchShuffle("winnow", n, nDocs * n)(() =>
         TextStats.winnowFingerprints(docsV, "doc_id", "text",
-          k = 4, w = 5).count())
+          k = 4, w = 5).forcedRows())
 
       // capped bm25 on the SAME harsh axis as the bm25 row: with
       // dfCapFrac=0.5 only the rare tail of the vocabulary generates
@@ -239,7 +249,7 @@ object OpsScaleBench {
         val q = docs0.filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"), col("text").as("qtext"))
         val c = graft.ext.Retrieval.bm25TopKCapped(docs, "doc_id", "text",
-          q, "query_id", "qtext", k = 10, dfCapFrac = 0.5).count()
+          q, "query_id", "qtext", k = 10, dfCapFrac = 0.5).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -252,7 +262,7 @@ object OpsScaleBench {
       bench("quality_train", n, nDocs * n / 3) { () =>
         val c = TextStats.trainQualityClassifier(
           docs.filter(pmod(col("doc_id"), lit(3)) === 0),
-          "doc_id", "text").count()
+          "doc_id", "text").forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -262,7 +272,7 @@ object OpsScaleBench {
       // corpus — one shuffle-free projection, so flat Mrows/s.
       bench("quality_apply", n, nDocs * n)(() =>
         TextStats.applyQualityClassifier(docs, "doc_id", "text",
-          qModelDf).count())
+          qModelDf).forcedRows())
 
       // EVAL half on the same fixed model: score the n× corpus and
       // reduce to one confusion-count row — the projection above plus
@@ -286,7 +296,7 @@ object OpsScaleBench {
       // replication), so wall must track the batch's explode+join
       // volume linearly and never the training corpus.
       bench("bpe_apply", n, nDocs * n)(() =>
-        TextStats.encodeBpe(docs, "doc_id", "text", bpeMergesDf).count())
+        TextStats.encodeBpe(docs, "doc_id", "text", bpeMergesDf).forcedRows())
 
       // BPE training round count: the exact trainer pays one driver
       // round (pair-count collect + fold) PER MERGE; the batched
@@ -307,13 +317,13 @@ object OpsScaleBench {
           else replicateSuffixed(docs0, n, suffixFrom = 0)
         bench("bpe_train_ctl", n, nDocs * n) { () =>
           val c = TextStats.trainBpe(docsV, "doc_id", "text",
-            numMerges = 24).count()
+            numMerges = 24).forcedRows()
           graft.core.Caches.unpersistAll()
           c
         }
         bench("bpe_batched", n, nDocs * n) { () =>
           val c = TextStats.trainBpeBatched(docsV, "doc_id", "text",
-            numMerges = 24, batchSize = 8).count()
+            numMerges = 24, batchSize = 8).forcedRows()
           graft.core.Caches.unpersistAll()
           c
         }
@@ -323,14 +333,14 @@ object OpsScaleBench {
       // floor of the curation family; must scale linearly (flat
       // Mrows/s) since there is no shuffle to widen.
       bench("pii_redact", n, nDocs * n)(() =>
-        TextStats.piiRedact(docs, "doc_id", "text").count())
+        TextStats.piiRedact(docs, "doc_id", "text").forcedRows())
 
       // unicode NFC audit: the codegen'd graft_normalize expression
       // fused into the scan — zero shuffles, so flat Mrows/s is the
       // pass bar (the per-doc Normalizer.isNormalized fast path does
       // the real work on this mostly-ASCII corpus).
       bench("unicode_norm", n, nDocs * n)(() =>
-        TextStats.unicodeNormAudit(docs, "doc_id", "text").count())
+        TextStats.unicodeNormAudit(docs, "doc_id", "text").forcedRows())
 
       // count-min sketch build: ONE aggregate whose map-side combine
       // collapses every partition to <= depth*width cells BEFORE the
@@ -338,7 +348,7 @@ object OpsScaleBench {
       // (cell-grid-sized) while the corpus widens 32x; wall tracks
       // the scan linearly.
       benchShuffle("cms_build", n, nDocs * n)(() =>
-        TextStats.cmSketch(docs, "text", depth = 4, width = 256).count())
+        TextStats.cmSketch(docs, "text", depth = 4, width = 256).forcedRows())
 
       // priority sampling: TakeOrderedAndProject keeps a (k+1)-heap
       // per partition — no global sort, result size fixed at k, so
@@ -346,7 +356,7 @@ object OpsScaleBench {
       // sized.
       benchShuffle("prio_sample", n, nDocs * n)(() =>
         graft.ext.Sampling.prioritySample(docs, "doc_id",
-          length(col("text")), k = 25).count())
+          length(col("text")), k = 25).forcedRows())
 
       // end-to-end curation composite on vocab-disjoint replicas
       // (families never cross replicas — matched-pair volume linear):
@@ -355,7 +365,7 @@ object OpsScaleBench {
       // stay near-linear on this axis.
       bench("curation_e2e", n, nDocs * n) { () =>
         val c = TextStats.curationPipeline(
-          replicateSuffixed(docs0, n, 0), "doc_id", "text").count()
+          replicateSuffixed(docs0, n, 0), "doc_id", "text").forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -370,7 +380,7 @@ object OpsScaleBench {
           w => w =!= lit(""))
         graft.ext.Sampling.budgetSelect(docs, "doc_id",
           quality = size(array_distinct(toks)) * lit(1.0) / size(toks),
-          tokens = length(col("text")), budget = 50000L * n).count()
+          tokens = length(col("text")), budget = 50000L * n).forcedRows()
       }
 
       // keep-score composite: four per-doc signal pipelines + the
@@ -387,7 +397,7 @@ object OpsScaleBench {
           TextStats.repetitionStats(docsS, "doc_id", "text"),
           TextStats.piiRedact(docsS, "doc_id", "text"),
           TextStats.domainStats(docsS, "doc_id", "text",
-            Seq("bad0.spam.io")), threshold = 0.5).count()
+            Seq("bad0.spam.io")), threshold = 0.5).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -403,7 +413,7 @@ object OpsScaleBench {
         val c = graft.ext.Sampling.dsirSample(
           graft.ext.Sampling.dsirWeights(docsS, "doc_id", "text",
             refFilter = col("source") === "src0", buckets = 4096),
-          "doc_id", k = 30).count()
+          "doc_id", k = 30).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -416,7 +426,7 @@ object OpsScaleBench {
         graft.ext.Dedup.semanticDecontaminate(
           corpus.filter(col("vec_id") % 29 =!= 0),
           emb0.filter(col("vec_id") % 29 === 0),
-          "vec_id", "embedding", threshold = 0.3).count())
+          "vec_id", "embedding", threshold = 0.3).forcedRows())
 
       // decontamination SHUFFLE-VOLUME contrast on the realistic
       // 100 TB axis — the CORPUS grows n× while the bench set AND the
@@ -435,10 +445,10 @@ object OpsScaleBench {
       val benchDocs = docs0.filter(col("doc_id") % 29 === 0)
       benchShuffle("decont_plain", n, nDocs * n)(() =>
         graft.ext.Dedup.decontaminate(trainDocs, benchDocs,
-          "doc_id", "text", k = 3, minShared = 5).count())
+          "doc_id", "text", k = 3, minShared = 5).forcedRows())
       benchShuffle("decont_bloom", n, nDocs * n) { () =>
         val c = graft.ext.Dedup.decontaminateBloom(trainDocs, benchDocs,
-          "doc_id", "text", k = 3, minShared = 5).count()
+          "doc_id", "text", k = 3, minShared = 5).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -467,7 +477,7 @@ object OpsScaleBench {
       val embRot = rotReplicate(emb0, n)
       bench("dedup_sem", n, nVecs * n)(() =>
         Similarity.semanticDedup(embRot, "vec_id", "embedding",
-          nSeeds = 16 * n, tau = 0.35).count())
+          nSeeds = 16 * n, tau = 0.35).forcedRows())
 
       // D4 cluster-balanced sampling on the same rotated axis with
       // the same seeds ∝ n contract (E|cell| constant): assignment is
@@ -478,7 +488,7 @@ object OpsScaleBench {
       // n·k assignment term.
       benchShuffle("cluster_sample", n, nVecs * n)(() =>
         Similarity.clusterBalancedSample(embRot, "vec_id", "embedding",
-          nSeeds = 16 * n, k = 10).count())
+          nSeeds = 16 * n, k = 10).forcedRows())
 
       // JL random projection 64→16: pure per-row codegen'd dot
       // products against literal ±1 vectors, zero shuffles — flat
@@ -506,12 +516,12 @@ object OpsScaleBench {
       if (n <= 8)
         bench("margin_brute", n, nVecs * n)(() =>
           Similarity.marginMine(srcPool, tgtPool, "vec_id", "embedding",
-            k = 4, minMargin = 1.2).count())
+            k = 4, minMargin = 1.2).forcedRows())
       val marginBits = 4 + (31 - Integer.numberOfLeadingZeros(math.max(n, 1)))
       bench("margin_lsh", n, nVecs * n)(() =>
         Similarity.marginMine(srcPool, tgtPool, "vec_id", "embedding",
           k = 4, minMargin = 1.2,
-          retrieve = Similarity.lshRetriever(marginBits)).count())
+          retrieve = Similarity.lshRetriever(marginBits)).forcedRows())
 
       // kNN label propagation on the unlabeled-corpus axis: the
       // labeled SEED set stays fixed and small (labels {0,1}, ~20% —
@@ -524,7 +534,7 @@ object OpsScaleBench {
         emb0.filter(col("label") < 2).count() // honest input size
       bench("knn_label", n, knnRows)(() =>
         Similarity.knnLabel(unlabeledGrown, emb0.filter(col("label") < 2),
-          "vec_id", "embedding", "label", k = 5).count())
+          "vec_id", "embedding", "label", k = 5).forcedRows())
 
       // perceptual-hash codec axis: per-doc PNG synth→encode→decode→
       // fingerprint is pure map work, so wall must scale linearly in
@@ -532,21 +542,21 @@ object OpsScaleBench {
       // join — covered by the incr_near/incr_ctrl rows below.
       val mediaIds = replicate(docs0.select("doc_id"), "doc_id", 10000019L, n)
       bench("media_hash", n, nDocs * n)(() =>
-        Multimodal.pngPerceptualHash(mediaIds, "doc_id").count())
+        Multimodal.pngPerceptualHash(mediaIds, "doc_id").forcedRows())
 
       // multi-frame GIF decode on the same per-doc codec axis: each
       // id round-trips a 2-5-frame animated GIF — wall must scale
       // linearly in ids (pure map work, no shuffle), with the same
       // flat per-doc codec cost the single-frame media_hash row pins.
       bench("video_frames", n, nDocs * n)(() =>
-        Multimodal.gifFrameMeta(mediaIds, "doc_id").count())
+        Multimodal.gifFrameMeta(mediaIds, "doc_id").forcedRows())
 
       // LOSSY-codec axis: per-doc JPEG synth→encode→decode→grid-hash
       // is pure map work like media_hash, but on 64×64–96×80 images
       // through libjpeg's real DCT path — wall must stay linear in
       // docs with a flat (larger) per-doc codec cost.
       bench("jpeg_hash", n, nDocs * n)(() =>
-        Multimodal.jpegPerceptualHash(mediaIds, "doc_id").count())
+        Multimodal.jpegPerceptualHash(mediaIds, "doc_id").forcedRows())
 
       // incremental near-dup vs full re-pairing on the growing-corpus
       // axis: the KNOWN corpus widens n× (replicas r>0 vocab-suffixed
@@ -566,13 +576,13 @@ object OpsScaleBench {
       val incrRows = knownGrown.count() + freshBatch.count()
       bench("incr_near", n, incrRows) { () =>
         val c = graft.ext.Dedup.simHashIncremental(freshBatch, knownGrown,
-          "doc_id", "text", maxDist = 3).count()
+          "doc_id", "text", maxDist = 3).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
       bench("incr_ctrl", n, incrRows) { () =>
         val c = graft.ext.Dedup.simHashPairs(knownGrown.unionByName(freshBatch),
-          "doc_id", "text", maxDist = 3).count()
+          "doc_id", "text", maxDist = 3).forcedRows()
         graft.core.Caches.unpersistAll()
         c
       }
@@ -597,13 +607,13 @@ object OpsScaleBench {
         bench("ingest_reuse", n, incrRows) { () =>
           val c = graft.ext.Dedup.dedupIngest(freshBatch, knownGrown,
             "doc_id", "text", maxDist = 3,
-            knownFp = Some(fpKnownIdx), knownIndex = Some(hashKnownIdx)).count()
+            knownFp = Some(fpKnownIdx), knownIndex = Some(hashKnownIdx)).forcedRows()
           graft.core.Caches.unpersistAll()
           c
         }
         bench("ingest_fresh", n, incrRows) { () =>
           val c = graft.ext.Dedup.dedupIngest(freshBatch, knownGrown,
-            "doc_id", "text", maxDist = 3).count()
+            "doc_id", "text", maxDist = 3).forcedRows()
           graft.core.Caches.unpersistAll()
           c
         }
@@ -627,18 +637,53 @@ object OpsScaleBench {
         bench("fam_assign", n, incrRows) { () =>
           val c = graft.ext.Sampling.familySplit(
             graft.ext.Sampling.assignFamiliesIncremental(freshBatch,
-              registry, "doc_id", "text", maxDist = 3)).count()
+              registry, "doc_id", "text", maxDist = 3)).forcedRows()
           graft.core.Caches.unpersistAll()
           c
         }
         bench("fam_rebuild", n, incrRows) { () =>
           val c = graft.ext.Sampling.leakageSafeSplitNear(
             knownGrown.unionByName(freshBatch), "doc_id", "text",
-            maxDist = 3).count()
+            maxDist = 3).forcedRows()
           graft.core.Caches.unpersistAll()
           c
         }
         registry.unpersist()
+      }
+
+      // incremental DSIR on the same growing-known axis: the frozen
+      // 4096-row bucket model (the persisted artifact a real pipeline
+      // carries, extended per batch by dsirModelMerge without a
+      // corpus rescan) is materialized once outside the timed region;
+      // per-ingest scoring then tokenizes ONLY the fixed batch and
+      // joins the bucket-bounded broadcast model — wall must stay
+      // FLAT as the known corpus grows. The control pays the full
+      // dsirWeights pass over known∪batch every ingest, which is
+      // linear in the corpus. The gap between the two rows IS the
+      // artifact's reason to exist.
+      if (selected("dsir_score") || selected("dsir_rebuild")) {
+        // docs0 carries only (doc_id, text) — the target slice here is
+        // an id-hash subset (any deterministic slice works; the axis
+        // measures cost shape, not selection quality)
+        val dsirRef = pmod(col("doc_id"), lit(7)) === 1
+        val model = graft.ext.Sampling.dsirModel(knownGrown, "doc_id",
+          "text", refFilter = dsirRef, buckets = 4096).cache()
+        model.count() // materialize outside timing
+        graft.core.Caches.unpersistAll()
+        bench("dsir_score", n, incrRows) { () =>
+          val c = graft.ext.Sampling.dsirScore(freshBatch, model,
+            "doc_id", "text", buckets = 4096).forcedRows()
+          graft.core.Caches.unpersistAll()
+          c
+        }
+        bench("dsir_rebuild", n, incrRows) { () =>
+          val c = graft.ext.Sampling.dsirWeights(
+            knownGrown.unionByName(freshBatch), "doc_id", "text",
+            refFilter = dsirRef, buckets = 4096).forcedRows()
+          graft.core.Caches.unpersistAll()
+          c
+        }
+        model.unpersist()
       }
 
       // BM25 postings-index reuse on the same growing-known axis: the
@@ -663,14 +708,14 @@ object OpsScaleBench {
           val c = graft.ext.Retrieval.bm25TopKIndexed(
             knownIx.unionByName(
               graft.ext.Retrieval.bm25Index(freshBatch, "doc_id", "text")),
-            queries, "query_id", "qtext", k = 10).count()
+            queries, "query_id", "qtext", k = 10).forcedRows()
           graft.core.Caches.unpersistAll()
           c
         }
         bench("bm25_ix_fresh", n, incrRows) { () =>
           val c = graft.ext.Retrieval.bm25TopK(
             knownGrown.unionByName(freshBatch), "doc_id", "text",
-            queries, "query_id", "qtext", k = 10).count()
+            queries, "query_id", "qtext", k = 10).forcedRows()
           graft.core.Caches.unpersistAll()
           c
         }
@@ -707,13 +752,13 @@ object OpsScaleBench {
         try {
           benchShuffle("simhash_hot", n, skewRows) { () =>
             val c = graft.ext.Dedup.simHashPairs(skewed, "doc_id", "text",
-              maxDist = 3).count()
+              maxDist = 3).forcedRows()
             graft.core.Caches.unpersistAll()
             c
           }
           benchShuffle("simhash_cap", n, skewRows) { () =>
             val c = graft.ext.Dedup.simHashPairsCapped(skewed, "doc_id",
-              "text", maxDist = 3, maxChunkDf = 300L).count()
+              "text", maxDist = 3, maxChunkDf = 300L).forcedRows()
             graft.core.Caches.unpersistAll()
             c
           }

@@ -469,6 +469,23 @@ object SparkEntry {
           refFilter = col("source") === "src0", buckets = 4096),
         "doc_id", k = 30)),
 
+    // INCREMENTAL DSIR: the bucket-count model is built from the
+    // known corpus (doc_id % 4 != 0) as a persistable 4096-row
+    // artifact, then a new batch (doc_id % 4 == 0) is scored against
+    // the FROZEN model — per-ingest cost is one batch pass + a
+    // bucket-bounded broadcast join; the corpus text is never
+    // rescanned. The driver-checked batch twin of carrying the model
+    // between ingests (dsirModelMerge extends it without rescans).
+    "q_dsir_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.dsirScore(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        Sampling.dsirModel(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+          "doc_id", "text", refFilter = col("source") === "src0",
+          buckets = 4096),
+        "doc_id", "text", buckets = 4096)
+    }),
+
     // superset-stable 90/5/5 train/val/test split by hash bucket —
     // zero shuffle, assignment independent of the rest of the corpus.
     "q_split" -> ((s, dir) =>
@@ -2423,31 +2440,40 @@ object SparkEntry {
        |  FROM ${p}scored GROUP BY 1
        |)""".stripMargin
 
-  /** The DSIR hashed-ngram importance-weight chain (q_dsir_weights'
-    * model + per-doc aggregate); ends at `dagg` (doc_id, s, n_grams).
-    * Shapes mirror Sampling.dsirWeights term for term: bucket =
-    * 60-bit md5 hash % 4096 (nonnegative, ≡ pmod), probabilities in
-    * the literal (c+1)*1.0/(N+B) form, per-term round-9 →
-    * DECIMAL(38,9) order-free sum.
+  /** documents → per-(doc, hashed-gram-bucket) counts: CTEs
+    * `{p}arr` (token arrays), `{p}g` (unigrams + bigrams), `{p}db`
+    * (doc_id, source, b, n) — the shared feature chain of every DSIR
+    * oracle, optionally row-sliced by `where` (e.g. the incremental
+    * known/batch split). Bucket = 60-bit md5 hash % 4096
+    * (nonnegative, ≡ pmod).
     */
-  private def dsirCtes: String =
-    s"""darr AS (
+  private def dsirDbCtes(p: String, where: String): String =
+    s"""${p}arr AS (
        |  SELECT doc_id, source,
        |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
        |                     x -> x <> '') AS ws
-       |  FROM documents
-       |), dg AS (
-       |  SELECT doc_id, source, unnest(ws) AS gram FROM darr
+       |  FROM documents $where
+       |), ${p}g AS (
+       |  SELECT doc_id, source, unnest(ws) AS gram FROM ${p}arr
        |  UNION ALL
        |  SELECT doc_id, source, w1 || ' ' || w2 AS gram FROM (
        |    SELECT doc_id, source, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
-       |    FROM darr WHERE len(ws) >= 2)
-       |), ddb AS (
+       |    FROM ${p}arr WHERE len(ws) >= 2)
+       |), ${p}db AS (
        |  SELECT doc_id, source,
        |         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 4096 AS b,
        |         count(*) AS n
-       |  FROM dg GROUP BY 1, 2, 3
-       |), draw AS (
+       |  FROM ${p}g GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  /** The DSIR hashed-ngram importance-weight chain (q_dsir_weights'
+    * model + per-doc aggregate); ends at `dagg` (doc_id, s, n_grams).
+    * Shapes mirror Sampling.dsirWeights term for term: probabilities
+    * in the literal (c+1)*1.0/(N+B) form, per-term round-9 →
+    * DECIMAL(38,9) order-free sum.
+    */
+  private def dsirCtes: String =
+    s"""${dsirDbCtes("d", "")}, draw AS (
        |  SELECT b, sum(n) AS rc FROM ddb GROUP BY 1
        |), dtgt AS (
        |  SELECT b, sum(n) AS tc FROM ddb WHERE source = 'src0' GROUP BY 1
@@ -3696,6 +3722,33 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS INT) AS sample_rank
          |  FROM keyed
          |) WHERE sample_rank <= 30""".stripMargin),
+
+    // incremental DSIR: model CTEs sliced to the known corpus, batch
+    // grams LEFT-joined against the frozen model (coalesce(c,0)+1
+    // smoothing for never-seen buckets, matching dsirScore's shapes).
+    "q_dsir_incr" ->
+      (s"""WITH ${dsirDbCtes("m", "WHERE doc_id % 4 <> 0")}, model AS (
+         |  SELECT b, sum(n) AS rc,
+         |         coalesce(sum(CASE WHEN source = 'src0' THEN n END), 0) AS tc
+         |  FROM mdb GROUP BY 1
+         |), mtots AS (
+         |  SELECT sum(rc) AS nr, sum(tc) AS nt FROM model
+         |), ${dsirDbCtes("bt", "WHERE doc_id % 4 = 0")}, bterms AS (
+         |  SELECT btdb.doc_id,
+         |         CAST(round(n * 1.0 * (log2((coalesce(tc, 0) + 1) * 1.0 / (nt + 4096))
+         |                             - log2((coalesce(rc, 0) + 1) * 1.0 / (nr + 4096))), 9)
+         |              AS DECIMAL(38,9)) AS t,
+         |         n
+         |  FROM btdb LEFT JOIN model USING (b) CROSS JOIN mtots
+         |), bagg AS (
+         |  SELECT doc_id, sum(t) AS s, CAST(sum(n) AS BIGINT) AS n_grams
+         |  FROM bterms GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_grams, 0) AS n_grams,
+         |       round(CAST(a.s AS DOUBLE), 6) AS logw
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         |LEFT JOIN bagg a USING (doc_id)""".stripMargin),
 
     "q_split" ->
       """WITH h AS (

@@ -590,6 +590,110 @@ object Sampling {
         round(col("__s").cast("double"), 6).as("logw"))
   }
 
+  /** Per-(doc, hashed-gram-bucket) instance counts — the shared
+    * feature pass of [[dsirWeights]], [[dsirModel]] and [[dsirScore]]
+    * (one definition, so the gram/hash geometry cannot drift between
+    * the batch and incremental forms). Output: id, __ref, __b, __n.
+    */
+  private def dsirDocBuckets(df: DataFrame, id: String, text: String,
+      refFilter: Column, buckets: Int): DataFrame = {
+    val ws = TextStats.tokens(col(text))
+    val arr = df.select(col(id), ws.as("__ws"), refFilter.as("__ref"))
+    val bigrams = transform(
+      slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
+      (w, i) => concat(w, lit(" "), element_at(col("__ws"), i + 2)))
+    arr.select(col(id), col("__ref"),
+        explode(concat(col("__ws"), bigrams)).as("__g"))
+      .select(col(id), col("__ref"),
+        pmod(Dedup.hash60(col("__g")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col(id), col("__ref"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+  }
+
+  /** The PERSISTABLE DSIR model: both bucket-count tables as one
+    * `buckets`-bounded artifact (write it as parquet, carry it
+    * between ingests — the [[graft.ext.Dedup.dedupIngest]] index
+    * pattern). One corpus pass fills raw AND target counts (the
+    * target is a conditional sum, not a second scan). The artifact is
+    * MERGEABLE: models of disjoint corpus slices combine by
+    * bucket-wise addition ([[dsirModelMerge]]) — the sketch property
+    * that lets 1000 executors build shard models independently and
+    * union them, and lets an append-only pipeline extend the model
+    * with each batch without rescanning the corpus.
+    * Output: bucket, raw_count (≥1), tgt_count (≥0).
+    */
+  def dsirModel(df: DataFrame, id: String, text: String,
+      refFilter: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    dsirDocBuckets(df, id, text, refFilter, buckets)
+      .groupBy(col("__b").as("bucket"))
+      .agg(sum("__n").as("raw_count"),
+        coalesce(sum(when(col("__ref"), col("__n"))), lit(0L))
+          .as("tgt_count"))
+  }
+
+  /** Bucket-wise model addition — extend a carried model with a new
+    * batch's model (or union shard models): counts add; a bucket
+    * present in either side survives. dsirModel(a ∪ b) ≡
+    * dsirModelMerge(dsirModel(a), dsirModel(b)) exactly (BIGINT sums).
+    */
+  def dsirModelMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("bucket")
+      .agg(sum("raw_count").as("raw_count"),
+        sum("tgt_count").as("tgt_count"))
+
+  /** Score a batch against a FROZEN [[dsirModel]] — the per-ingest
+    * call of an append-only selection pipeline: model totals and
+    * per-bucket log-ratios never move, so a document's weight is
+    * stable across ingests (the same freeze contract as
+    * [[assignFamiliesIncremental]]). Batch grams falling in buckets
+    * the model never saw read raw_count = 0 / tgt_count = 0 — the
+    * add-1 smoothing keeps both probabilities finite, and the
+    * (c+1)*1.0/(N+B) IEEE shapes + round-9 DECIMAL(38,9) term sum
+    * are identical to [[dsirWeights]] so the two paths agree bit for
+    * bit when given the same corpus as model source and the target
+    * slice is non-empty. (Divergence scoped: an all-zero target sums
+    * to nt = 0 here — scoring against the uniform smoothed target —
+    * where [[dsirWeights]]' conditional sum is NULL and it declares
+    * every logw NULL; an EMPTY model, zero rows, is NULL here too.)
+    *
+    * Scale shape: per-ingest cost is one batch tokenize+hash pass +
+    * a `buckets`-bounded broadcast join — the known corpus text is
+    * NEVER rescanned; an empty/cold model yields NULL logw for every
+    * doc (rows kept) rather than an engine-dependent ±inf.
+    * Output: id, n_grams, logw (6-dp), row per batch doc.
+    */
+  def dsirScore(batch: DataFrame, model: DataFrame, id: String,
+      text: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val pdb = dsirDocBuckets(batch, id, text, lit(false), buckets)
+    // the model is read TWICE (per-bucket join + scalar totals); when
+    // the caller passes an unmaterialized chain (e.g. dsirModel over
+    // a corpus in one composed query) an uncached read would pay the
+    // full corpus pass twice — cache it (bounded: ≤ `buckets` rows)
+    val m = graft.core.Caches.cached(model)
+    val tots = m.agg(sum("raw_count").as("__nr"),
+      sum("tgt_count").as("__nt"))
+    val pT = (coalesce(col("tgt_count"), lit(0L)) + 1) * lit(1.0) /
+      (col("__nt") + buckets)
+    val pR = (coalesce(col("raw_count"), lit(0L)) + 1) * lit(1.0) /
+      (col("__nr") + buckets)
+    val scored = pdb
+      .join(m.withColumnRenamed("bucket", "__b"), Seq("__b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col(id),
+        round(col("__n") * lit(1.0) * (log2(pT) - log2(pR)), 9)
+          .cast("decimal(38,9)").as("__t"),
+        col("__n"))
+      .groupBy(id)
+      .agg(sum("__t").as("__s"), sum("__n").as("n_grams"))
+    batch.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(col("__s").cast("double"), 6).as("logw"))
+  }
+
   /** DSIR resampling: Gumbel top-k over the [[dsirWeights]] log
     * weights — the exact without-replacement sampler for
     * p(x) ∝ w(x) (Gumbel-max applied k times): key = log w + G with

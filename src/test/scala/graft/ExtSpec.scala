@@ -1745,6 +1745,62 @@ class ExtSpec extends SparkTestBase {
     assert(phys.contains("TakeOrderedAndProject"))
   }
 
+  test("dsirScore(own-corpus model) ≡ dsirWeights bit for bit") {
+    import spark.implicits._
+    val tgtText = (1 to 30).map(i => s"t${i % 5}").mkString(" ")
+    val noise = (1 to 30).map(i => s"n${i % 7}").mkString(" ")
+    val d = ((1L to 3L).map(i => (i, "src0", tgtText)) ++
+      (4L to 12L).map(i => (i, "crawl", if (i % 2 == 0) tgtText else noise)) :+
+      ((13L, "crawl", ""))).toDF("doc_id", "source", "text")
+    val viaWeights = Sampling.dsirWeights(d, "doc_id", "text",
+      col("source") === "src0", buckets = 256).orderBy("doc_id").collect()
+    val viaModel = Sampling.dsirScore(d,
+      Sampling.dsirModel(d, "doc_id", "text", col("source") === "src0",
+        buckets = 256),
+      "doc_id", "text", buckets = 256).orderBy("doc_id").collect()
+    assert(viaWeights.map(_.toString).toSeq == viaModel.map(_.toString).toSeq)
+  }
+
+  test("dsirModelMerge of disjoint slices ≡ whole-corpus model") {
+    import spark.implicits._
+    val d = (1L to 20L).map(i =>
+      (i, if (i <= 5) "src0" else "crawl",
+        (1 to 20).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def model(df: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirModel(df, "doc_id", "text",
+        col("source") === "src0", buckets = 64)
+    val whole = model(d).orderBy("bucket").collect()
+    val merged = Sampling.dsirModelMerge(
+      model(d.filter(col("doc_id") % 2 === 0)),
+      model(d.filter(col("doc_id") % 2 =!= 0)))
+      .orderBy("bucket").collect()
+    assert(whole.map(_.toString).toSeq == merged.map(_.toString).toSeq)
+  }
+
+  test("dsirScore: cold/empty model gives NULL logw; unseen buckets smooth") {
+    import spark.implicits._
+    val batch = Seq((1L, "crawl", "alpha beta gamma")).toDF("doc_id", "source", "text")
+    val known = Seq((10L, "src0", "the quick brown fox"),
+      (11L, "crawl", "unrelated vocabulary entirely")).toDF("doc_id", "source", "text")
+    // empty model (zero rows): logw NULL, row kept
+    val cold = Sampling.dsirScore(batch,
+      Sampling.dsirModel(known.filter(lit(false)), "doc_id", "text",
+        col("source") === "src0", buckets = 64),
+      "doc_id", "text", buckets = 64).collect()
+    assert(cold.length == 1 && cold.head.isNullAt(cold.head.fieldIndex("logw")))
+    // warm model, but the batch vocabulary was never seen: every gram
+    // reads (0+1)/(N+B) on both sides — finite, NOT null/inf
+    val unseen = Sampling.dsirScore(batch,
+      Sampling.dsirModel(known, "doc_id", "text",
+        col("source") === "src0", buckets = 64),
+      "doc_id", "text", buckets = 64).collect()
+    assert(unseen.length == 1)
+    val lw = unseen.head.getAs[Double]("logw")
+    assert(!lw.isNaN && !lw.isInfinite)
+    assert(unseen.head.getAs[Long]("n_grams") == 5L) // 3 unigrams + 2 bigrams
+  }
+
   test("curationPipeline: family keeper, gate bits, family-stable split") {
     val good = ((1 to 40).map(i => s"tok$i") ++
       Seq("the", "of", "and", "in", "a") ++

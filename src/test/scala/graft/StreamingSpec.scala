@@ -446,6 +446,59 @@ class StreamingSpec extends SparkTestBase {
     } finally stream.stop()
   }
 
+  test("DSIR model maintenance streams per micro-batch; scoring ≡ batch at every step") {
+    // the selection-family ingest twin: the bucket-count model
+    // (dsirModel rows — mergeable by bucket-wise addition) is
+    // extended by dsirModelMerge in foreachBatch, never rebuilt;
+    // after each micro-batch, dsirScore of everything seen so far
+    // against the MAINTAINED model must equal one-shot dsirWeights
+    // over the same docs — bit for bit (the dsirScore ≡ dsirWeights
+    // equivalence, now across the streamed merge path).
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Sampling
+    val tgt = (1 to 20).map(i => s"t${i % 4}").mkString(" ")
+    val noise = (1 to 20).map(i => s"n${i % 6}").mkString(" ")
+    val batches = Seq(
+      Seq((1L, "src0", tgt), (2L, "crawl", noise)),
+      Seq((3L, "src0", tgt), (4L, "crawl", tgt), (5L, "crawl", "")))
+    val mSchema = Sampling.dsirModel(
+      Seq((0L, "src0", "x")).toDF("doc_id", "source", "text"),
+      "doc_id", "text", col("source") === "src0", buckets = 64).schema
+    val modelRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDS().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val prev = spark.createDataFrame(
+          spark.sparkContext.parallelize(modelRows.toSeq), mSchema)
+        val merged = Sampling.dsirModelMerge(prev,
+          Sampling.dsirModel(batch, "doc_id", "text",
+            col("source") === "src0", buckets = 64)).collect()
+        modelRows.clear(); modelRows ++= merged
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*); stream.processAllAvailable()
+        seen ++= b
+        val model = spark.createDataFrame(
+          spark.sparkContext.parallelize(modelRows.toSeq), mSchema)
+        val seenDf = seen.toSeq.toDF("doc_id", "source", "text")
+        val viaStream = Sampling.dsirScore(seenDf, model, "doc_id",
+          "text", buckets = 64).orderBy("doc_id").collect().toSeq
+        val oneShot = Sampling.dsirWeights(seenDf, "doc_id", "text",
+          col("source") === "src0", buckets = 64)
+          .orderBy("doc_id").collect().toSeq
+        assert(viaStream.map(_.toString) == oneShot.map(_.toString),
+          s"streamed model diverged after ${seen.size} docs")
+        graft.core.Caches.unpersistAll()
+      }
+    } finally stream.stop()
+  }
+
   test("streaming exact dedup keeps first arrival, drops repeats across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
