@@ -3714,7 +3714,8 @@ object SparkEntry {
          |), keyed AS (
          |  SELECT doc_id, logw,
          |         round(logw + round(-ln(-ln(
-         |           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+         |           CAST(least(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1,
+         |                      1152921504606846848) AS DOUBLE)
          |             / 1.152921504606846976e18)), 9), 6) AS gumbel_key
          |  FROM wdoc
          |)

@@ -550,18 +550,8 @@ object Sampling {
   def dsirWeights(df: DataFrame, id: String, text: String,
       refFilter: Column, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    val ws = TextStats.tokens(col(text))
-    val arr = df.select(col(id), ws.as("__ws"), refFilter.as("__ref"))
-    val bigrams = transform(
-      slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
-      (w, i) => concat(w, lit(" "), element_at(col("__ws"), i + 2)))
-    val grams = arr.select(col(id), col("__ref"),
-        explode(concat(col("__ws"), bigrams)).as("__g"))
-    val perDocBucket = graft.core.Caches.cached(grams
-      .select(col(id), col("__ref"),
-        pmod(Dedup.hash60(col("__g")), lit(buckets.toLong)).as("__b"))
-      .groupBy(col(id), col("__ref"), col("__b"))
-      .agg(count(lit(1)).as("__n")))
+    val perDocBucket = graft.core.Caches.cached(
+      dsirDocBuckets(df, id, text, refFilter, buckets))
     val raw = perDocBucket.groupBy("__b").agg(sum("__n").as("__rc"))
     val tgt = perDocBucket.filter(col("__ref"))
       .groupBy("__b").agg(sum("__n").as("__tc"))
@@ -671,8 +661,15 @@ object Sampling {
     // the model is read TWICE (per-bucket join + scalar totals); when
     // the caller passes an unmaterialized chain (e.g. dsirModel over
     // a corpus in one composed query) an uncached read would pay the
-    // full corpus pass twice — cache it (bounded: ≤ `buckets` rows)
-    val m = graft.core.Caches.cached(model)
+    // full corpus pass twice — cache it (bounded: ≤ `buckets` rows).
+    // An already-materialized model (the carried artifact a pipeline
+    // persists between ingests) is used AS IS: re-registering it in
+    // Caches would hand its lifetime to the next unpersistAll(),
+    // silently un-freezing the caller's artifact
+    val m =
+      if (model.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.core.Caches.cached(model)
+      else model
     val tots = m.agg(sum("raw_count").as("__nr"),
       sum("tgt_count").as("__nt"))
     val pT = (coalesce(col("tgt_count"), lit(0L)) + 1) * lit(1.0) /
@@ -713,7 +710,13 @@ object Sampling {
     */
   def dsirSample(weights: DataFrame, id: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val u = (Dedup.hash60(col(id).cast("string")) + lit(1L)).cast("double") /
+    // numerator clamped to 2^60 − 128 (the largest long below 2^60
+    // that survives the 53-bit double mantissa): an unclamped h + 1
+    // near 2^60 rounds to 2^60 exactly, u = 1.0, and
+    // −ln(−ln(1)) = +Inf would pin that doc at rank 1 regardless of
+    // weight (~2^-53 of ids). Mirrored in the oracle.
+    val u = least(Dedup.hash60(col(id).cast("string")) + lit(1L),
+      lit(1152921504606846848L)).cast("double") /
       lit(1.152921504606846976e18)
     val gnoise = round(-log(-log(u)), 9)
     val keyed = weights.filter(col("logw").isNotNull)

@@ -1727,8 +1727,8 @@ class ExtSpec extends SparkTestBase {
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(id.toString.getBytes("UTF-8"))
           .map(b => f"$b%02x").mkString.take(15)
-        val u = (java.lang.Long.parseLong(hex, 16) + 1L).toDouble /
-          1.152921504606846976e18
+        val u = math.min(java.lang.Long.parseLong(hex, 16) + 1L,
+          1152921504606846848L).toDouble / 1.152921504606846976e18
         val g = BigDecimal(-math.log(-math.log(u)))
           .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
         val key = BigDecimal(r.getAs[Double]("logw") + g)
@@ -1799,6 +1799,23 @@ class ExtSpec extends SparkTestBase {
     val lw = unseen.head.getAs[Double]("logw")
     assert(!lw.isNaN && !lw.isInfinite)
     assert(unseen.head.getAs[Long]("n_grams") == 5L) // 3 unigrams + 2 bigrams
+  }
+
+  test("dsirScore never registers a caller-materialized model in Caches") {
+    import spark.implicits._
+    val d = Seq((1L, "src0", "a b c"), (2L, "crawl", "c d e"))
+      .toDF("doc_id", "source", "text")
+    val model = Sampling.dsirModel(d, "doc_id", "text",
+      col("source") === "src0", buckets = 64).cache()
+    model.count() // materialize — the carried-artifact state
+    Sampling.dsirScore(d, model, "doc_id", "text", buckets = 64).collect()
+    graft.core.Caches.unpersistAll()
+    // the frozen artifact must survive the operator's cache cleanup:
+    // re-registering it would hand its lifetime to unpersistAll and
+    // silently un-freeze every subsequent ingest's model
+    assert(model.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    model.unpersist()
   }
 
   test("curationPipeline: family keeper, gate bits, family-stable split") {
