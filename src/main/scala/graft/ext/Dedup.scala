@@ -952,27 +952,28 @@ object Dedup {
     * verify join makes the OUTPUT exactly [[decontaminate]]'s
     * (DedupSpec pins equality, and the query shares its oracle).
     *
-    * The probe is a Scala UDF over the broadcast filter — a justified
-    * UDF site: no built-in expression can evaluate an arbitrary
-    * broadcast Bloom bitset (the two other UDF sites in this tree,
-    * BPE's merge loop and the χ² CDF, are justified the same way).
+    * The probe is the codegen'd
+    * [[graft.functions.BloomContains]] expression (round 13; it was
+    * a row-at-a-time Scala UDF before, which broke whole-stage
+    * codegen for the otherwise map-only scan→shingle→filter stage) —
+    * the filter object rides the generated class as a reference
+    * object, Spark's own runtime-bloom mechanism.
     * Output: id, bench_id, shared (≥ minShared) — identical contract
     * to [[decontaminate]].
     */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, id: String,
       text: String, k: Int, minShared: Int, fpp: Double = 0.01)
       : DataFrame = {
-    val spark = train.sparkSession
     val bsh = graft.core.Caches.cached(shinglesHashed(bench, id, text, k))
       .withColumnRenamed(id, "bench_id")
     // expectedNumItems from an exact count of the (small) bench side:
     // one bounded aggregate job, the same cost class as the build pass
     val nItems = math.max(1L, bsh.count())
     val bloom = bsh.stat.bloomFilter("sh60", nItems, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
-    val tsh = shinglesHashed(train, id, text, k)
-      .filter(mightHit(col("sh60")))
+    import org.apache.spark.sql.graftbridge.Columns
+    val probe = Columns.of(graft.functions.BloomContains(
+      Columns.expr(col("sh60")), bloom))
+    val tsh = shinglesHashed(train, id, text, k).filter(probe)
     tsh.join(bsh, "sh60")
       .groupBy(col(id), col("bench_id"))
       .agg(count(lit(1)).as("shared"))

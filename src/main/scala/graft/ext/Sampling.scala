@@ -693,10 +693,15 @@ object Sampling {
 
   /** DSIR resampling: Gumbel top-k over the [[dsirWeights]] log
     * weights — the exact without-replacement sampler for
-    * p(x) ∝ w(x) (Gumbel-max applied k times): key = log w + G with
+    * p(x) ∝ w(x) (Gumbel-max applied k times): key = ln w + G with
     * G = −ln(−ln(u)) and u the id's deterministic 60-bit-hash
     * uniform (the [[prioritySample]] currency), take the k largest
-    * keys. No RNG state, superset-reproducible.
+    * keys. Gumbel-max requires NATURAL-log weights, and
+    * [[dsirWeights]] emits logw in BASE 2 — the key therefore scales
+    * logw by ln 2 (the exact double 0.6931471805599453, mirrored
+    * literally in the oracle) before adding the noise; an unscaled
+    * logw + G would sample p ∝ w^(log2 e) ≈ w^1.44 instead. No RNG
+    * state, superset-reproducible.
     *
     * Scale shape: top-k is `orderBy.limit` → TakeOrderedAndProject (a
     * k-sized heap per partition merged on the driver — no global
@@ -706,7 +711,11 @@ object Sampling {
     * noise is rounded to 9 decimals and the key to 6 before ordering
     * so the sort keys are bit-identical cross-engine; ties break by
     * id ascending.
-    * Output: id, logw, gumbel_key, sample_rank (1..k).
+    * Output: id, logw, gumbel_key, sample_rank (1..k). When fewer
+    * than k docs carry a non-null logw (cold model, tiny corpus) the
+    * output has FEWER than k rows — the prioritySample family's
+    * convention; callers sizing downstream work on k must count the
+    * result, not assume exactly k.
     */
   def dsirSample(weights: DataFrame, id: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
@@ -719,9 +728,12 @@ object Sampling {
       lit(1152921504606846848L)).cast("double") /
       lit(1.152921504606846976e18)
     val gnoise = round(-log(-log(u)), 9)
+    // ln 2 as the exact double literal (not math.log(2) at runtime)
+    // so the oracle SQL can repeat the identical constant textually
     val keyed = weights.filter(col("logw").isNotNull)
       .select(col(id), col("logw"),
-        round(col("logw") + gnoise, 6).as("gumbel_key"))
+        round(col("logw") * lit(0.6931471805599453) + gnoise, 6)
+          .as("gumbel_key"))
       .orderBy(col("gumbel_key").desc, col(id).asc)
       .limit(k)
     val w = Window.orderBy(col("gumbel_key").desc, col(id).asc)

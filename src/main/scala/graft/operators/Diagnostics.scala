@@ -211,6 +211,14 @@ object Diagnostics {
     * robust coefficients. Output: group*, slope_ols, intercept_ols,
     * slope_robust, intercept_robust, n, n_downweighted (counters from
     * the final round; coefficients rounded 6).
+    *
+    * PRECONDITION: quantized magnitudes must keep every weighted
+    * moment product inside a long — 1e6·max((|x|·scale)²,
+    * |x|·scale·|y|·scale) < 2^63, i.e. |x|·scale ≲ 3e6 and
+    * |x·y|·scale² ≲ 9e12. Violations cannot corrupt results
+    * silently: under the engine's default ANSI mode the quantization
+    * cast and the long products RAISE on overflow (pinned in
+    * RobustFitSpec); rescale inputs or shrink `scale` to fit.
     */
   def groupedRobustFit(df: DataFrame, groupCols: Seq[String],
       x: String, y: String, scale: Long = 100L,
@@ -218,8 +226,13 @@ object Diagnostics {
     require(iters >= 1, s"iters must be positive: $iters")
     val dec = "decimal(38,0)"
     val g = groupCols.map(col)
-    val base = df.filter(col(x).isNotNull && col(y).isNotNull)
-      .select(g :+ col(x).as("__xr") :+ col(y).as("__yr"): _*)
+    // each IRLS round reads the base twice (residual-scale pass +
+    // weighted-moment pass) — cache the filtered projection so the
+    // 1+2·iters passes pay the scan/filter once (Caches-registered:
+    // bench unpersists between queries)
+    val base = graft.core.Caches.cached(
+      df.filter(col(x).isNotNull && col(y).isNotNull)
+        .select(g :+ col(x).as("__xr") :+ col(y).as("__yr"): _*))
     val pilot = groupedLinearFit(df, groupCols, x, y, scale)
       .select(g :+ col("slope").as("__b1") :+
         col("intercept").as("__b0"): _*)
@@ -236,6 +249,17 @@ object Diagnostics {
           lit(1000000L))
         .otherwise(round(lit(c) * col("__s") / abs(col("__r")) * 1000000L)
           .cast("long"))
+      // moment terms as exact LONG products (the local2 micro-unit
+      // discipline, commit 9c3b9ae): w ≤ 1e6 and the quantized
+      // xq/yq are integers, so w·xq, w·yq, w·xq², w·xq·yq are exact
+      // codegen'd long multiplies — converted to decimal ONCE for
+      // the order-free 38-digit sum instead of 2-3 BigDecimal
+      // multiplies per row per term. The values are identical to the
+      // old all-decimal idiom (and to the oracle's HUGEINT products)
+      // whenever no long product wraps — the documented PRECONDITION,
+      // which cannot fail silently: under the engine's default ANSI
+      // mode both the quantization cast and the products raise on
+      // overflow (RobustFitSpec pins this) instead of wrapping.
       val weighted = rows.join(broadcast(scaleTab), groupCols)
         .withColumn("__w", wq)
         .withColumn("__xq", round(col("__xr") * scale).cast("long"))
@@ -244,12 +268,12 @@ object Diagnostics {
         .agg(
           count(lit(1)).as("n"),
           sum(col("__w").cast(dec)).as("__sw"),
-          sum(col("__w").cast(dec) * col("__xq").cast(dec)).as("__swx"),
-          sum(col("__w").cast(dec) * col("__yq").cast(dec)).as("__swy"),
-          sum(col("__w").cast(dec) * col("__xq").cast(dec) *
-            col("__xq").cast(dec)).as("__swxx"),
-          sum(col("__w").cast(dec) * col("__xq").cast(dec) *
-            col("__yq").cast(dec)).as("__swxy"),
+          sum((col("__w") * col("__xq")).cast(dec)).as("__swx"),
+          sum((col("__w") * col("__yq")).cast(dec)).as("__swy"),
+          sum((col("__w") * col("__xq") * col("__xq")).cast(dec))
+            .as("__swxx"),
+          sum((col("__w") * col("__xq") * col("__yq")).cast(dec))
+            .as("__swxy"),
           sum(when(col("__w") < 1000000L, 1L).otherwise(0L))
             .as("n_downweighted"))
       val num = (col("__sw") * col("__swxy") - col("__swx") * col("__swy"))

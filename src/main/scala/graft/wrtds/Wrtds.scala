@@ -213,6 +213,14 @@ object Wrtds {
     * inputs. Output: keys*, ts, value, l2_yhat, l2_resid (NULL when
     * fewer than minp in-support neighbors or a degenerate design).
     *
+    * PRECONDITION: series magnitude must satisfy max|wgt·tj·yj|·n
+    * < 2^63 micro-units per group (≈ |value|·span·window ≲ 9.2e12 —
+    * any physical sensor series passes by many orders). Violations
+    * cannot corrupt results silently: the engine runs Spark 4's
+    * default ANSI mode, so the term cast and the long sums RAISE on
+    * overflow (pinned in WrtdsQSpec) where non-ANSI arithmetic would
+    * wrap. Rescale pathological series before calling.
+    *
     * PRECONDITION: one row per (keys, ts). Duplicate timestamps within
     * a series would collapse to a single output row whose value is an
     * arbitrary duplicate's (`first(__yi)`) while the kernel sums count
@@ -254,12 +262,22 @@ object Wrtds {
     // codegen'd long addition (order-free like the decimal idiom it
     // replaces, but no per-pair BigDecimal allocation — measured 3×
     // on the full-bench kernel), and divided back once per group.
-    // Long overflow is structurally impossible: per-group pair count
-    // is bounded by the support window (≤ 2·supportDays·cadence) and
-    // the largest micro-term (wgt·tj² at decades-long spans) stays
-    // ≤ ~1e13, 5+ orders under 2^63. The final long→double cast and
-    // the /1e6 are each correctly rounded identically in both
-    // engines, so cross-engine equality holds even past 2^53.
+    // Long overflow bounds, split by term family: the time terms
+    // (wgt, wgt·tj, wgt·tj²) are structurally safe — per-group pair
+    // count is bounded by the support window (≤ 2·supportDays·cadence)
+    // and the largest micro-term (wgt·tj² at decades-long spans) stays
+    // ≤ ~1e13, 5+ orders under 2^63. The VALUE terms (wgt·yj,
+    // wgt·tj·yj) scale with the unbounded series magnitude — that is
+    // the documented |value| PRECONDITION above, and it cannot fail
+    // SILENTLY: the engine's sessions run Spark 4's default ANSI
+    // mode, where both the term-level double→long cast and the long
+    // sum raise loudly on overflow (WrtdsQSpec pins this) instead of
+    // wrapping. DuckDB sums the same terms into HUGEINT, so the
+    // cross-engine contract is "identical values inside the bound,
+    // loud engine error past it" — never a silently divergent fit.
+    // The final long→double cast and the /1e6 are each correctly
+    // rounded identically in both engines, so cross-engine equality
+    // holds even past 2^53.
     def mic(c: org.apache.spark.sql.Column) =
       round(c * lit(1e6), 0).cast("long")
     val agg = joined

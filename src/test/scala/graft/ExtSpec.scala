@@ -1731,7 +1731,9 @@ class ExtSpec extends SparkTestBase {
           1152921504606846848L).toDouble / 1.152921504606846976e18
         val g = BigDecimal(-math.log(-math.log(u)))
           .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val key = BigDecimal(r.getAs[Double]("logw") + g)
+        // logw is base-2; Gumbel-max needs nats — same ln-2 scale
+        // factor (exact double literal) as the implementation
+        val key = BigDecimal(r.getAs[Double]("logw") * 0.6931471805599453 + g)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         (id, key)
       }.sortBy { case (id, k2) => (-k2, id) }

@@ -57,20 +57,30 @@ class PlanGuardSpec extends SparkTestBase {
         docs.filter(col("doc_id") % 29 =!= 0),
         docs.filter(col("doc_id") % 29 === 0),
         "doc_id", "text", k = 3, minShared = 2, fpp = 0.01)
-      // the bloom-probe UDF filter must run scan-side: Catalyst
-      // pushes it through the shingle distinct, so its subtree —
-      // everything that executes before the prune — contains no
-      // shuffle. If this pin breaks, the corpus-shingle distinct
-      // shuffles the UNpruned 100 TB axis.
-      val udfFilters = df.queryExecution.executedPlan.collect {
+      // the bloom-probe filter must run scan-side: Catalyst pushes
+      // it through the shingle distinct, so its subtree — everything
+      // that executes before the prune — contains no shuffle. If
+      // this pin breaks, the corpus-shingle distinct shuffles the
+      // UNpruned 100 TB axis.
+      val probeFilters = df.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FilterExec
-            if f.condition.toString.contains("UDF") => f
+            if f.condition.toString.contains("graft_bloom_contains") => f
       }
-      assert(udfFilters.nonEmpty, "bloom-probe UDF filter not found")
-      udfFilters.foreach { f =>
+      assert(probeFilters.nonEmpty, "bloom-probe filter not found")
+      probeFilters.foreach { f =>
         val shufflesBelow = f.collect { case s: ShuffleExchangeExec => s }
         assert(shufflesBelow.isEmpty,
           "bloom prune runs above a shuffle — prune is not map-side")
+        // round 13: the probe is a codegen Expression, not a Scala
+        // UDF — the prune stage must stay inside whole-stage codegen
+        val inWscg = df.queryExecution.executedPlan.exists {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+            w.exists(_ eq f)
+          case _ => false
+        }
+        assert(inWscg, "bloom-probe filter fell out of whole-stage codegen")
+        assert(!f.condition.toString.contains("UDF"),
+          "bloom probe regressed to a row-at-a-time UDF")
       }
     }
   }
@@ -222,14 +232,16 @@ class PlanGuardSpec extends SparkTestBase {
       val df = Diagnostics.groupedRobustFit(
         Tables.lineitem(spark, sfDir),
         Seq("l_returnflag", "l_linestatus"), "l_quantity", "l_extendedprice")
-      assert(broadcastChildren(df).size >= 6,
-        s"fit/scale group tables must broadcast back to the data axis:\n${df.queryExecution.executedPlan}")
-      // data-axis shuffles: the pilot moment aggregation plus a
-      // residual-scale and a weighted-moment aggregation per IRLS
-      // round (iters=3), plus the final counter join — repeated
-      // broadcast lineages collapse under exchange reuse
-      assert(shuffleCount(df) <= 8,
-        s"unexpected data-axis shuffles:\n${df.queryExecution.executedPlan}")
+      try {
+        assert(broadcastChildren(df).size >= 6,
+          s"fit/scale group tables must broadcast back to the data axis:\n${df.queryExecution.executedPlan}")
+        // data-axis shuffles: the pilot moment aggregation plus a
+        // residual-scale and a weighted-moment aggregation per IRLS
+        // round (iters=3), plus the final counter join — repeated
+        // broadcast lineages collapse under exchange reuse
+        assert(shuffleCount(df) <= 8,
+          s"unexpected data-axis shuffles:\n${df.queryExecution.executedPlan}")
+      } finally graft.core.Caches.unpersistAll()
     }
   }
 

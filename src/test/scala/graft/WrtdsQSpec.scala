@@ -68,4 +68,36 @@ class WrtdsQSpec extends SparkTestBase {
     val worst = fit.agg(max(abs(col("l2_resid")))).head().getDouble(0)
     assert(worst < 1e-3, s"worst |resid| = $worst")
   }
+
+  test("local2 raises on |value| past the exact-long micro-sum bound") {
+    import spark.implicits._
+    // |value| ~ 1e14: micro-unit terms overflow a long — the contract
+    // is a LOUD error (Spark 4 ANSI raises on the cast / the sum),
+    // never a silently wrapped fit (cross-engine divergence: DuckDB
+    // would sum the same terms in HUGEINT and return numbers)
+    val rows = (0 until 40).map { i =>
+      ("s", java.time.LocalDateTime.of(2022, 1, 1, 12, 0, 0).plusDays(i.toLong)
+        .toString.replace('T', ' '), 1.0e14 + 1.0e7 * i)
+    }
+    val df = rows.toDF("series", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .select("series", "ts", "value")
+    val spec = SeriesSpec(Seq("series"))
+    val fit = Wrtds.local2(df, spec, htDays = 20.0, supportDays = 60.0, minp = 5)
+    val ex = intercept[Exception] { fit.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(m =>
+        m.contains("CAST_OVERFLOW") || m.contains("ARITHMETIC_OVERFLOW") ||
+          m.contains("overflow"))),
+      s"expected a loud ANSI overflow, got: $ex")
+    // and magnitudes comfortably inside the bound still fit cleanly
+    // (the 1e-6 term grid is absolute, so residual noise scales with
+    // |y| — keep the in-bound fixture at O(100))
+    val ok = df.withColumn("value", col("value") / 1e12)
+    val worst = Wrtds.local2(ok, spec, htDays = 20.0, supportDays = 60.0,
+      minp = 5).agg(max(abs(col("l2_resid")))).head().getDouble(0)
+    assert(worst < 1e-3, s"worst |resid| = $worst")
+  }
 }
