@@ -47,7 +47,26 @@ object Bench {
     val committed =
       if (basePath.isEmpty || basePath == "none") Map.empty[String, Double]
       else committedMedians(basePath, sfDir)
+    // Dev-only subset filter (comma-separated names), mirroring
+    // Verify's SPARK_GRAFT_VERIFY_ONLY: iterate on the heavy tail
+    // without paying the full sweep. Unset (the driver) = everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // CHEAPEST-FIRST execution order (committed medians ascending,
+    // unknown/new queries last, name as deterministic tiebreak): the
+    // first queries in a fresh JVM absorb global JIT warmup — with
+    // hash-map order the r13a sweep happened to open on two heavy
+    // queries and froze 10-25 s JIT-inflated numbers into their
+    // records (q_dedup_simhash 10.9 vs 1.9 steady). The ~75 sub-second
+    // queries warm the JVM at ~no cost before anything heavy runs —
+    // the cheap replacement for the full warmup pass this harness
+    // dropped.
     val queryMap = SparkEntry.queries
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .toSeq
+      .sortBy { case (name, _) =>
+        (committed.getOrElse(name, Double.MaxValue), name)
+      }
 
     // --- round-13 harness shape (BENCH_r12 rc 124 post-mortem) ---
     // The r12 run timed out: honest Force.force forcing (which stays
@@ -106,6 +125,7 @@ object Bench {
 
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val sampleCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val queryLookup = queryMap.toMap
     val firstPass = queryMap.flatMap { case (name, fn) =>
       if (wallSpent > budgetSec * 1.3) { skipped += name; None }
       else {
@@ -114,6 +134,7 @@ object Bench {
         Some(name -> stat)
       }
     }
+    val firstPassMap = firstPass.toMap
     // Self-adjudication (the round-8 lesson: the driver artifact
     // recorded q_containment at 22.4 s where the same HEAD measures
     // 4.8 s isolated — a machine-contention spike frozen into the
@@ -131,8 +152,8 @@ object Bench {
     }
     val remeasured = suspects.flatMap { case (name, _) =>
       if (wallSpent > budgetSec * 1.3) None
-      else Some(name -> sampleOnce(queryMap(name)))
-    }
+      else Some(name -> sampleOnce(queryLookup(name)))
+    }.toMap
     val results = firstPass.map { case (name, (sec, gcs)) =>
       remeasured.get(name) match {
         case Some((rsec, rgc)) if rsec < sec => name -> (rsec, rgc)
@@ -140,7 +161,7 @@ object Bench {
       }
     }
     val adjJson = remeasured.map { case (name, (rsec, _)) =>
-      val first = firstPass(name)._1
+      val first = firstPassMap(name)._1
       "\"" + name + "\":{\"first\":" + f"$first%.3f" +
         ",\"remeasured\":" + f"$rsec%.3f" + "}"
     }.mkString("{", ",", "}")
@@ -151,7 +172,7 @@ object Bench {
     val ns = sampleCounts.map { case (k, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.map(_._1).sum
+    val total = results.map(_._2._1).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"n_samples":$ns,"adjudicated":$adjJson,"reps":$reps,"truncated":${skipped.nonEmpty},"skipped":$skippedJson,"sf":"$sfDir"}"""
     println(json)
     // Self-contained artifact: the driver captures only a stdout tail,
@@ -172,12 +193,12 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2._1).take(5)
       .map { case (k, (sec, _)) => "\"" + k + "\":" + f"$sec%.2f" }
       .mkString("{", ",", "}")
-    val adjTop = remeasured.toSeq.sortBy { case (k, _) => -firstPass(k)._1 }
+    val adjTop = remeasured.toSeq.sortBy { case (k, _) => -firstPassMap(k)._1 }
       .take(5).map { case (k, (rsec, _)) =>
-        "\"" + k + "\":{\"first\":" + f"${firstPass(k)._1}%.2f" +
+        "\"" + k + "\":{\"first\":" + f"${firstPassMap(k)._1}%.2f" +
           ",\"remeasured\":" + f"$rsec%.2f" + "}"
       }.mkString("{", ",", "}")
-    val gcTotal = results.values.map(_._2).sum
+    val gcTotal = results.map(_._2._2).sum
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size}%d,"reps":$reps%d,"gc_sec_total":$gcTotal%.2f,"wall_sec":$wallSpent%.2f,"truncated":${skipped.nonEmpty}%s,"n_skipped":${skipped.size}%d,"n_adjudicated":${remeasured.size}%d,"adjudicated":$adjTop%s,"slowest":$slowest%s,"sf":"$sfDir%s"}""")
   }
 }

@@ -999,6 +999,122 @@ object Dedup {
     * Output: id, cluster_id (min id of the component), is_keeper.
     */
   def dupClusters(ids: DataFrame, pairs: DataFrame, id: String,
+      maxIter: Int = 25): DataFrame =
+    if (ids.schema(id).dataType ==
+        org.apache.spark.sql.types.LongType)
+      dupClustersRdd(ids, pairs, id, maxIter)
+    else dupClustersSql(ids, pairs, id, maxIter)
+
+  /** The long-id fast path of [[dupClusters]] — identical labels,
+    * RDD-loop internals. Iterative label propagation is the one
+    * place the DataFrame API taxes structurally: every round builds
+    * a NEW plan over the checkpointed label table, so each of the
+    * ~log(diameter) rounds pays Catalyst analysis + AQE planning +
+    * whole-stage codegen compilation from scratch (profiled at
+    * sf0.1: ~6 janino units ≈ 0.6 s of every 0.8 s round; unrolling
+    * two propagation steps per round made it WORSE — plan size
+    * doubles faster than round count halves). The GraphX-shaped
+    * fix: keep the loop state as `RDD[(Long, Long)]` under one fixed
+    * HashPartitioner — the per-round dataflow is then two
+    * co-partitioned (zero-shuffle) joins plus tiny reduceByKey
+    * shuffles, with NO per-round planning or codegen at all
+    * (measured ~4× on the full CC chain). Spark-first rationale:
+    * this is the documented "genuine per-partition imperative
+    * logic" RDD exception — the DataFrame twin below remains the
+    * reference semantics (and serves non-long key types), and
+    * DedupSpec pins label equality between the two.
+    *
+    * Scale shape is unchanged from the SQL loop: state is the
+    * CONTRACTED dup-subgraph label table (never the corpus),
+    * per-round shuffles move O(|edges|) longs, lineage is truncated
+    * every round (localCheckpoint; blocks reclaimed by the
+    * ContextCleaner once the returned plan drops its reference —
+    * the same lifecycle the checkpointed SQL loop had).
+    */
+  private[graft] def dupClustersRdd(ids: DataFrame, pairs: DataFrame, id: String,
+      maxIter: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val sc = spark.sparkContext
+    val edgesRaw = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long")).rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((a, b), (b, a))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the loop's partitioner to the DUP SUBGRAPH, not the
+    // session default: label tables are a few % of the corpus, and a
+    // ~25k-row loop over 32 partitions spends its rounds on task
+    // scheduling (measured 0.35 s/round → ~0.1 s at the right width).
+    // ~100k edges per partition, capped at the session shuffle width
+    // so a pair-heavy corpus still spreads (the count also
+    // materializes the edge cache the loop re-reads every round).
+    val nEdges = edgesRaw.count()
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(spark.sessionState.conf.numShufflePartitions,
+        (nEdges / 100000L).toInt + 1)))
+    val edges = edgesRaw.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed = min(self, min direct neighbor) over the contracted node
+    // set (edge endpoints) — round 0 folded into one reduceByKey,
+    // exactly like the SQL twin's seed aggregate
+    var labels = edges
+      .map { case (src, dst) => (dst, src) }
+      .reduceByKey(part, math.min(_: Long, _: Long))
+      .mapPartitions(_.map { case (nid, m) => (nid, math.min(nid, m)) },
+        preservesPartitioning = true)
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val cur = labels
+      // neighbor min: co-partitioned join (no shuffle), then a tiny
+      // keyed reduction of O(|edges|) label candidates
+      val nbrMin = edges.join(cur)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // pointer doubling: my label's current label (one row per nid)
+      val hop = cur.map { case (nid, lbl) => (lbl, nid) }
+        .partitionBy(part)
+        .join(cur)
+        .map { case (_, (nid, hlbl)) => (nid, hlbl) }
+        .partitionBy(part)
+      val changed = sc.longAccumulator("cc_changed")
+      val next = cur.cogroup(nbrMin, hop, part)
+        .mapPartitions({ iter =>
+          iter.flatMap { case (nid, (curL, nbrL, hopL)) =>
+            if (curL.isEmpty) None // nbr/hop keys ⊆ cur keys; guard only
+            else {
+              val old = curL.head
+              var m = old
+              nbrL.foreach(v => if (v < m) m = v)
+              hopL.foreach(v => if (v < m) m = v)
+              if (m != old) changed.add(1L)
+              Some((nid, m))
+            }
+          }
+        }, preservesPartitioning = true)
+        .localCheckpoint()
+      next.count() // one job: materializes the round + settles the accumulator
+      converged = changed.value == 0L
+      labels = next
+      cur.unpersist(false)
+      it += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        println(s"[cc] round $it converged=$converged t=${System.nanoTime()}")
+    }
+    require(converged, s"dupClusters did not converge in $maxIter rounds")
+    edges.unpersist(false)
+    edgesRaw.unpersist(false)
+    val labelsDf = spark.createDataFrame(labels).toDF("nid", "__lbl")
+    ids.select(col(id).as("nid"))
+      .join(labelsDf, Seq("nid"), "left")
+      .select(col("nid").as(id),
+        coalesce(col("__lbl"), col("nid")).as("cluster_id"),
+        (col("nid") === coalesce(col("__lbl"), col("nid"))).as("is_keeper"))
+  }
+
+  private[graft] def dupClustersSql(ids: DataFrame, pairs: DataFrame, id: String,
       maxIter: Int = 25): DataFrame = {
     val edges = graft.core.Caches.cached(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

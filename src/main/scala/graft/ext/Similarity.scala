@@ -211,7 +211,7 @@ object Similarity {
     // small by construction, so the literal stays tiny.
     val centArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"),
-        array(c.map(lit(_)): _*).as("cent"))
+        typedLit(c.toSeq).as("cent"))
     }: _*)
     def dist2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) =>
@@ -365,7 +365,7 @@ object Similarity {
   def randomProject(df: DataFrame, vec: String,
       signs: IndexedSeq[IndexedSeq[Double]]): DataFrame =
     df.withColumn("proj", array(signs.map(sv =>
-      call_function("graft_dot", col(vec), array(sv.map(lit(_)): _*))): _*))
+      call_function("graft_dot", col(vec), typedLit(sv.toSeq))): _*))
 
   /** Brute-force cosine top-k in PROJECTED space: project both sides
     * (map-side, no shuffle), then [[bruteForceTopK]] over the short
@@ -401,11 +401,15 @@ object Similarity {
     * through the native codegen'd graft_dot kernel: the naive
     * aggregate(zip_with(...)) square-difference fold evaluated
     * interpreted closures per element and dominated encode time
-    * (measured ~10× slower end to end).
+    * (measured ~10× slower end to end). The centroid is ONE array
+    * Literal (typedLit), not a CreateArray of dsub scalar literals —
+    * the m·ksub centroid references otherwise exploded the expression
+    * tree dsub-fold, bloating analysis, codegen and every plan dump
+    * (the BENCH_r12 tail died mid-print of exactly this tabulation).
     */
   private def centScore(a: Column, cent: Array[Double]): Column =
     lit(cent.map(x => x * x).sum) -
-      lit(2.0) * call_function("graft_dot", a, array(cent.map(lit(_)): _*))
+      lit(2.0) * call_function("graft_dot", a, typedLit(cent.toSeq))
 
   /** Encode each vector as `m` codebook indices (nearest sub-centroid
     * per subspace) — a pure projection against literal centroids, the
@@ -570,7 +574,7 @@ object Similarity {
     val seedArr = array(seedRows.map { r =>
       val sv = r.getSeq[Float](1)
       struct(lit(r.getLong(0)).as("seed_id"),
-        array(sv.map(lit(_)): _*).as("sv"))
+        typedLit(sv.toSeq).as("sv"))
     }: _*)
     val best = element_at(array_sort(transform(seedArr, st =>
       struct((lit(0d) - safeCosine(dot(col("__v"), st.getField("sv")),
@@ -843,7 +847,7 @@ object Similarity {
     val el = df
       .select(col(source).as("source"), posexplode(col(vec)))
       .toDF("source", "dim", "v")
-    val iv = round(col("v").cast("double") * lit(1000.0), 0).cast("long")
+    val iv = graft.core.FastRound.halfAwayLong(col("v").cast("double") * lit(1000.0))
     val q = el.select(col("source"), col("dim"), iv.as("iv"))
     val bySrc = q.groupBy("source", "dim")
       .agg(sum("iv").as("sv"), count(lit(1)).as("n"))

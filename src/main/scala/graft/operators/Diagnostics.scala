@@ -150,8 +150,8 @@ object Diagnostics {
   def groupedLinearFit(df: DataFrame, groupCols: Seq[String],
       x: String, y: String, scale: Long = 100L): DataFrame = {
     val dec = "decimal(38,0)"
-    val xq = round(col(x) * scale).cast("long")
-    val yq = round(col(y) * scale).cast("long")
+    val xq = graft.core.FastRound.halfAwayLong(col(x) * scale)
+    val yq = graft.core.FastRound.halfAwayLong(col(y) * scale)
     val m = df.filter(col(x).isNotNull && col(y).isNotNull)
       .select(groupCols.map(col) :+ xq.as("__x") :+ yq.as("__y"): _*)
       .groupBy(groupCols.map(col): _*)
@@ -233,9 +233,19 @@ object Diagnostics {
     val base = graft.core.Caches.cached(
       df.filter(col(x).isNotNull && col(y).isNotNull)
         .select(g :+ col(x).as("__xr") :+ col(y).as("__yr"): _*))
-    val pilot = groupedLinearFit(df, groupCols, x, y, scale)
-      .select(g :+ col("slope").as("__b1") :+
-        col("intercept").as("__b0"): _*)
+    // pilot over the SAME cached base (one parquet scan total), and
+    // itself cached: it is consumed by round 1's residuals AND the
+    // final output join. Every per-round fit/stats table below is
+    // cached the same way — these are O(groups)-row tables, but an
+    // UNcached fit's lineage re-executes the whole previous round's
+    // scale+moment passes once PER CONSUMER (round k's scale pass,
+    // round k's moment pass, and the final join each re-ran rounds
+    // 1..k-1 — the multiplicative re-execution that made iters=3
+    // cost 12.5 s at sf0.1 where 1+2·iters linear passes cost ~4 s).
+    val pilot = graft.core.Caches.cached(
+      groupedLinearFit(base, groupCols, "__xr", "__yr", scale)
+        .select(g :+ col("slope").as("__b1") :+
+          col("intercept").as("__b0"): _*))
     var fit = pilot
     var stats: DataFrame = null
     for (_ <- 1 to iters) {
@@ -247,8 +257,8 @@ object Diagnostics {
       val wq = when(col("__b1").isNull, lit(null))
         .when(col("__s") === 0.0 || abs(col("__r")) <= lit(c) * col("__s"),
           lit(1000000L))
-        .otherwise(round(lit(c) * col("__s") / abs(col("__r")) * 1000000L)
-          .cast("long"))
+        .otherwise(graft.core.FastRound.halfAwayLong(
+          lit(c) * col("__s") / abs(col("__r")) * 1000000L))
       // moment terms as exact LONG products (the local2 micro-unit
       // discipline, commit 9c3b9ae): w ≤ 1e6 and the quantized
       // xq/yq are integers, so w·xq, w·yq, w·xq², w·xq·yq are exact
@@ -260,10 +270,11 @@ object Diagnostics {
       // which cannot fail silently: under the engine's default ANSI
       // mode both the quantization cast and the products raise on
       // overflow (RobustFitSpec pins this) instead of wrapping.
-      val weighted = rows.join(broadcast(scaleTab), groupCols)
+      val weighted = graft.core.Caches.cached(
+        rows.join(broadcast(scaleTab), groupCols)
         .withColumn("__w", wq)
-        .withColumn("__xq", round(col("__xr") * scale).cast("long"))
-        .withColumn("__yq", round(col("__yr") * scale).cast("long"))
+        .withColumn("__xq", graft.core.FastRound.halfAwayLong(col("__xr") * scale))
+        .withColumn("__yq", graft.core.FastRound.halfAwayLong(col("__yr") * scale))
         .groupBy(g: _*)
         .agg(
           count(lit(1)).as("n"),
@@ -275,7 +286,7 @@ object Diagnostics {
           sum((col("__w") * col("__xq") * col("__yq")).cast(dec))
             .as("__swxy"),
           sum(when(col("__w") < 1000000L, 1L).otherwise(0L))
-            .as("n_downweighted"))
+            .as("n_downweighted")))
       val num = (col("__sw") * col("__swxy") - col("__swx") * col("__swy"))
         .cast("double")
       val den = (col("__sw") * col("__swxx") - col("__swx") * col("__swx"))

@@ -278,17 +278,30 @@ object Wrtds {
     // The final long→double cast and the /1e6 are each correctly
     // rounded identically in both engines, so cross-engine equality
     // holds even past 2^53.
+    // graft.core.FastRound.halfAwayLong replaces round(·,0).cast:
+    // bit-identical values (see its equality argument), no per-pair
+    // BigDecimal — the swap took this aggregate from ~16 s to ~2 s at
+    // sf0.1. The five micro terms are PRE-PROJECTED so wgt's exp()
+    // and each product evaluate once per pair, then the aggregate
+    // sums plain long attributes.
     def mic(c: org.apache.spark.sql.Column) =
-      round(c * lit(1e6), 0).cast("long")
-    val agg = joined
+      graft.core.FastRound.halfAwayLong(c * lit(1e6))
+    val terms = joined.select((spec.keyCols ++ Seq(col("__ius"),
+      col("__ti"), col("__yi"), col("__yj"),
+      mic(wgt).as("__m0"),
+      mic(wgt * col("__tj")).as("__m1"),
+      mic(wgt * col("__tj") * col("__tj")).as("__m2"),
+      mic(wgt * col("__yj")).as("__my"),
+      mic(wgt * col("__tj") * col("__yj")).as("__mty"))): _*)
+    val agg = terms
       .groupBy((spec.keyCols :+ col("__ius")): _*)
       .agg(first(col("__ti")).as("__ti"), first(col("__yi")).as("__yi"),
         count(col("__yj")).as("__n"),
-        (sum(mic(wgt)).cast("double") / lit(1e6)).as("s0"),
-        (sum(mic(wgt * col("__tj"))).cast("double") / lit(1e6)).as("s1"),
-        (sum(mic(wgt * col("__tj") * col("__tj"))).cast("double") / lit(1e6)).as("s2"),
-        (sum(mic(wgt * col("__yj"))).cast("double") / lit(1e6)).as("sy"),
-        (sum(mic(wgt * col("__tj") * col("__yj"))).cast("double") / lit(1e6)).as("sty"))
+        (sum(col("__m0")).cast("double") / lit(1e6)).as("s0"),
+        (sum(col("__m1")).cast("double") / lit(1e6)).as("s1"),
+        (sum(col("__m2")).cast("double") / lit(1e6)).as("s2"),
+        (sum(col("__my")).cast("double") / lit(1e6)).as("sy"),
+        (sum(col("__mty")).cast("double") / lit(1e6)).as("sty"))
     val denom = col("s0") * col("s2") - col("s1") * col("s1")
     val b1 = (col("s0") * col("sty") - col("s1") * col("sy")) / denom
     val b0 = (col("sy") - b1 * col("s1")) / col("s0")

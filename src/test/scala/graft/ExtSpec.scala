@@ -886,6 +886,29 @@ class ExtSpec extends SparkTestBase {
     assert(out.count(_.getBoolean(2)) == 1)
   }
 
+  test("dupClusters: RDD fast path ≡ SQL twin label for label") {
+    import spark.implicits._
+    // the long-id fast path (RDD loop, fixed partitioner) must emit
+    // exactly the SQL loop's labels — chain + clique + bridge +
+    // singletons, plus a seeded random slice
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = ((0L until 60L).map(i => (i, i + 1)) ++ // long chain
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (102L, 60L)) ++
+      (1 to 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val ids = (0L until n).toDF("doc_id")
+    val pairs = edges.toDF("id_a", "id_b")
+    val viaRdd = Dedup.dupClustersRdd(ids, pairs, "doc_id", 25)
+      .collect().map(_.toString).sorted.toSeq
+    graft.core.Caches.unpersistAll()
+    val viaSql = Dedup.dupClustersSql(ids, pairs, "doc_id", 25)
+      .collect().map(_.toString).sorted.toSeq
+    graft.core.Caches.unpersistAll()
+    assert(viaRdd == viaSql)
+  }
+
   test("dupClusters: random graphs match a union-find oracle") {
     import spark.implicits._
     // seeded generator → deterministic test; shapes mix sparse random
