@@ -248,6 +248,8 @@ object Diagnostics {
           col("intercept").as("__b0"): _*))
     var fit = pilot
     var stats: DataFrame = null
+    var lastB1: org.apache.spark.sql.Column = null
+    var lastB0: org.apache.spark.sql.Column = null
     for (_ <- 1 to iters) {
       val rows = base.join(broadcast(fit), groupCols)
         .withColumn("__r",
@@ -294,21 +296,23 @@ object Diagnostics {
       val slopeR = num / den
       val swd = col("__sw").cast("double")
       stats = weighted
+      lastB1 = when(den =!= 0.0, round(slopeR, 6))
+      lastB0 = when(den =!= 0.0,
+        round(col("__swy").cast("double") / (swd * scale) -
+          slopeR * (col("__swx").cast("double") / (swd * scale)), 6))
       fit = weighted.select(g ++ Seq(
-        when(den =!= 0.0, round(slopeR, 6)).as("__b1"),
-        when(den =!= 0.0,
-          round(col("__swy").cast("double") / (swd * scale) -
-            slopeR * (col("__swx").cast("double") / (swd * scale)), 6))
-          .as("__b0")): _*)
+        lastB1.as("__b1"), lastB0.as("__b0")): _*)
     }
-    // three tiny per-group tables: pilot coefficients, final robust
-    // coefficients, final-round counters
+    // ONE broadcast join of the two tiny per-group tables: the final
+    // robust coefficients and counters are a single select off the
+    // CACHED final-round aggregate (a separate fit-table join +
+    // stats-table join doubled the broadcast/stage count of a query
+    // whose cost is stage overhead, not data)
     pilot.select(g :+ col("__b1").as("slope_ols") :+
         col("__b0").as("intercept_ols"): _*)
-      .join(broadcast(fit.select(g :+ col("__b1").as("slope_robust") :+
-        col("__b0").as("intercept_robust"): _*)), groupCols)
-      .join(broadcast(stats.select(g :+ col("n") :+
-        col("n_downweighted"): _*)), groupCols)
+      .join(broadcast(stats.select(g ++ Seq(
+        lastB1.as("slope_robust"), lastB0.as("intercept_robust"),
+        col("n"), col("n_downweighted")): _*)), groupCols)
   }
 
   /** Population-stability-index drift between consecutive time
