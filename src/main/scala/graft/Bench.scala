@@ -147,8 +147,16 @@ object Bench {
     // proves the first was contention; a remeasure that is still slow
     // is real cost and stays). Suppressed past the hard budget — the
     // artifact itself is worth more than outlier hygiene.
+    // The absolute floor SCALES with the committed value (clamped to
+    // [0.1, 0.5] s): a fixed 0.5 s floor could never fire for
+    // sub-0.35 s queries, so the JIT ramp a fresh JVM puts into the
+    // first few cheap queries froze 3-6x inflated values into the
+    // artifact (q_split 0.10→0.58 missed the old trigger by 0.02 s)
+    // — and the NEXT sweep then baselined its 2.5x check on them.
+    // Remeasuring a cheap query at end-of-run costs milliseconds.
     val suspects = firstPass.filter { case (name, (sec, _)) =>
-      committed.get(name).exists(c => sec > c * 2.5 && sec - c > 0.5)
+      committed.get(name).exists(c =>
+        sec > c * 2.5 && sec - c > math.min(0.5, math.max(0.1, c)))
     }
     val remeasured = suspects.flatMap { case (name, _) =>
       if (wallSpent > budgetSec * 1.3) None

@@ -1035,7 +1035,10 @@ object Dedup {
       maxIter: Int): DataFrame = {
     val spark = ids.sparkSession
     val sc = spark.sparkContext
+    // NULL endpoints contribute nothing, matching the SQL twin's
+    // join semantics (Row.getLong on a null would NPE the task)
     val edgesRaw = pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .select(col("id_a").cast("long"), col("id_b").cast("long")).rdd
       .flatMap { r =>
         val a = r.getLong(0); val b = r.getLong(1)
@@ -1047,17 +1050,27 @@ object Dedup {
     // ~25k-row loop over 32 partitions spends its rounds on task
     // scheduling (measured 0.35 s/round → ~0.1 s at the right width).
     // ~100k edges per partition, capped at the session shuffle width
-    // so a pair-heavy corpus still spreads (the count also
-    // materializes the edge cache the loop re-reads every round).
+    // so a pair-heavy corpus still spreads. edgesRaw is persisted
+    // only so the count and the partitionBy don't each re-run the
+    // (often expensive) upstream pair join; it is dropped as soon as
+    // the partitioned copy is materialized, so the loop pins ONE
+    // copy of the edge list, not two.
     val nEdges = edgesRaw.count()
     val part = new org.apache.spark.HashPartitioner(
       math.max(1, math.min(spark.sessionState.conf.numShufflePartitions,
         (nEdges / 100000L).toInt + 1)))
     val edges = edgesRaw.partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed = min(self, min direct neighbor) over the contracted node
-    // set (edge endpoints) — round 0 folded into one reduceByKey,
-    // exactly like the SQL twin's seed aggregate
+    edges.count()
+    edgesRaw.unpersist(false)
+    // failure-path hygiene: these persists are NOT in Caches (it
+    // registers DataFrames), so a non-converged require / task
+    // failure mid-loop must not strand MEMORY_AND_DISK blocks for
+    // the JVM lifetime — unpersist everything before rethrowing.
+    // On success the final label checkpoint intentionally survives
+    // (the returned plan reads it; the ContextCleaner reclaims it
+    // once unreferenced, the same lifecycle as the SQL twin's
+    // checkpointed rounds).
     var labels = edges
       .map { case (src, dst) => (dst, src) }
       .reduceByKey(part, math.min(_: Long, _: Long))
@@ -1066,6 +1079,7 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var it = 0
+    try {
     while (!converged && it < maxIter) {
       val cur = labels
       // neighbor min: co-partitioned join (no shuffle), then a tiny
@@ -1104,8 +1118,12 @@ object Dedup {
         println(s"[cc] round $it converged=$converged t=${System.nanoTime()}")
     }
     require(converged, s"dupClusters did not converge in $maxIter rounds")
+    } catch { case t: Throwable =>
+      labels.unpersist(false)
+      edges.unpersist(false)
+      throw t
+    }
     edges.unpersist(false)
-    edgesRaw.unpersist(false)
     val labelsDf = spark.createDataFrame(labels).toDF("nid", "__lbl")
     ids.select(col(id).as("nid"))
       .join(labelsDf, Seq("nid"), "left")

@@ -899,7 +899,17 @@ class ExtSpec extends SparkTestBase {
       .filter { case (a, b) => a != b }
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
     val ids = (0L until n).toDF("doc_id")
-    val pairs = edges.toDF("id_a", "id_b")
+    // NULL endpoints must be ignored by BOTH paths (SQL join
+    // semantics drop them; the RDD path must not NPE on getLong)
+    val pairs = edges
+      .map { case (a, b) =>
+        (java.lang.Long.valueOf(a), java.lang.Long.valueOf(b))
+      }
+      .toDF("id_a", "id_b")
+      .unionByName(Seq(
+        (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+        (java.lang.Long.valueOf(5L), null.asInstanceOf[java.lang.Long]))
+        .toDF("id_a", "id_b"))
     val viaRdd = Dedup.dupClustersRdd(ids, pairs, "doc_id", 25)
       .collect().map(_.toString).sorted.toSeq
     graft.core.Caches.unpersistAll()
