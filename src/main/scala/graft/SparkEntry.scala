@@ -1585,7 +1585,14 @@ object SparkEntry {
     // implementation; this adds the driver-gate signal.
     "q_bpe_check" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = TextStats.trainBpe(docs, "doc_id", "text", numMerges = BpeNumMerges)
+      // batched trainer (the q_bpe_apply rationale): every assertion
+      // below — encode bounds, merged ≡ left||right, dense distinct
+      // ranks ≤ budget — holds for ANY valid merge table, so this
+      // check rides the scale-path trainer; the sequential reference
+      // trajectory stays exactly oracled via q_bpe_train/q_bpe_encode
+      val merges = TextStats.trainBpeBatched(docs, "doc_id", "text",
+        numMerges = BpeNumMerges, batchSize = BpeBatchSize,
+        candCap = BpeCandCap)
       val enc = TextStats.encodeBpe(docs, "doc_id", "text", merges)
       val encAgg = enc.agg(
         countDistinct(col("doc_id")).as("n_docs"),
