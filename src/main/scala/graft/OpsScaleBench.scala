@@ -207,6 +207,25 @@ object OpsScaleBench {
         c
       }
 
+      // connected components (round-13 RDD loop) on the pair axis:
+      // vocab-disjoint replicas make the dup PAIR GRAPH grow linearly
+      // while family diameters stay fixed, so wall must track the
+      // edge volume (the loop's O(|edges|)-per-round contract) at a
+      // ~constant pointer-doubling round count — the corpus text is
+      // out of the timed region entirely (fingerprints+pairs cached
+      // and materialized in setup; rows= is the PAIR count).
+      if (selected("cc_rdd")) {
+        val ccFp = graft.core.Caches.cached(
+          graft.ext.Dedup.simHash(docsV, "doc_id", "text"))
+        val ccPairs = graft.core.Caches.cached(
+          graft.ext.Dedup.hammingPairs(ccFp, "doc_id", "simhash", 4, 8, 3))
+        val ccPairRows = ccPairs.count()
+        val ccIds = docsV.select(col("doc_id"))
+        bench("cc_rdd", n, ccPairRows)(() =>
+          graft.ext.Dedup.dupClusters(ccIds, ccPairs, "doc_id").forcedRows())
+        graft.core.Caches.unpersistAll()
+      }
+
       // substring spans on the corpus axis: replicas get disjoint
       // vocabularies so spans never cross replicas — per-anchor df
       // stays flat and the candidate volume (Σ df² over anchors)
