@@ -9,10 +9,43 @@ object Bench {
     ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime.max(0L)).sum / 1e3
 
+  /** Aggregated task metrics for ONE measured sample, captured via a
+    * SparkListener. Purpose: when a sample runs far over its committed
+    * median in the driver environment (r13: two 75-100x spikes), the
+    * artifact should carry enough signal to ATTRIBUTE the spike — GC
+    * pause (task_gc/jvm_gc high), CPU starvation (wall >> task_run, or
+    * task_run >> task_cpu), or spill (spill_mb > 0) — instead of
+    * freezing a mysterious number. Listener delivery is async and
+    * there is no public flush, so these are best-effort diagnostics,
+    * not measurements; the wall number stays the measurement.
+    */
+  private final class TaskTraceListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private var runMs = 0L; private var cpuNs = 0L; private var gcMs = 0L
+    private var spillBytes = 0L; private var peakMs = 0L; private var nTasks = 0L
+    def reset(): Unit = synchronized {
+      runMs = 0; cpuNs = 0; gcMs = 0; spillBytes = 0; peakMs = 0; nTasks = 0
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) synchronized {
+        runMs += m.executorRunTime; cpuNs += m.executorCpuTime
+        gcMs += m.jvmGCTime
+        spillBytes += m.memoryBytesSpilled + m.diskBytesSpilled
+        peakMs = math.max(peakMs, m.executorRunTime)
+        nTasks += 1
+      }
+    }
+    def snapshotJson(wall: Double, jvmGc: Double): String = synchronized {
+      f"""{"wall_sec":$wall%.2f,"jvm_gc_sec":$jvmGc%.2f,"task_run_sec":${runMs / 1e3}%.2f,"task_cpu_sec":${cpuNs / 1e9}%.2f,"task_gc_sec":${gcMs / 1e3}%.2f,"spill_mb":${spillBytes / 1048576.0}%.1f,"peak_task_sec":${peakMs / 1e3}%.2f,"n_tasks":$nTasks%d}"""
+    }
+  }
+
   /** Per-query medians from a committed BENCH_local.json — the
     * adjudication baseline. Missing/unparsable file, or a baseline
-    * recorded at a DIFFERENT scale factor than this run (the 2.5x
-    * rule is only meaningful same-SF), → empty map (every query then
+    * recorded at a DIFFERENT scale factor than this run (the outlier
+    * rules are only meaningful same-SF), → empty map (every query then
     * records un-adjudicated, same as before).
     */
   private def committedMedians(path: String, sfDir: String): Map[String, Double] =
@@ -40,6 +73,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+    val tracer = new TaskTraceListener
+    spark.sparkContext.addSparkListener(tracer)
     // Adjudication baseline is read BEFORE the run (the default out
     // path overwrites the same file at the end).
     val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
@@ -68,120 +103,171 @@ object Bench {
         (committed.getOrElse(name, Double.MaxValue), name)
       }
 
-    // --- round-13 harness shape (BENCH_r12 rc 124 post-mortem) ---
-    // The r12 run timed out: honest Force.force forcing (which stays
-    // — it IS the measurement) doubled per-query work to ~308 s/161,
-    // and the old warmup-pass + unconditional median-of-3 layout
-    // needed ~4 full passes of wall. Three changes, each keeping the
-    // measurement honest per executed sample:
-    //  1. NO separate warm-up pass — the first timed sample is the
-    //     cold one, and the reported statistic for multi-sample
-    //     queries (median for odd sample counts, MIN for even — the
-    //     timeit convention; a full honest execution either way)
-    //     discards cold-start skew exactly like warmup+median did,
-    //     at half the wall.
-    //  2. Adaptive sampling: a query whose COLD run is already under
-    //     `fastCut` seconds contributes noise-level signal per extra
-    //     rep (53 sub-0.5 s queries cost 15 s/pass at r12) — it
-    //     records its single cold sample. Everything slower gets
-    //     `reps` samples total.
-    //  3. A wall budget (SPARK_GRAFT_BENCH_BUDGET_SEC, measured query
-    //     wall, not JVM lifetime): past the budget remaining queries
-    //     drop to single-sample; past 1.3x the budget remaining
-    //     queries are SKIPPED and listed in the artifact
-    //     ("truncated": true, every skipped name recorded) — a
-    //     partial parsed artifact beats a killed process with none.
+    // --- harness shape (r12 rc-124 + r13 46-skipped post-mortems) ---
+    // Honest Force.force forcing stays — it IS the measurement. The
+    // r13 layout (no warmup pass, adaptive sampling, wall budget)
+    // stays too, with the r14 outlier rules below. Reported statistic
+    // per query: 1 sample → that sample; even n → MIN (the timeit
+    // convention); odd n → median. Every sample is a full honest
+    // execution; n_samples records how many backed each number and
+    // "stat_rule" names the convention in-artifact (the r13 methodology
+    // break — min-of-2 vs the old warmup+median-of-3 — is now
+    // self-describing instead of implicit).
+    //
+    // r14 outlier rules (BENCH_r13 post-mortem: two environmental
+    // 75-100x samples — q_wrtds_check 191 s vs 1.84 s committed,
+    // q_jpeg_neardup 157 s vs 1.81 s, both ~2.6 s when re-measured at
+    // the same HEAD — consumed 58% of the budget, pushed wallSpent
+    // past every gate, suppressed the post-sweep adjudication that
+    // exists precisely for contention spikes, and evicted 46 queries):
+    //  1. IMMEDIATE re-measure: a first sample >5x its committed
+    //     median re-runs right away, while the contention window may
+    //     have passed — not at end of sweep. The re-measure is exempt
+    //     from budget suppression when the outlier itself consumed
+    //     >10% of the budget (the case where suppression would
+    //     otherwise be triggered BY the spike it should adjudicate).
+    //  2. Capped budget charge: a sample's contribution to wallSpent
+    //     is min(wall, 5x committed) — a spike pays its own real wall
+    //     (wallTrue tracks it) but cannot evict dozens of queries'
+    //     signal from the artifact.
+    //  3. A query failure is RECORDED, not swallowed: the sample keeps
+    //     its time-to-failure wall (real spent budget) and the
+    //     artifact carries per-query "errors" so it can never read as
+    //     a legitimate timing.
+    //  4. Any >5x first sample logs a "slow_trace" (task-metric
+    //     attribution) even when the re-measure clears it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val fastCut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FASTCUT", "0.5").toDouble
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
-    var wallSpent = 0.0
+    var wallSpent = 0.0 // budget-charged wall: outlier samples capped at 5x committed
+    var wallTrue = 0.0 // actual measured wall
 
-    def sampleOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): (Double, Double) = {
+    final case class Sample(sec: Double, gc: Double, err: Option[String],
+      trace: String)
+
+    val slowTraces = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def sampleOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Sample = {
+      tracer.reset()
       val g0 = gcSeconds
       val t0 = System.nanoTime()
-      try { Force.force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      finally graft.core.Caches.unpersistAll()
+      val err =
+        try { Force.force(fn(spark, sfDir)); None }
+        catch { case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).replaceAll("[\"\\\\\n\r\t]", " ")
+            .take(200))
+        }
+        finally graft.core.Caches.unpersistAll()
       val dt = (System.nanoTime() - t0) / 1e9
-      wallSpent += dt
-      (dt, gcSeconds - g0)
+      val gcd = gcSeconds - g0
+      wallTrue += dt
+      wallSpent += committed.get(name)
+        .fold(dt)(c => math.min(dt, math.max(c * 5, 0.5)))
+      err.foreach(m => errors.getOrElseUpdate(name, m))
+      Sample(dt, gcd, err, tracer.snapshotJson(dt, gcd))
     }
+    // >5x committed AND past an absolute floor that SCALES with the
+    // committed value (clamped to [0.1, 0.5] s) so sub-second noise
+    // never triggers but a JIT-ramped cheap query still can.
+    def isOutlier(name: String, sec: Double): Boolean =
+      committed.get(name).exists(c =>
+        sec > c * 5 && sec - c > math.min(0.5, math.max(0.1, c)))
     /** min for even sample counts, median for odd — both are honest
       * full executions; the artifact records how many samples backed
-      * each number.
+      * each number and stat_rule names the convention.
       */
-    def statistic(samples: Seq[(Double, Double)]): (Double, Double) =
-      if (samples.size % 2 == 0) samples.minBy(_._1)
-      else samples.sortBy(_._1).apply(samples.size / 2)
-    def measure(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame, nSamples: Int): ((Double, Double), Int) = {
-      val first = sampleOnce(fn)
-      val n =
-        if (first._1 < fastCut || wallSpent > budgetSec) 1
-        else nSamples
-      val rest = (2 to n).map(_ => sampleOnce(fn))
-      (statistic(first +: rest), n)
-    }
+    def statistic(samples: Seq[Sample]): Sample =
+      if (samples.size % 2 == 0) samples.minBy(_.sec)
+      else samples.sortBy(_.sec).apply(samples.size / 2)
 
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val sampleCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // (first, remeasured) for every adjudicated query — immediate or
+    // post-sweep — so the artifact always records both numbers.
+    val adjudicated = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val queryLookup = queryMap.toMap
+
+    def measure(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame, nSamples: Int): Seq[Sample] = {
+      val first = sampleOnce(name, fn)
+      val samples = scala.collection.mutable.ArrayBuffer(first)
+      if (first.err.isEmpty && isOutlier(name, first.sec)) {
+        slowTraces(name) = first.trace
+        val exempt = first.sec > budgetSec * 0.1
+        if (wallSpent <= budgetSec * 1.3 || exempt) {
+          val re = sampleOnce(name, fn)
+          adjudicated(name) = (first.sec, re.sec)
+          samples += re
+        }
+      }
+      val n =
+        if (first.sec < fastCut || wallSpent > budgetSec || first.err.nonEmpty)
+          samples.size
+        else math.max(samples.size, nSamples)
+      while (samples.size < n) samples += sampleOnce(name, fn)
+      samples.toSeq
+    }
+
     val firstPass = queryMap.flatMap { case (name, fn) =>
       if (wallSpent > budgetSec * 1.3) { skipped += name; None }
       else {
-        val (stat, n) = measure(fn, reps)
-        sampleCounts(name) = n
-        Some(name -> stat)
+        val samples = measure(name, fn, reps)
+        sampleCounts(name) = samples.size
+        Some(name -> statistic(samples))
       }
     }
     val firstPassMap = firstPass.toMap
-    // Self-adjudication (the round-8 lesson: the driver artifact
-    // recorded q_containment at 22.4 s where the same HEAD measures
-    // 4.8 s isolated — a machine-contention spike frozen into the
-    // permanent record with no way to tell). Any query whose value
-    // exceeds 2.5x its committed BENCH_local.json value (and by more
-    // than 0.5 s absolute, so sub-second noise never triggers) is
-    // re-measured once, after the full sweep, when whatever contended
-    // with it has passed. The artifact records BOTH numbers; the
-    // reported per-query value is the min (a lower later measurement
-    // proves the first was contention; a remeasure that is still slow
-    // is real cost and stays). Suppressed past the hard budget — the
-    // artifact itself is worth more than outlier hygiene.
-    // The absolute floor SCALES with the committed value (clamped to
-    // [0.1, 0.5] s): a fixed 0.5 s floor could never fire for
-    // sub-0.35 s queries, so the JIT ramp a fresh JVM puts into the
-    // first few cheap queries froze 3-6x inflated values into the
-    // artifact (q_split 0.10→0.58 missed the old trigger by 0.02 s)
-    // — and the NEXT sweep then baselined its 2.5x check on them.
-    // Remeasuring a cheap query at end-of-run costs milliseconds.
-    val suspects = firstPass.filter { case (name, (sec, _)) =>
-      committed.get(name).exists(c =>
-        sec > c * 2.5 && sec - c > math.min(0.5, math.max(0.1, c)))
+    // Post-sweep self-adjudication for the 2.5x-5x band (the round-8
+    // lesson: a machine-contention spike frozen into the permanent
+    // record with no way to tell). >5x outliers were already
+    // re-measured immediately above; this pass catches milder ones
+    // after whatever contended with them has passed. The artifact
+    // records BOTH numbers; the reported per-query value is the min
+    // (a lower later measurement proves the first was contention; a
+    // remeasure that is still slow is real cost and stays).
+    // Suppression shares the 1.3x-budget skip threshold — with capped
+    // charging a spike can no longer push wallSpent there by itself.
+    val suspects = firstPass.filter { case (name, s) =>
+      !adjudicated.contains(name) && s.err.isEmpty &&
+        committed.get(name).exists(c =>
+          s.sec > c * 2.5 && s.sec - c > math.min(0.5, math.max(0.1, c)))
     }
-    val remeasured = suspects.flatMap { case (name, _) =>
+    val remeasured = suspects.flatMap { case (name, s) =>
       if (wallSpent > budgetSec * 1.3) None
-      else Some(name -> sampleOnce(queryLookup(name)))
+      else {
+        val re = sampleOnce(name, queryLookup(name))
+        adjudicated(name) = (s.sec, re.sec)
+        Some(name -> re)
+      }
     }.toMap
-    val results = firstPass.map { case (name, (sec, gcs)) =>
+    val results = firstPass.map { case (name, s) =>
       remeasured.get(name) match {
-        case Some((rsec, rgc)) if rsec < sec => name -> (rsec, rgc)
-        case _ => name -> (sec, gcs)
+        case Some(re) if re.sec < s.sec => name -> re
+        case _ => name -> s
       }
     }
-    val adjJson = remeasured.map { case (name, (rsec, _)) =>
-      val first = firstPassMap(name)._1
+    val adjJson = adjudicated.map { case (name, (first, rsec)) =>
       "\"" + name + "\":{\"first\":" + f"$first%.3f" +
         ",\"remeasured\":" + f"$rsec%.3f" + "}"
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
+    val qs = results.map { case (k, s) => s"\"" + k + "\":" + s.sec }
       .mkString("{", ",", "}")
-    val gc = results.map { case (k, (_, g)) => s"\"" + k + "\":" + f"$g%.3f" }
+    val gc = results.map { case (k, s) => s"\"" + k + "\":" + f"${s.gc}%.3f" }
       .mkString("{", ",", "}")
     val ns = sampleCounts.map { case (k, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    val traceJson = slowTraces.map { case (k, t) => "\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2._1).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"n_samples":$ns,"adjudicated":$adjJson,"reps":$reps,"truncated":${skipped.nonEmpty},"skipped":$skippedJson,"sf":"$sfDir"}"""
+    val total = results.map(_._2.sec).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"n_samples":$ns,"stat_rule":"n=1 single sample; n even min; n odd median","adjudicated":$adjJson,"errors":$errJson,"slow_trace":$traceJson,"reps":$reps,"truncated":${skipped.nonEmpty},"skipped":$skippedJson,"wall_sec":${f"$wallTrue%.2f"},"wall_charged_sec":${f"$wallSpent%.2f"},"sf":"$sfDir"}"""
     println(json)
     // Self-contained artifact: the driver captures only a stdout tail,
     // which truncated the round-5 record to 22/58 medians. Writing the
@@ -197,16 +283,21 @@ object Bench {
     // queries the full JSON line above overflows it and rounds 5/7
     // lost their parsed totals. The LAST line is therefore a compact
     // summary guaranteed to fit the tail: total, count, slowest 5,
-    // and (capped at 5, slowest first) the adjudicated outliers.
-    val slowest = results.toSeq.sortBy(-_._2._1).take(5)
-      .map { case (k, (sec, _)) => "\"" + k + "\":" + f"$sec%.2f" }
+    // (capped at 5, slowest first) the adjudicated outliers, error
+    // count, and the slow_trace for the single worst adjudicated row.
+    val slowest = results.sortBy(-_._2.sec).take(5)
+      .map { case (k, s) => "\"" + k + "\":" + f"${s.sec}%.2f" }
       .mkString("{", ",", "}")
-    val adjTop = remeasured.toSeq.sortBy { case (k, _) => -firstPassMap(k)._1 }
-      .take(5).map { case (k, (rsec, _)) =>
-        "\"" + k + "\":{\"first\":" + f"${firstPassMap(k)._1}%.2f" +
+    val adjTop = adjudicated.toSeq.sortBy { case (_, (first, _)) => -first }
+      .take(5).map { case (k, (first, rsec)) =>
+        "\"" + k + "\":{\"first\":" + f"$first%.2f" +
           ",\"remeasured\":" + f"$rsec%.2f" + "}"
       }.mkString("{", ",", "}")
-    val gcTotal = results.map(_._2._2).sum
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size}%d,"reps":$reps%d,"gc_sec_total":$gcTotal%.2f,"wall_sec":$wallSpent%.2f,"truncated":${skipped.nonEmpty}%s,"n_skipped":${skipped.size}%d,"n_adjudicated":${remeasured.size}%d,"adjudicated":$adjTop%s,"slowest":$slowest%s,"sf":"$sfDir%s"}""")
+    val worstTrace = adjudicated.toSeq.sortBy { case (_, (first, _)) => -first }
+      .headOption.flatMap { case (k, _) => slowTraces.get(k).map(t =>
+        "\"" + k + "\":" + t) }
+      .map(e => "{" + e + "}").getOrElse("{}")
+    val gcTotal = results.map(_._2.gc).sum
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size}%d,"reps":$reps%d,"gc_sec_total":$gcTotal%.2f,"wall_sec":$wallTrue%.2f,"wall_charged_sec":$wallSpent%.2f,"truncated":${skipped.nonEmpty}%s,"n_skipped":${skipped.size}%d,"n_adjudicated":${adjudicated.size}%d,"n_errors":${errors.size}%d,"adjudicated":$adjTop%s,"slowest":$slowest%s,"slow_trace":$worstTrace%s,"sf":"$sfDir%s"}""")
   }
 }

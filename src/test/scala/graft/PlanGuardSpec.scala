@@ -72,10 +72,19 @@ class PlanGuardSpec extends SparkTestBase {
         assert(shufflesBelow.isEmpty,
           "bloom prune runs above a shuffle — prune is not map-side")
         // round 13: the probe is a codegen Expression, not a Scala
-        // UDF — the prune stage must stay inside whole-stage codegen
+        // UDF — the prune stage must stay inside whole-stage codegen.
+        // The membership walk stops at InputAdapter boundaries: a node
+        // under an InputAdapter is INSIDE the WSCG subtree but outside
+        // the fused stage (it executes interpreted), so `w.exists`
+        // would vacuously pass for a filter that fell out of codegen.
+        def fusedNodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case _: org.apache.spark.sql.execution.InputAdapter => Nil
+          case n => n +: n.children.flatMap(fusedNodes)
+        }
         val inWscg = df.queryExecution.executedPlan.exists {
           case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
-            w.exists(_ eq f)
+            fusedNodes(w.child).exists(_ eq f)
           case _ => false
         }
         assert(inWscg, "bloom-probe filter fell out of whole-stage codegen")
