@@ -272,7 +272,12 @@ object Bench {
     // Self-contained artifact: the driver captures only a stdout tail,
     // which truncated the round-5 record to 22/58 medians. Writing the
     // full JSON to a file keeps every per-query median recoverable.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    // Default out path is NOT the committed baseline: the r13 driver
+    // run (truncated, carrying two 100x environmental outliers as
+    // "medians") silently overwrote BENCH_local.json and poisoned the
+    // next sweep's ordering and 2.5x adjudication triggers. Promoting
+    // a run to baseline is now an explicit copy.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_run.json")
     if (outPath.nonEmpty && outPath != "none")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
