@@ -479,9 +479,12 @@ object OpsScaleBench {
       // bench measures the operator, not quadratic answer growth. The
       // seed count scales with the corpus (the SemDeDup contract:
       // k ∝ n keeps E|cell| constant, so the within-cell pair phase
-      // stays linear); the assignment term is inherently n·k for a
-      // flat quantizer — the row's claim is pair-phase linearity, not
-      // assignment flatness.
+      // stays linear); since round 14 the assignment is the two-level
+      // native kernel (NearestSeedCell, O(√k)/row) behind a
+      // materialized-assignment barrier — this row's claim is
+      // SUB-QUADRATIC WALL ON THE k ∝ n AXIS (the flat-quantizer n·k
+      // term and the unmaterialized 3×-reevaluated join legs measured
+      // 197 s at 32×; the r9 committed 1.3 s was count()-pruned).
       def rotReplicate(df: org.apache.spark.sql.DataFrame, n: Int)
           : org.apache.spark.sql.DataFrame =
         if (n <= 1) df else df
@@ -500,11 +503,13 @@ object OpsScaleBench {
 
       // D4 cluster-balanced sampling on the same rotated axis with
       // the same seeds ∝ n contract (E|cell| constant): assignment is
-      // the broadcast argmax projection (n·k dot products, map-side),
+      // the two-level native-kernel projection (O(√k)/row, map-side),
       // the per-cell keep a WindowGroupLimit heap — the ONLY exchange
       // carries (id, cell, weight) rows, never embedding bytes, so
-      // shuffle MB must stay vector-free-linear while wall tracks the
-      // n·k assignment term.
+      // shuffle MB must stay vector-free-tiny while wall stays
+      // sub-quadratic on the k ∝ n axis (the flat form measured
+      // 57.3 s at 32×; two-level HOF 5.3 s; native kernel lower
+      // still).
       benchShuffle("cluster_sample", n, nVecs * n)(() =>
         Similarity.clusterBalancedSample(embRot, "vec_id", "embedding",
           nSeeds = 16 * n, k = 10).forcedRows())

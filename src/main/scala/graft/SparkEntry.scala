@@ -1163,7 +1163,9 @@ object SparkEntry {
 
     // SemDeDup-style embedding-cluster dedup: assignment to pinned
     // deterministic centroids (the 16 smallest-id vectors) is a pure
-    // projection; the τ-prune self-join never leaves a cell — Σ|cell|²
+    // TWO-LEVEL projection (coarse ⌈√k⌉ seeds → fine within group —
+    // O(√k)/row, the IVF front-end that de-quadratifies the k ∝ n
+    // axis); the τ-prune self-join never leaves a cell — Σ|cell|²
     // candidates, not n². Fully oracled, as is the trained-k-means
     // variant of this family (q_ann_ivf's Lloyd training replay).
     "q_dedup_semantic" -> ((s, dir) =>
@@ -1171,9 +1173,9 @@ object SparkEntry {
         "embedding", nSeeds = 16, tau = 0.35)),
 
     // cluster-balanced diversity sampling (D4, Tirumala et al. 2023):
-    // pinned-seed argmax-cosine cells (broadcast projection, zero
-    // shuffle) → k per cell by deterministic hash rank (uniform WOR
-    // per cell), planned as WindowGroupLimit. Over-dense embedding
+    // pinned-seed two-level argmax-cosine cells (literal projection,
+    // zero shuffle) → k per cell by deterministic hash rank (uniform
+    // WOR per cell), planned as WindowGroupLimit. Over-dense embedding
     // regions can't dominate the kept mix.
     "q_cluster_sample" -> ((s, dir) =>
       Similarity.clusterBalancedSample(Tables.embeddings(s, dir),
@@ -2892,19 +2894,48 @@ object SparkEntry {
       s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
   /** semantic-dedup cell-assignment CTE chain (n … cells): pinned
-    * seeds = the nSeeds smallest-id vectors, argmax cosine with ties
-    * to the smaller seed id — mirrors Similarity.semanticDedup's
-    * projection exactly (identically-shaped IEEE folds).
+    * seeds = the nSeeds smallest-id vectors, TWO-LEVEL (IVF-style)
+    * argmax cosine with ties to the smaller id — mirrors
+    * Similarity.assignCells' projection exactly (identically-shaped
+    * IEEE folds): coarse = the ⌈√nSeeds⌉ smallest-id seeds; each seed
+    * groups to its argmax-cosine coarse seed EXCEPT coarse seeds,
+    * which group to themselves (the non-empty-cell guarantee); each
+    * vector takes its argmax coarse cell, then its argmax seed among
+    * that cell's group. The engine derives the seed→coarse grouping
+    * driver-side with the same sequential fold; here it is re-derived
+    * relationally (s2cr/s2c) — both engines compute the same doubles
+    * in the same order, so the groupings agree bit-for-bit.
     */
-  private def semanticCellsCte(nSeeds: Int): String =
+  private def semanticCellsCte(nSeeds: Int): String = {
+    val nc = math.ceil(math.sqrt(nSeeds.toDouble)).toInt
     normCte +
       s""", sd AS (
-         |  SELECT vec_id AS seed_id, embedding AS sv, nrm AS snrm
+         |  SELECT vec_id AS seed_id, embedding AS sv, nrm AS snrm,
+         |         row_number() OVER (ORDER BY vec_id) AS srk
          |  FROM n ORDER BY vec_id LIMIT $nSeeds
+         |), cd AS (
+         |  SELECT seed_id AS cid, sv AS cv, snrm AS cnrm FROM sd WHERE srk <= $nc
+         |), s2cr AS (
+         |  SELECT s.seed_id, s.srk, c.cid,
+         |         row_number() OVER (PARTITION BY s.seed_id
+         |           ORDER BY ${safeCosSql(dotSql("s.sv", "c.cv"), "s.snrm * c.cnrm")} DESC, c.cid ASC) AS rk
+         |  FROM sd s CROSS JOIN cd c
+         |), s2c AS (
+         |  SELECT seed_id, CASE WHEN srk <= $nc THEN seed_id ELSE cid END AS grp
+         |  FROM s2cr WHERE rk = 1
+         |), v2c AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${safeCosSql(dotSql("v.embedding", "c.cv"), "v.nrm * c.cnrm")} DESC, c.cid ASC) AS rk
+         |    FROM n v CROSS JOIN cd c)
+         |  WHERE rk = 1
          |), asgall AS (
-         |  SELECT c.vec_id, s.seed_id,
-         |         ${safeCosSql(dotSql("c.embedding", "s.sv"), "c.nrm * s.snrm")} AS cos0
-         |  FROM n c CROSS JOIN sd s
+         |  SELECT v.vec_id, s.seed_id,
+         |         ${safeCosSql(dotSql("v.embedding", "s.sv"), "v.nrm * s.snrm")} AS cos0
+         |  FROM n v JOIN v2c ON v2c.vec_id = v.vec_id
+         |  JOIN s2c g ON g.grp = v2c.cid
+         |  JOIN sd s ON s.seed_id = g.seed_id
          |), cells AS (
          |  SELECT vec_id, seed_id AS cell
          |  FROM (SELECT *, row_number() OVER (
@@ -2912,6 +2943,7 @@ object SparkEntry {
          |        FROM asgall)
          |  WHERE rk = 1
          |)""".stripMargin
+  }
 
   /** Substring-span CTE chain (w … sp): positioned minLen-token
     * anchors, occurrence cap maxDf, diagonal gaps-and-islands — the

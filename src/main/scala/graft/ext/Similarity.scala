@@ -538,8 +538,10 @@ object Similarity {
     * pattern; at cluster scale a large centroid table becomes a
     * broadcast join with the identical plan downstream.
     *
-    * Shape audit: assignment = projection against the literal seeds
-    * (zero shuffle); within-cell pairs = one self-equi-join shuffled
+    * Shape audit: assignment = two-level projection against the
+    * literal seeds (zero shuffle, O(√k) per row — see [[assignCells]];
+    * the r12/r13 flat form paid O(k) per row, quadratic on the k ∝ n
+    * axis); within-cell pairs = one self-equi-join shuffled
     * by cell; the dup-edge reduction and the final id join are
     * |pairs|- and n-sized exchanges. Nothing is ever all-pairs.
     *
@@ -556,37 +558,145 @@ object Similarity {
     * Output: one row per input — id, cell (seed id), dup_of (smallest
     * earlier same-cell id with cosine ≥ τ; NULL for keepers), keep.
     */
-  /** Pinned-seed cell assignment — the coarse quantizer shared by
+  /** Pinned-seed cell assignment — the quantizer shared by
     * [[semanticDedup]] and [[clusterBalancedSample]]: seeds = the
     * nSeeds smallest-id vectors (bounded, deterministic collect — the
-    * trainPq/ivfTopK sampling contract), every vector assigned to its
-    * argmax-cosine seed as a pure projection: per seed
-    * struct(-cos, seed_id), array_sort, head — double negation is
-    * exact, so ascending -cos ≡ descending cos, ties to the smaller
-    * seed id. Zero-norm guard: the shared [[safeCosine]] pin (-2.0)
-    * so the NaN ordering divergence between engines can never decide
-    * a cell. Output: id, __v (the vector), __n (its norm), cell.
+    * trainPq/ivfTopK sampling contract), every vector assigned by a
+    * TWO-LEVEL (IVF-style) argmax-cosine: first to its nearest of the
+    * nCoarse smallest-id seeds (the coarse quantizer), then to its
+    * nearest seed among the seeds whose own coarse cell is that one.
+    * With the default nCoarse = ⌈√nSeeds⌉ the per-row assignment work
+    * is O(√k + E|group|) ≈ O(√k) instead of the flat quantizer's O(k)
+    * — the term that was quadratic on the SemDeDup k ∝ n axis (seeds
+    * grow with the corpus to keep E|cell| constant). Both levels are
+    * pure projections: per candidate struct(-cos, seed_id),
+    * array_sort, head — double negation is exact, so ascending -cos ≡
+    * descending cos, ties to the smaller seed id; the fine level is a
+    * literal map lookup coarse_id → its seed group. Coarse seeds
+    * group to THEMSELVES (not their argmax), which guarantees every
+    * coarse cell owns at least one fine seed, making the map lookup
+    * total. The seed→coarse grouping runs driver-side on the (already
+    * collected, bounded) seed rows with the same sequential IEEE fold
+    * as graft_dot and the oracle's list_sum — bit-replayable.
+    * nCoarse ≥ nSeeds (e.g. tiny fixtures) degenerates to the flat
+    * single-level argmax exactly. Zero-norm guard: the shared
+    * [[safeCosine]] pin (-2.0) so the NaN ordering divergence between
+    * engines can never decide a cell — a zero-norm vector lands in
+    * the smallest coarse seed's smallest fine cell.
+    * Output: id, __v (the vector), __n (its norm), cell.
     */
   def assignCells(df: DataFrame, id: String, vec: String,
-      nSeeds: Int): DataFrame = {
-    val seedRows = df.orderBy(col(id)).limit(nSeeds)
+      nSeeds: Int, nCoarse: Int = 0): DataFrame =
+    assignCellsImpl(df, id, vec, nSeeds, nCoarse, native = true)
+
+  /** The declarative higher-order-function twin of [[assignCells]] —
+    * per candidate struct(−safeCosine, seed_id) inside transform →
+    * array_min, coarse then fine (literal map lookup by coarse id).
+    * Kept as the spec-pinned reference implementation for the native
+    * [[graft.functions.NearestSeedCell]] kernel (the dupClustersRdd /
+    * dupClustersSql twin discipline); ~40× slower per row at bench
+    * candidate counts, so nothing ships on it.
+    */
+  private[graft] def assignCellsHof(df: DataFrame, id: String, vec: String,
+      nSeeds: Int, nCoarse: Int = 0): DataFrame =
+    assignCellsImpl(df, id, vec, nSeeds, nCoarse, native = false)
+
+  private def assignCellsImpl(df: DataFrame, id: String, vec: String,
+      nSeeds: Int, nCoarse: Int, native: Boolean): DataFrame = {
+    val seeds: Array[(Long, Array[Float])] = df.orderBy(col(id))
+      .limit(nSeeds)
       .select(col(id).cast("long"), col(vec)).collect()
-    val seedArr = array(seedRows.map { r =>
-      val sv = r.getSeq[Float](1)
-      struct(lit(r.getLong(0)).as("seed_id"),
-        typedLit(sv.toSeq).as("sv"))
-    }: _*)
-    val best = element_at(array_sort(transform(seedArr, st =>
-      struct((lit(0d) - safeCosine(dot(col("__v"), st.getField("sv")),
-        col("__n") * norm(st.getField("sv")))).as("negcos"),
-        st.getField("seed_id").as("seed_id")))), 1)
-    df.select(col(id), col(vec).as("__v"), norm(col(vec)).as("__n"))
-      .withColumn("cell", best.getField("seed_id"))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val nc = math.min(seeds.length,
+      if (nCoarse > 0) nCoarse
+      else math.ceil(math.sqrt(seeds.length.toDouble)).toInt)
+    val coarse = seeds.take(nc)
+    // driver-side mirrors of graft_dot / the oracle's list_sum: the
+    // identical sequential left fold (float→double casts are exact,
+    // one correctly-rounded op per step) so the grouping both engines
+    // derive independently is the same grouping
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def normD(a: Array[Float]): Double = math.sqrt(dotD(a, a))
+    val coarseNorm = coarse.map(c => normD(c._2))
+    def coarseOf(v: Array[Float]): Long = {
+      val nv = normD(v)
+      var bestId = coarse(0)._1
+      var bestCos = Double.NegativeInfinity
+      var i = 0
+      while (i < nc) {
+        val den = nv * coarseNorm(i)
+        val c = if (den > 0) dotD(v, coarse(i)._2) / den else -2.0
+        // strict > over ascending ids ≡ ORDER BY cos DESC, id ASC
+        if (c > bestCos) { bestCos = c; bestId = coarse(i)._1 }
+        i += 1
+      }
+      bestId
+    }
+    // groups in ascending coarse-id order, members ascending by seed
+    // id (groupBy preserves encounter order of the sorted seeds) —
+    // the id-ascending layout is what makes position-order ties in
+    // the native kernel identical to the HOF struct-min's id ties
+    val groups: Seq[(Long, Array[(Long, Array[Float])])] =
+      seeds.zipWithIndex
+        .map { case ((sid, sv), i) =>
+          (if (i < nc) sid else coarseOf(sv)) -> ((sid, sv))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val base = df.select(col(id), col(vec).as("__v"),
+      norm(col(vec)).as("__n"))
+    if (native) {
+      // groups re-keyed by coarse POSITION for the native kernel
+      val groupByCid = groups.toMap
+      val fineByPos = coarse.map { case (cid, _) => groupByCid(cid) }
+      val cellExpr = graft.functions.NearestSeedCell(
+        org.apache.spark.sql.graftbridge.Columns.expr(col("__v")),
+        org.apache.spark.sql.graftbridge.Columns.expr(col("__n")),
+        coarse.map(_._2), coarseNorm,
+        fineByPos.map(_.map(_._1)), fineByPos.map(_.map(_._2)),
+        fineByPos.map(_.map(s => normD(s._2))))
+      base.withColumn("cell",
+        org.apache.spark.sql.graftbridge.Columns.of(cellExpr))
+    } else {
+      // seed norms baked into the literal structs (halves the
+      // per-candidate fold work vs re-deriving norm(sv) per row); the
+      // argmax is array_min over (negcos, seed_id) structs — the same
+      // lexicographic ordering array_sort(...)[1] selects, in one
+      // O(c) pass instead of an O(c log c) sort per row.
+      def seedStruct(sid: Long, sv: Array[Float]): Column =
+        struct(lit(sid).as("seed_id"), typedLit(sv.toSeq).as("sv"),
+          lit(normD(sv)).as("snrm"))
+      def argmaxCell(candidates: Column): Column =
+        array_min(transform(candidates, st =>
+          struct((lit(0d) - safeCosine(dot(col("__v"), st.getField("sv")),
+            col("__n") * st.getField("snrm"))).as("negcos"),
+            st.getField("seed_id").as("seed_id")))).getField("seed_id")
+      val coarseArr = array(coarse.map { case (cid, cv) => seedStruct(cid, cv) }: _*)
+      val groupMap = map(groups.flatMap { case (cid, ss) =>
+        Seq(lit(cid), array(ss.map { case (sid, sv) => seedStruct(sid, sv) }: _*))
+      }: _*)
+      base.withColumn("cell",
+        argmaxCell(element_at(groupMap, argmaxCell(coarseArr))))
+    }
   }
 
   def semanticDedup(df: DataFrame, id: String, vec: String,
-      nSeeds: Int = 16, tau: Double = 0.35): DataFrame = {
-    val assigned = assignCells(df, id, vec, nSeeds)
+      nSeeds: Int = 16, tau: Double = 0.35, nCoarse: Int = 0): DataFrame = {
+    // The assignment is MATERIALIZED before the self-join: the plan
+    // consumes it three times (both pair legs + the final left join),
+    // and without a boundary Catalyst re-evaluates the argmax
+    // expression on every leg AND duplicates it into the join-key
+    // null-prune filters (isnotnull(<whole argmax>)) — measured 198 s
+    // vs 16 s at the 64k-row/512-seed bench shape. At cluster scale
+    // this materialization is the SemDeDup recipe itself (assignments
+    // are persisted between the clustering and pruning stages); the
+    // cached row is (id, vec, norm, cell) — one corpus pass, reused
+    // threefold.
+    val assigned = graft.core.Caches.persisted(
+      assignCells(df, id, vec, nSeeds, nCoarse))
     val a = assigned.select(col(id).as("id_a"), col("__v").as("__va"),
       col("__n").as("__na"), col("cell"))
     val b = assigned.select(col(id).as("id_b"), col("__v").as("__vb"),
@@ -610,8 +720,9 @@ object Similarity {
     * midpoint. Output: 1 row — n_true, n_caught, recall_ok.
     */
   def semanticDedupRecall(df: DataFrame, id: String, vec: String,
-      nSeeds: Int = 16, tau: Double = 0.35, minPct: Int = 10): DataFrame = {
-    val cells = semanticDedup(df, id, vec, nSeeds, tau)
+      nSeeds: Int = 16, tau: Double = 0.35, minPct: Int = 10,
+      nCoarse: Int = 0): DataFrame = {
+    val cells = semanticDedup(df, id, vec, nSeeds, tau, nCoarse)
       .select(col(id), col("cell"))
     val truePairs = cosinePairs(df, id, vec, tau, bucketBits = 0)
       .select(col("id_a"), col("id_b"))
@@ -639,9 +750,9 @@ object Similarity {
     * cell ever materialized whole. Output: id, cell, sample_rank.
     */
   def clusterBalancedSample(df: DataFrame, id: String, vec: String,
-      nSeeds: Int = 16, k: Int = 10): DataFrame =
+      nSeeds: Int = 16, k: Int = 10, nCoarse: Int = 0): DataFrame =
     Sampling.prioritySamplePerStratum(
-      assignCells(df, id, vec, nSeeds).select(col(id), col("cell")),
+      assignCells(df, id, vec, nSeeds, nCoarse).select(col(id), col("cell")),
       id, "cell", lit(1L), k)
       .select(col(id), col("stratum").as("cell"), col("sample_rank"))
 

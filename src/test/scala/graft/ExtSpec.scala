@@ -471,6 +471,41 @@ class ExtSpec extends SparkTestBase {
       s"clustered agreement ${out.getAs[Long]("n_agree")}/${out.getAs[Long]("n_brute")} below 90%")
   }
 
+  test("assignCells: native NearestSeedCell kernel ≡ HOF twin") {
+    import spark.implicits._
+    // real corpus, three seed counts spanning degenerate (nc = k) and
+    // genuinely two-level shapes
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (nSeeds <- Seq(2, 16, 40)) {
+      val nat = Similarity.assignCells(emb, "vec_id", "embedding", nSeeds)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hof = Similarity.assignCellsHof(emb, "vec_id", "embedding", nSeeds)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(nat == hof, s"native/HOF divergence at nSeeds=$nSeeds")
+    }
+    // adversarial fixture: zero-norm vector (also a SEED), null vector
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)), // zero-norm: every cosine -2.0
+      (3L, Array(-1.0f, 0.5f, 0.25f)),
+      (4L, Array(0.9f, 0.1f, 0.0f)),
+      (5L, null.asInstanceOf[Array[Float]]), // null vector
+      (6L, Array(0.1f, 0.9f, 0.0f))).toDF("vec_id", "embedding")
+    val nat = Similarity.assignCells(fix, "vec_id", "embedding", 4)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = Similarity.assignCellsHof(fix, "vec_id", "embedding", 4)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat == hof)
+    // zero-norm and null vectors land in the smallest coarse seed's
+    // smallest fine cell, deterministically
+    assert(nat(2L) == 0L && nat(5L) == 0L)
+  }
+
   test("semanticDedup: zero-norm vector assigns deterministically, never pairs") {
     import spark.implicits._
     // id 2 is the all-zero vector: every cosine with it is undefined
