@@ -564,6 +564,155 @@ object StreamingQc {
       bandTop, bandBottom)
   }
 
+  // ---- streaming WRTDS local2 twin -------------------------------------
+
+  final case class LocalFitEvent(skey: String, tsUs: Long,
+      value: java.lang.Double, l2Yhat: java.lang.Double,
+      l2Resid: java.lang.Double)
+
+  /** Bounded per-series buffer for [[localFitStream]]: the series time
+    * origin, the (ts, obs) window (NaN = missing value), and how many
+    * leading points were already emitted (kept only as kernel
+    * lookback). Public for the state encoder.
+    */
+  final case class LocalFitState(originUs: Long, ts: Array[Long],
+      obs: Array[Double], done: Int)
+
+  /** Streaming twin of [[graft.wrtds.Wrtds.local2]] — the bounded-
+    * support incremental WRTDS-proxy kernel: per point, a Gaussian-
+    * weighted (half-width `htDays`) linear fit over every finite
+    * neighbor within ±`supportDays`, via the exact micro-integer
+    * kernel sums of the batch operator.
+    *
+    * The batch kernel is CENTERED in time — a point needs neighbors up
+    * to +supportDays ahead — so the streaming form buffers per series
+    * and emits a point once a later event proves its support window
+    * closed: finalize i when day(maxSeen) − day(i) > supportDays
+    * (strictly; day() is monotone in event time, so no later event can
+    * re-enter i's window). Points at the head of the stream wait;
+    * points before a shutdown are never finalized — the batch engine
+    * remains the replay ground truth (the sentemFlags contract).
+    * State per series is the points within supportDays of the oldest
+    * unfinalized point plus the unfinalized tail — bounded by the
+    * support window times the cadence, never the series length.
+    *
+    * Late data: the last finalized timestamp is the operator's
+    * horizon — later-batch events at/behind it are dropped, events
+    * ahead of it merge-sort into the unfinalized tail. The series
+    * time ORIGIN (day 0) is the series' first event; with in-order
+    * arrival this is the batch operator's min(ts) and every emitted
+    * fit is bit-identical to the batch output (StreamingSpec pins it).
+    *
+    * Arithmetic mirrors the batch column expressions step for step:
+    * day = (us − origin).toDouble / 86400e6; dt = (tj − ti)/htDays;
+    * w = exp(−(dt·dt)); the five micro terms halfAway-rounded to the
+    * 1e-6 grid as exact longs ([[graft.core.FastRound]]'s equality
+    * argument), summed with addExact (the ANSI loud-overflow
+    * contract), divided back once; fit emitted when ≥ minp finite
+    * neighbors and |denom| > 1e-9, rounded like Spark's round(·, 6).
+    * Same precondition as batch: one row per (series, ts).
+    */
+  def localFitStream(ds: Dataset[SeriesEvent], htDays: Double = 30.0,
+      supportDays: Double = 90.0, minp: Int = 10): Dataset[LocalFitEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.skey)
+      .flatMapGroupsWithState[LocalFitState, LocalFitEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state: GroupState[LocalFitState]) =>
+          val prev = state.getOption
+            .getOrElse(LocalFitState(Long.MinValue, Array.empty, Array.empty, 0))
+          val horizon =
+            if (prev.done > 0) prev.ts(prev.done - 1) else Long.MinValue
+          val incoming = events.toSeq
+            .filter(_.tsUs > horizon)
+            .map(e => (e.tsUs,
+              if (e.value == null) Double.NaN else e.value.doubleValue()))
+          val tail = (prev.done until prev.ts.length)
+            .map(i => (prev.ts(i), prev.obs(i)))
+          val merged = (tail ++ incoming).sortBy(_._1)
+          val ts = prev.ts.take(prev.done) ++ merged.map(_._1)
+          val obs = prev.obs.take(prev.done) ++ merged.map(_._2)
+          val n = ts.length
+          if (n == 0) Iterator.empty
+          else {
+            // origin freezes at first emission; before that the
+            // earliest seen event may still improve (out-of-order
+            // first batches), after it anything earlier is behind the
+            // horizon and dropped above
+            val origin = if (prev.done > 0) prev.originUs else ts(0)
+            val day = ts.map(t => (t - origin).toDouble / 86400e6)
+            val maxD = day(n - 1)
+            var emitUpto = prev.done
+            while (emitUpto < n && maxD - day(emitUpto) > supportDays)
+              emitUpto += 1
+            val out = (prev.done until emitUpto).map { i =>
+              val tiD = day(i)
+              var s0 = 0L; var s1 = 0L; var s2 = 0L; var sy = 0L; var sty = 0L
+              var cnt = 0L
+              var j = 0
+              while (j < n) {
+                val tjD = day(j)
+                if (math.abs(tjD - tiD) <= supportDays && !obs(j).isNaN) {
+                  val dt = (tjD - tiD) / htDays
+                  val w = math.exp(-(dt * dt))
+                  val yj = obs(j)
+                  s0 = Math.addExact(s0, micro(w))
+                  s1 = Math.addExact(s1, micro(w * tjD))
+                  s2 = Math.addExact(s2, micro(w * tjD * tjD))
+                  sy = Math.addExact(sy, micro(w * yj))
+                  sty = Math.addExact(sty, micro(w * tjD * yj))
+                  cnt += 1
+                }
+                j += 1
+              }
+              val d0 = s0.toDouble / 1e6; val d1 = s1.toDouble / 1e6
+              val d2 = s2.toDouble / 1e6; val dy = sy.toDouble / 1e6
+              val dty = sty.toDouble / 1e6
+              val denom = d0 * d2 - d1 * d1
+              val yi: java.lang.Double =
+                if (obs(i).isNaN) null else obs(i)
+              if (cnt >= minp && math.abs(denom) > 1e-9) {
+                val b1 = (d0 * dty - d1 * dy) / denom
+                val b0 = (dy - b1 * d1) / d0
+                val yhat = b0 + b1 * tiD
+                LocalFitEvent(key, ts(i), yi, round6(yhat),
+                  if (yi == null) null else round6(yi.doubleValue() - yhat))
+              } else LocalFitEvent(key, ts(i), yi, null, null)
+            }
+            // evict lookback no unfinalized point can reach
+            val oldestD = if (emitUpto < n) day(emitUpto) else maxD
+            var keepFrom = 0
+            while (keepFrom < emitUpto && oldestD - day(keepFrom) > supportDays)
+              keepFrom += 1
+            state.update(LocalFitState(origin, ts.drop(keepFrom),
+              obs.drop(keepFrom), emitUpto - keepFrom))
+            out.iterator
+          }
+      }
+  }
+
+  /** Exact round-half-away-from-zero to the 1e-6 grid as a long —
+    * the driver-side mirror of `FastRound.halfAwayLong(c * lit(1e6))`
+    * (floor taken as a LONG before the +1, like Spark's floor→long;
+    * non-finite / ≥2^63 raises, the ANSI-cast loud-failure parity).
+    */
+  private def micro(x: Double): Long = {
+    val scaled = x * 1e6
+    val a = math.abs(scaled)
+    if (!(a < 9.223372036854776e18))
+      throw new ArithmeticException(s"local2 micro-term overflow: $x")
+    val fd = math.floor(a)
+    val rl = fd.toLong + (if (a - fd >= 0.5) 1L else 0L)
+    if (scaled < 0) -rl else rl
+  }
+
+  /** Mirror of Spark's round(col, 6) on DoubleType: shortest-decimal
+    * BigDecimal, HALF_UP, non-finite passed through.
+    */
+  private def round6(x: Double): java.lang.Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   final case class GapFlagged(skey: String, tsUs: Long, value: java.lang.Double,
       isGap: Boolean, gapUs: java.lang.Long)
 

@@ -857,4 +857,72 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch && streamed.size == 2)
     } finally q.stop()
   }
+
+  test("streaming local2 twin is bit-identical to the batch WRTDS kernel on replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // two series, daily cadence, one missing point each — deterministic
+    // values (no RNG) so the fixture is stable across runs
+    val vals1 = (0 until 60).map(i =>
+      if (i == 13) Double.NaN
+      else 5.0 + 2.0 * math.sin(i / 4.0) + 0.1 * ((i * 37) % 10))
+    val vals2 = (0 until 45).map(i =>
+      if (i == 7) Double.NaN else 8.0 + 1.5 * math.cos(i / 3.0))
+    def tsOf(i: Int): Long = us(1440L * i)
+    def boxed(v: Double): java.lang.Double =
+      if (v.isNaN) null else java.lang.Double.valueOf(v)
+    val batchRows =
+      vals1.zipWithIndex.map { case (v, i) =>
+        ("s1", new java.sql.Timestamp(tsOf(i) / 1000), boxed(v)) } ++
+      vals2.zipWithIndex.map { case (v, i) =>
+        ("s2", new java.sql.Timestamp(tsOf(i) / 1000), boxed(v)) }
+    val batch = graft.wrtds.Wrtds.local2(
+        batchRows.toDF("series", "ts", "value"), SeriesSpec(Seq("series")),
+        htDays = 3.0, supportDays = 10.0, minp = 5)
+      .select(col("series"), unix_micros(col("ts")).as("tsUs"),
+        col("value"), col("l2_yhat"), col("l2_resid"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingQc.localFitStream(input.toDS(),
+        htDays = 3.0, supportDays = 10.0, minp = 5)
+      .writeStream.format("memory").queryName("localfitout")
+      .outputMode("append").start()
+    try {
+      // batch 1: partial replay — only points whose +10d support has
+      // closed may emit
+      input.addData(
+        (0 until 20).map(i => SeriesEvent("s1", tsOf(i), boxed(vals1(i)))) ++
+        (0 until 15).map(i => SeriesEvent("s2", tsOf(i), boxed(vals2(i)))): _*)
+      q.processAllAvailable()
+      val after1 = spark.table("localfitout").count()
+      // s1: maxDay 19 → finalize day < 9 (9 pts); s2: maxDay 14 → 4 pts
+      assert(after1 == 13, s"after batch 1: $after1")
+      input.addData(
+        (20 until 60).map(i => SeriesEvent("s1", tsOf(i), boxed(vals1(i)))) ++
+        (15 until 45).map(i => SeriesEvent("s2", tsOf(i), boxed(vals2(i)))): _*)
+      q.processAllAvailable()
+      // a late event behind the finalized horizon must be dropped, not
+      // re-emitted or re-fitted
+      input.addData(SeriesEvent("s1", tsOf(2) + 1, java.lang.Double.valueOf(99.0)))
+      q.processAllAvailable()
+      val rows = spark.table("localfitout").collect()
+      // s1: 59 - d > 10 → 49 pts; s2: 44 - d > 10 → 34 pts
+      assert(rows.length == 83, s"emitted ${rows.length}")
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == 83)
+      rows.foreach { r =>
+        val k = (r.getString(0), r.getLong(1))
+        val (bv, by, brs) = batch(k)
+        assert(Option(r.get(2)) == bv, s"value at $k")
+        // bit-identical fits: compare the raw doubles, not a tolerance
+        assert(Option(r.get(3)) == by, s"l2_yhat at $k: ${r.get(3)} vs $by")
+        assert(Option(r.get(4)) == brs, s"l2_resid at $k")
+      }
+      // the missing-value points emit with NULL value/resid but a fit
+      val miss = rows.find(r => r.getString(0) == "s1" && r.getLong(1) == tsOf(13)).get
+      assert(miss.isNullAt(2) && !miss.isNullAt(3) && miss.isNullAt(4))
+    } finally q.stop()
+  }
 }
