@@ -75,8 +75,9 @@ object Bench {
     val spark = Sessions.local()
     val tracer = new TaskTraceListener
     spark.sparkContext.addSparkListener(tracer)
-    // Adjudication baseline is read BEFORE the run (the default out
-    // path overwrites the same file at the end).
+    // Adjudication baseline: the curated committed medians (the
+    // default OUT path is a different file — promoting a run to
+    // baseline is an explicit copy).
     val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "BENCH_local.json")
     val committed =
@@ -178,11 +179,17 @@ object Bench {
         sec > c * 5 && sec - c > math.min(0.5, math.max(0.1, c)))
     /** min for even sample counts, median for odd — both are honest
       * full executions; the artifact records how many samples backed
-      * each number and stat_rule names the convention.
+      * each number and stat_rule names the convention. Error-free
+      * samples always outrank failed ones: a fast time-to-failure
+      * must never win the min over an honest full run (the errors map
+      * still flags the query either way).
       */
-    def statistic(samples: Seq[Sample]): Sample =
-      if (samples.size % 2 == 0) samples.minBy(_.sec)
-      else samples.sortBy(_.sec).apply(samples.size / 2)
+    def statistic(samples: Seq[Sample]): Sample = {
+      val ok = samples.filter(_.err.isEmpty)
+      val pool = if (ok.nonEmpty) ok else samples
+      if (pool.size % 2 == 0) pool.minBy(_.sec)
+      else pool.sortBy(_.sec).apply(pool.size / 2)
+    }
 
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val sampleCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -245,9 +252,14 @@ object Bench {
         Some(name -> re)
       }
     }.toMap
+    // a winning remeasure must itself be error-free, and it counts
+    // into n_samples so the artifact's per-query sample count covers
+    // every number that could have been reported
     val results = firstPass.map { case (name, s) =>
       remeasured.get(name) match {
-        case Some(re) if re.sec < s.sec => name -> re
+        case Some(re) if re.err.isEmpty && re.sec < s.sec =>
+          sampleCounts(name) = sampleCounts(name) + 1
+          name -> re
         case _ => name -> s
       }
     }
@@ -267,7 +279,7 @@ object Bench {
       .mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.sec).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"n_samples":$ns,"stat_rule":"n=1 single sample; n even min; n odd median","adjudicated":$adjJson,"errors":$errJson,"slow_trace":$traceJson,"reps":$reps,"truncated":${skipped.nonEmpty},"skipped":$skippedJson,"wall_sec":${f"$wallTrue%.2f"},"wall_charged_sec":${f"$wallSpent%.2f"},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"n_samples":$ns,"stat_rule":"n=1 single sample; n even min; n odd median; errored samples outranked by clean ones; an adjudicated row (see adjudicated) reports min(statistic, remeasure) and its remeasure counts into n_samples","adjudicated":$adjJson,"errors":$errJson,"slow_trace":$traceJson,"reps":$reps,"truncated":${skipped.nonEmpty},"skipped":$skippedJson,"wall_sec":${f"$wallTrue%.2f"},"wall_charged_sec":${f"$wallSpent%.2f"},"sf":"$sfDir"}"""
     println(json)
     // Self-contained artifact: the driver captures only a stdout tail,
     // which truncated the round-5 record to 22/58 medians. Writing the

@@ -497,9 +497,15 @@ object OpsScaleBench {
               slice(col("embedding"), lit(1), col("__rr"))))
           .drop("__r", "__rr")
       val embRot = rotReplicate(emb0, n)
-      bench("dedup_sem", n, nVecs * n)(() =>
-        Similarity.semanticDedup(embRot, "vec_id", "embedding",
-          nSeeds = 16 * n, tau = 0.35).forcedRows())
+      bench("dedup_sem", n, nVecs * n) { () =>
+        // drain per pass: semanticDedup persists its assignment since
+        // r14, and leaked copies across passes would skew every later
+        // row in the sweep (the decont_bloom discipline)
+        val c = Similarity.semanticDedup(embRot, "vec_id", "embedding",
+          nSeeds = 16 * n, tau = 0.35).forcedRows()
+        graft.core.Caches.unpersistAll()
+        c
+      }
 
       // D4 cluster-balanced sampling on the same rotated axis with
       // the same seeds ∝ n contract (E|cell| constant): assignment is

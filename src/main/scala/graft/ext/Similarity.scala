@@ -607,6 +607,9 @@ object Similarity {
       .limit(nSeeds)
       .select(col(id).cast("long"), col(vec)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(seeds.nonEmpty,
+      s"assignCells: no seeds (nSeeds=$nSeeds over an empty input?) — " +
+        "every vector needs at least one candidate cell")
     val nc = math.min(seeds.length,
       if (nCoarse > 0) nCoarse
       else math.ceil(math.sqrt(seeds.length.toDouble)).toInt)

@@ -571,12 +571,16 @@ object StreamingQc {
       l2Resid: java.lang.Double)
 
   /** Bounded per-series buffer for [[localFitStream]]: the series time
-    * origin, the (ts, obs) window (NaN = missing value), and how many
-    * leading points were already emitted (kept only as kernel
-    * lookback). Public for the state encoder.
+    * origin, the last finalized timestamp (the late-data horizon —
+    * carried EXPLICITLY because a gap longer than the support window
+    * can evict every finalized lookback point, and a horizon derived
+    * from the buffer would silently reset), the (ts, obs) window
+    * (NaN = missing value), and how many leading points were already
+    * emitted (kept only as kernel lookback). Public for the state
+    * encoder.
     */
-  final case class LocalFitState(originUs: Long, ts: Array[Long],
-      obs: Array[Double], done: Int)
+  final case class LocalFitState(originUs: Long, horizonUs: Long,
+      ts: Array[Long], obs: Array[Double], done: Int)
 
   /** Streaming twin of [[graft.wrtds.Wrtds.local2]] — the bounded-
     * support incremental WRTDS-proxy kernel: per point, a Gaussian-
@@ -597,11 +601,20 @@ object StreamingQc {
     * support window times the cadence, never the series length.
     *
     * Late data: the last finalized timestamp is the operator's
-    * horizon — later-batch events at/behind it are dropped, events
-    * ahead of it merge-sort into the unfinalized tail. The series
-    * time ORIGIN (day 0) is the series' first event; with in-order
-    * arrival this is the batch operator's min(ts) and every emitted
-    * fit is bit-identical to the batch output (StreamingSpec pins it).
+    * horizon (carried in state — a support-sized gap can evict every
+    * finalized lookback point, and a buffer-derived horizon would
+    * reset) — later-batch events at/behind it are dropped, events
+    * ahead of it merge-sort into the unfinalized tail. Note the
+    * horizon protects EMITTED rows from re-emission, not from
+    * retroactive window membership: an out-of-order event landing in
+    * (horizon, horizon + supportDays] enters only FUTURE fits, while
+    * a batch replay would also include it in already-emitted ones
+    * (append mode cannot retract) — with out-of-order input the batch
+    * engine remains the ground truth, the sentemFlags contract. The
+    * series time ORIGIN (day 0) is the series' first event, frozen at
+    * first emission; with in-order arrival this is the batch
+    * operator's min(ts) and every emitted fit is bit-identical to the
+    * batch output (StreamingSpec pins it).
     *
     * Arithmetic mirrors the batch column expressions step for step:
     * day = (us − origin).toDouble / 86400e6; dt = (tj − ti)/htDays;
@@ -620,9 +633,9 @@ object StreamingQc {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, events, state: GroupState[LocalFitState]) =>
           val prev = state.getOption
-            .getOrElse(LocalFitState(Long.MinValue, Array.empty, Array.empty, 0))
-          val horizon =
-            if (prev.done > 0) prev.ts(prev.done - 1) else Long.MinValue
+            .getOrElse(LocalFitState(Long.MinValue, Long.MinValue,
+              Array.empty, Array.empty, 0))
+          val horizon = prev.horizonUs
           val incoming = events.toSeq
             .filter(_.tsUs > horizon)
             .map(e => (e.tsUs,
@@ -635,11 +648,12 @@ object StreamingQc {
           val n = ts.length
           if (n == 0) Iterator.empty
           else {
-            // origin freezes at first emission; before that the
-            // earliest seen event may still improve (out-of-order
-            // first batches), after it anything earlier is behind the
-            // horizon and dropped above
-            val origin = if (prev.done > 0) prev.originUs else ts(0)
+            // origin freezes at first emission (horizon set); before
+            // that the earliest seen event may still improve
+            // (out-of-order first batches), after it anything earlier
+            // is behind the horizon and dropped above
+            val origin =
+              if (prev.horizonUs != Long.MinValue) prev.originUs else ts(0)
             val day = ts.map(t => (t - origin).toDouble / 86400e6)
             val maxD = day(n - 1)
             var emitUpto = prev.done
@@ -684,8 +698,10 @@ object StreamingQc {
             var keepFrom = 0
             while (keepFrom < emitUpto && oldestD - day(keepFrom) > supportDays)
               keepFrom += 1
-            state.update(LocalFitState(origin, ts.drop(keepFrom),
-              obs.drop(keepFrom), emitUpto - keepFrom))
+            val newHorizon =
+              if (emitUpto > 0) ts(emitUpto - 1) else prev.horizonUs
+            state.update(LocalFitState(origin, newHorizon,
+              ts.drop(keepFrom), obs.drop(keepFrom), emitUpto - keepFrom))
             out.iterator
           }
       }

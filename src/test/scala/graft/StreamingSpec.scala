@@ -925,4 +925,56 @@ class StreamingSpec extends SparkTestBase {
       assert(miss.isNullAt(2) && !miss.isNullAt(3) && miss.isNullAt(4))
     } finally q.stop()
   }
+
+  test("streaming local2: a support-sized gap keeps horizon and origin frozen") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // a gap longer than the support window evicts EVERY finalized
+    // lookback point (done drops to 0) — the horizon and the series
+    // origin must survive in state, or a late event re-emits and every
+    // post-gap fit is computed against a shifted day-0 (round-14
+    // review regression pin)
+    def tsOf(i: Int): Long = us(1440L * i)
+    val days = (0 to 5) ++ (30 to 45)
+    def v(i: Int): Double = 4.0 + math.sin(i / 2.0)
+    val batch = graft.wrtds.Wrtds.local2(
+        days.map(i => ("s1", new java.sql.Timestamp(tsOf(i) / 1000),
+          java.lang.Double.valueOf(v(i)))).toDF("series", "ts", "value"),
+        SeriesSpec(Seq("series")), htDays = 3.0, supportDays = 10.0, minp = 2)
+      .select(unix_micros(col("ts")).as("tsUs"), col("l2_yhat"), col("l2_resid"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+      .toMap
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingQc.localFitStream(input.toDS(),
+        htDays = 3.0, supportDays = 10.0, minp = 2)
+      .writeStream.format("memory").queryName("localfitgap")
+      .outputMode("append").start()
+    try {
+      // batch 1: pre-gap days + the first post-gap stretch — finalizes
+      // days 0..5 (maxDay 34 − d > 10) and evicts all of them (day 30's
+      // support reaches only to day 20)
+      input.addData(((0 to 5) ++ (30 to 34)).map(i =>
+        SeriesEvent("s1", tsOf(i), java.lang.Double.valueOf(v(i)))): _*)
+      q.processAllAvailable()
+      assert(spark.table("localfitgap").count() == 6)
+      // batch 2: a late event BEHIND the frozen horizon must be
+      // dropped (pre-fix it re-entered and re-emitted day 3), plus the
+      // tail that finalizes days 30..34
+      input.addData(
+        SeriesEvent("s1", tsOf(3) + 1, java.lang.Double.valueOf(99.0)) +:
+        (35 to 45).map(i =>
+          SeriesEvent("s1", tsOf(i), java.lang.Double.valueOf(v(i)))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("localfitgap").collect()
+      assert(rows.length == 11, s"emitted ${rows.length}") // 6 + days 30..34
+      assert(rows.map(_.getLong(1)).distinct.length == 11)
+      // post-gap fits must be bit-identical to batch — a reset origin
+      // (day 0 = day 30) would shift every micro-rounded day term
+      rows.foreach { r =>
+        val (by, brs) = batch(r.getLong(1))
+        assert(Option(r.get(3)) == by, s"l2_yhat at ${r.getLong(1)}")
+        assert(Option(r.get(4)) == brs, s"l2_resid at ${r.getLong(1)}")
+      }
+    } finally q.stop()
+  }
 }
