@@ -520,6 +520,37 @@ object OpsScaleBench {
         Similarity.clusterBalancedSample(embRot, "vec_id", "embedding",
           nSeeds = 16 * n, k = 10).forcedRows())
 
+      // IVF serving path with nlist ∝ n (the cluster contract: cell
+      // count grows with the corpus to keep per-cell candidate volume
+      // flat): fixed 10 queries, rotated corpus, nlist = 8n, nprobe 2,
+      // bounded 2000-point training sample (Lloyd is the training
+      // term, not what this row measures). The per-corpus-row cost is
+      // the assignment against nlist centroids — the native
+      // NearestCells kernel (round 14); the interpreted per-centroid
+      // HOF folds it replaced were the serving path's scale term, so
+      // the row's claim is sub-quadratic wall on the nlist ∝ n axis.
+      val ivfQueries = emb0.filter(col("vec_id") < 10)
+      bench("ivf_assign", n, nVecs * n)(() =>
+        Similarity.ivfTopK(ivfQueries, embRot, "vec_id", "embedding",
+          k = 5, nlist = 8 * n, nprobe = 2, trainSample = 2000)
+          .forcedRows())
+      // kernel-isolating A/B at the same HEAD: the corpus-assignment
+      // COLUMN alone (keep=1 over the same nlist = 8n centroid
+      // matrix), native vs the spec-pinned HOF twin. The HOF control
+      // is capped at n ≤ 8 — its interpreted per-centroid folds are
+      // the quadratic term this kernel removed.
+      val abCents = Array.tabulate(8 * n)(c =>
+        Array.tabulate(64)(j => math.sin(c * 17 + j) * 0.3))
+      bench("ivf_cells_native", n, nVecs * n)(() =>
+        embRot.select(
+          Similarity.nearCellsTest(abCents, col("embedding"), 1).as("c"))
+          .forcedRows())
+      if (n <= 8)
+        bench("ivf_cells_hof", n, nVecs * n)(() =>
+          embRot.select(
+            Similarity.nearCellsHof(abCents, col("embedding"), 1).as("c"))
+            .forcedRows())
+
       // JL random projection 64→16: pure per-row codegen'd dot
       // products against literal ±1 vectors, zero shuffles — flat
       // Mrows/s is the pass bar, and the projected table carries 4×

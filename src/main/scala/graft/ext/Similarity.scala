@@ -205,31 +205,18 @@ object Similarity {
       .select(col(vec).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     val cents = lloyd(sample, nlist, iters)
-    // Centroids as a LITERAL array<struct<cell,cent>> — cell assignment
-    // becomes a pure projection (transform → array_sort → slice): no
-    // broadcast join, no per-row window sort over the corpus. nlist is
-    // small by construction, so the literal stays tiny.
-    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"),
-        typedLit(c.toSeq).as("cent"))
-    }: _*)
-    def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
-    // nearest `keep` cells, ties to the smaller cell id (struct sort
-    // orders by d2 then cell)
-    def nearCells(vecCol: Column, keep: Int): Column =
-      slice(array_sort(transform(centArr, ct =>
-        struct(dist2(vecCol, ct.getField("cent")).as("d2"),
-          ct.getField("cell").as("cell")))), 1, keep)
+    // Cell assignment is a pure projection (no broadcast join, no
+    // per-row window sort over the corpus) through the NATIVE
+    // NearestCells kernel — the declarative HOF twin below it is
+    // spec-pinned equal; the corpus leg pays this per row, and at
+    // cluster scale nlist grows with the corpus, so the interpreted
+    // per-centroid fold was the serving path's scale term.
     val corpusCells = corpus
-      .withColumn("cell", element_at(nearCells(col(vec), 1), 1).getField("cell"))
+      .withColumn("cell", element_at(nearCells(cents, col(vec), 1), 1))
       .select(col(id).as("vec_id"), col(vec).as("__cv"),
         norm(col(vec)).as("__cn"), col("cell"))
     val queryCells = queries
-      .withColumn("__cell", explode(nearCells(col(vec), nprobe)))
-      .withColumn("cell", col("__cell").getField("cell"))
+      .withColumn("cell", explode(nearCells(cents, col(vec), nprobe)))
       .select(col(id).as("query_id"), col(vec).as("__qv"),
         norm(col(vec)).as("__qn"), col("cell"))
     val scored = queryCells.join(corpusCells, Seq("cell"))
@@ -241,6 +228,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
+  }
+
+  /** Nearest-`keep` coarse cells (ascending squared L2, ties to the
+    * lower cell id) as an `array<int>` column — the native
+    * [[graft.functions.NearestCells]] kernel.
+    */
+  private def nearCells(cents: Array[Array[Double]], vecCol: Column,
+      keep: Int): Column =
+    org.apache.spark.sql.graftbridge.Columns.of(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.graftbridge.Columns.expr(vecCol), cents, keep))
+
+  /** Test-visible alias of the native [[nearCells]] (the method
+    * itself stays private so callers go through [[ivfTopK]]).
+    */
+  private[graft] def nearCellsTest(cents: Array[Array[Double]],
+      vecCol: Column, keep: Int): Column = nearCells(cents, vecCol, keep)
+
+  /** The declarative HOF twin of [[nearCells]] — per centroid the
+    * sequential squared-difference fold inside transform →
+    * array_sort → slice, cells projected out. Spec-pinned equal to
+    * the native kernel (the assignCellsHof discipline); interpreted
+    * per-centroid lambdas, so nothing ships on it.
+    */
+  private[graft] def nearCellsHof(cents: Array[Array[Double]],
+      vecCol: Column, keep: Int): Column = {
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), typedLit(c.toSeq).as("cent"))
+    }: _*)
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    transform(slice(array_sort(transform(centArr, ct =>
+      struct(dist2(vecCol, ct.getField("cent")).as("d2"),
+        ct.getField("cell").as("cell")))), 1, keep),
+      st => st.getField("cell"))
   }
 
   /** Product-quantization codebooks: `m` subspaces × `ksub` centroids

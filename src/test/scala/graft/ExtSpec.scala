@@ -506,6 +506,47 @@ class ExtSpec extends SparkTestBase {
     assert(nat(2L) == 0L && nat(5L) == 0L)
   }
 
+  test("ivf nearCells: native NearestCells kernel ≡ HOF twin") {
+    import spark.implicits._
+    // handcrafted centroids with a deliberate exact tie (cells 1 and 2
+    // are identical) so the lower-cell tie rule is exercised, plus a
+    // null vector and a length-mismatched vector (every fold null in
+    // the HOF form → cells 0..keep-1)
+    val cents = Array(
+      Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0),
+      Array(0.5, 0.5, 0.0))
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.1f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.1f)), // ties cells 1/2 exactly
+      (2L, Array(0.2f, 0.2f, 0.9f)),
+      (3L, null.asInstanceOf[Array[Float]]),
+      (4L, Array(1.0f, 0.0f)), // length mismatch
+      (5L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    for (keep <- Seq(1, 2, 4, 7)) { // 7 > nlist exercises the clamp
+      val nat = vecs.select(col("vec_id"), Similarity.nearCellsTest(
+          cents, col("embedding"), keep).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val hof = vecs.select(col("vec_id"), Similarity.nearCellsHof(
+          cents, col("embedding"), keep).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(nat == hof, s"native/HOF divergence at keep=$keep:\n$nat\nvs\n$hof")
+    }
+    // and on the real corpus with Lloyd-shaped arbitrary centroids
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val wide = Array.tabulate(8)(c => Array.tabulate(64)(j =>
+      math.sin(c * 17 + j) * 0.3))
+    val n2 = emb.select(col("vec_id"), Similarity.nearCellsTest(
+        wide, col("embedding"), 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val h2 = emb.select(col("vec_id"), Similarity.nearCellsHof(
+        wide, col("embedding"), 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(n2 == h2)
+  }
+
   test("semanticDedup: zero-norm vector assigns deterministically, never pairs") {
     import spark.implicits._
     // id 2 is the all-zero vector: every cosine with it is undefined
