@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native top-`keep` nearest-centroid selection by squared L2 — the
@@ -26,8 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *    different rounding could flip an argmin tie against the
   *    oracle);
   *  - selection ascending by (d2, cell) — ties to the lower cell id
-  *    (d2 is a sum of squares: never −0.0, never NaN on finite
-  *    input);
+  *    (d2 is a sum of squares: never −0.0, and never NaN on finite
+  *    input; comparisons use Spark's double total order — NaN
+  *    greatest — so even non-finite inputs sort exactly as the HOF
+  *    twin's array_sort does);
   *  - a NULL vector, NULL element or length mismatch makes every
   *    fold NULL in the HOF form, where ascending struct order puts
   *    null d2 first and falls through to the cell tiebreak — i.e.
@@ -71,8 +73,17 @@ case class NearestCells(vec: Expression, cents: Array[Array[Double]],
       anyNull
     }
     if (bad) return new GenericArrayData(Array.tabulate(kEff)(identity))
+    // hoist the element-type test out of the nlist×dim inner loop — a
+    // Scala lazy val accessor pays a volatile read per call
+    val f = isFloat
     // top-kEff ascending (d2, cell): insertion into a bounded sorted
-    // buffer — nlist is small by construction, keep smaller still
+    // buffer — nlist is small by construction, keep smaller still.
+    // Comparisons use Spark's double TOTAL order (SQLOrderingUtil:
+    // NaN greatest, −0.0 = 0.0) so a NaN d2 — unreachable on finite
+    // input, but reachable through non-finite embeddings/centroids —
+    // sorts exactly where the HOF twin's array_sort puts it instead
+    // of freezing into the buffer as an unbeatable entry under
+    // primitive-< (where every NaN comparison is false)
     val bestD = new Array[Double](kEff)
     val bestC = new Array[Int](kEff)
     var filled = 0
@@ -82,16 +93,17 @@ case class NearestCells(vec: Expression, cents: Array[Array[Double]],
       var s = 0.0
       var i = 0
       while (i < dim) {
-        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
         val d = x - cent(i)
         s += d * d
         i += 1
       }
       // strict < against the current worst keeps the earlier (lower)
       // cell on ties, matching the (d2, cell) struct sort
-      if (filled < kEff || s < bestD(filled - 1)) {
+      if (filled < kEff ||
+          SQLOrderingUtil.compareDoubles(s, bestD(filled - 1)) < 0) {
         var pos = math.min(filled, kEff - 1)
-        while (pos > 0 && bestD(pos - 1) > s) {
+        while (pos > 0 && SQLOrderingUtil.compareDoubles(bestD(pos - 1), s) > 0) {
           bestD(pos) = bestD(pos - 1); bestC(pos) = bestC(pos - 1)
           pos -= 1
         }

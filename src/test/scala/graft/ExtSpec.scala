@@ -534,6 +534,33 @@ class ExtSpec extends SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
       assert(nat == hof, s"native/HOF divergence at keep=$keep:\n$nat\nvs\n$hof")
     }
+    // non-finite inputs: a NaN centroid makes d2 NaN for every row
+    // against that cell, an Inf vector element makes d2 Inf (and NaN
+    // against the NaN cell). The native kernel's total-order
+    // comparisons must sort these exactly where the HOF twin's
+    // array_sort puts them (NaN greatest) — under primitive < a NaN
+    // first sample froze into the buffer as an unbeatable entry and
+    // blocked every later finite centroid (caught in review, r14)
+    val nanCents = Array(
+      Array(Double.NaN, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val nfVecs = Seq(
+      (0L, Array(0.0f, 1.0f, 0.0f)),
+      (1L, Array(Float.PositiveInfinity, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    for (keep <- Seq(1, 2, 3)) {
+      val nat = nfVecs.select(col("vec_id"), Similarity.nearCellsTest(
+          nanCents, col("embedding"), keep).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val hof = nfVecs.select(col("vec_id"), Similarity.nearCellsHof(
+          nanCents, col("embedding"), keep).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(nat == hof,
+        s"native/HOF divergence on non-finite input at keep=$keep:\n$nat\nvs\n$hof")
+      // the finite vector must prefer the finite cells over the NaN cell
+      if (keep == 1) assert(nat(0L) == Seq(1))
+    }
     // and on the real corpus with Lloyd-shaped arbitrary centroids
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val wide = Array.tabulate(8)(c => Array.tabulate(64)(j =>
