@@ -70,6 +70,46 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Budget pacing (r14): grant a query its second sample only when
+    * the PROJECTED sweep total still fits the budget — charged wall so
+    * far, plus one more sample of this query (at its charge cap), plus
+    * the remaining queries' committed cost scaled by the observed
+    * environment inflation (charged wall ÷ committed wall so far).
+    * Rationale: the old rule (double-sample until wallSpent crosses
+    * 1.0× budget) spends the whole budget on the cheap head of the
+    * cheapest-first order under a uniformly slow environment — e.g.
+    * the driver's LOWER-CORE-COUNT scaling run, where every query is
+    * ~2× its 32-core committed median — and then skips the heavy tail
+    * at 1.3×. Shedding SECOND SAMPLES early keeps every query present
+    * (simulated on the committed medians: uniform 2.6× inflation now
+    * completes 161/161 vs 5+ skipped before; quiet epochs still
+    * double-sample ~115 of the ≥fastCut queries). n_samples records
+    * what each number got.
+    */
+  private[graft] def allowSecondSample(wallSpent: Double, committedDone: Double,
+      committedTotal: Double, nextCharge: Double, budgetSec: Double): Boolean =
+    if (committedTotal <= 0) wallSpent <= budgetSec // no baseline: r13 rule
+    else if (committedDone <= 0) true
+    else {
+      val inflation = wallSpent / committedDone
+      val remaining = math.max(0.0, committedTotal - committedDone)
+      wallSpent + nextCharge + remaining * inflation <= budgetSec
+    }
+
+  /** Median first-sample/committed ratio over queries whose committed
+    * median is big enough to carry signal (≥ 0.2 s) — the sweep-wide
+    * environment inflation. Used to normalize the post-sweep 2.5×
+    * adjudication band: in a uniformly slow environment (low-core run,
+    * shared-host degradation) EVERY query sits above 2.5× its 32-core
+    * quiet-epoch committed median, and re-measuring all of them proves
+    * nothing about contention spikes while burning the remaining
+    * budget. A genuine per-query spike still stands out against the
+    * inflation-scaled threshold.
+    */
+  private[graft] def envInflation(ratios: Seq[Double]): Double =
+    if (ratios.isEmpty) 1.0
+    else math.max(1.0, ratios.sorted.apply(ratios.size / 2))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -193,6 +233,11 @@ object Bench {
 
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val sampleCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // pacing state: committed cost of the queries measured so far (the
+    // denominator of the observed-inflation estimate) and of the whole
+    // selected sweep
+    val committedTotal = queryMap.flatMap(kv => committed.get(kv._1)).sum
+    var committedDone = 0.0
     // (first, remeasured) for every adjudicated query — immediate or
     // post-sweep — so the artifact always records both numbers.
     val adjudicated = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -202,6 +247,7 @@ object Bench {
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame, nSamples: Int): Seq[Sample] = {
       val first = sampleOnce(name, fn)
+      committedDone += committed.getOrElse(name, 0.0)
       val samples = scala.collection.mutable.ArrayBuffer(first)
       if (first.err.isEmpty && isOutlier(name, first.sec)) {
         slowTraces(name) = first.trace
@@ -212,8 +258,13 @@ object Bench {
           samples += re
         }
       }
+      // one more sample would be budget-charged at most this much
+      val nextCharge = committed.get(name)
+        .fold(first.sec)(c => math.min(first.sec, math.max(c * 5, 0.5)))
       val n =
-        if (first.sec < fastCut || wallSpent > budgetSec || first.err.nonEmpty)
+        if (first.sec < fastCut || first.err.nonEmpty ||
+            !allowSecondSample(wallSpent, committedDone, committedTotal,
+              nextCharge, budgetSec))
           samples.size
         else math.max(samples.size, nSamples)
       while (samples.size < n) samples += sampleOnce(name, fn)
@@ -239,10 +290,19 @@ object Bench {
     // remeasure that is still slow is real cost and stays).
     // Suppression shares the 1.3x-budget skip threshold — with capped
     // charging a spike can no longer push wallSpent there by itself.
+    // The 2.5x band is scaled by the sweep-wide environment inflation
+    // (median sample/committed ratio): in a uniformly slow environment
+    // (the driver's lower-core scaling run, a degraded shared host)
+    // every query exceeds 2.5x its quiet-epoch committed median and
+    // re-measuring the whole registry proves nothing; a genuine
+    // per-query spike still clears the scaled threshold.
+    val infl = envInflation(firstPass.flatMap { case (name, s) =>
+      committed.get(name).filter(_ >= 0.2).map(c => s.sec / c)
+    })
     val suspects = firstPass.filter { case (name, s) =>
       !adjudicated.contains(name) && s.err.isEmpty &&
         committed.get(name).exists(c =>
-          s.sec > c * 2.5 && s.sec - c > math.min(0.5, math.max(0.1, c)))
+          s.sec > c * 2.5 * infl && s.sec - c > math.min(0.5, math.max(0.1, c)))
     }
     val remeasured = suspects.flatMap { case (name, s) =>
       if (wallSpent > budgetSec * 1.3) None
@@ -279,7 +339,7 @@ object Bench {
       .mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.sec).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"n_samples":$ns,"stat_rule":"n=1 single sample; n even min; n odd median; errored samples outranked by clean ones; an adjudicated row (see adjudicated) reports min(statistic, remeasure) and its remeasure counts into n_samples","adjudicated":$adjJson,"errors":$errJson,"slow_trace":$traceJson,"reps":$reps,"truncated":${skipped.nonEmpty},"skipped":$skippedJson,"wall_sec":${f"$wallTrue%.2f"},"wall_charged_sec":${f"$wallSpent%.2f"},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"n_samples":$ns,"stat_rule":"n=1 single sample; n even min; n odd median; errored samples outranked by clean ones; an adjudicated row (see adjudicated) reports min(statistic, remeasure) and its remeasure counts into n_samples","adjudicated":$adjJson,"errors":$errJson,"slow_trace":$traceJson,"reps":$reps,"truncated":${skipped.nonEmpty},"skipped":$skippedJson,"wall_sec":${f"$wallTrue%.2f"},"wall_charged_sec":${f"$wallSpent%.2f"},"env_inflation":${f"$infl%.3f"},"sf":"$sfDir"}"""
     println(json)
     // Self-contained artifact: the driver captures only a stdout tail,
     // which truncated the round-5 record to 22/58 medians. Writing the
@@ -315,6 +375,6 @@ object Bench {
         "\"" + k + "\":" + t) }
       .map(e => "{" + e + "}").getOrElse("{}")
     val gcTotal = results.map(_._2.gc).sum
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size}%d,"reps":$reps%d,"gc_sec_total":$gcTotal%.2f,"wall_sec":$wallTrue%.2f,"wall_charged_sec":$wallSpent%.2f,"truncated":${skipped.nonEmpty}%s,"n_skipped":${skipped.size}%d,"n_adjudicated":${adjudicated.size}%d,"n_errors":${errors.size}%d,"adjudicated":$adjTop%s,"slowest":$slowest%s,"slow_trace":$worstTrace%s,"sf":"$sfDir%s"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size}%d,"reps":$reps%d,"gc_sec_total":$gcTotal%.2f,"wall_sec":$wallTrue%.2f,"wall_charged_sec":$wallSpent%.2f,"env_inflation":$infl%.3f,"truncated":${skipped.nonEmpty}%s,"n_skipped":${skipped.size}%d,"n_adjudicated":${adjudicated.size}%d,"n_errors":${errors.size}%d,"adjudicated":$adjTop%s,"slowest":$slowest%s,"slow_trace":$worstTrace%s,"sf":"$sfDir%s"}""")
   }
 }
