@@ -96,9 +96,12 @@ object Bench {
       wallSpent + nextCharge + remaining * inflation <= budgetSec
     }
 
-  /** Median first-sample/committed ratio over queries whose committed
-    * median is big enough to carry signal (≥ 0.2 s) — the sweep-wide
-    * environment inflation. Used to normalize the post-sweep 2.5×
+  /** Median reported-statistic/committed ratio over queries whose
+    * committed median is big enough to carry signal (≥ 0.2 s) — the
+    * sweep-wide environment inflation. (The statistic, not the raw
+    * first sample: immediately-adjudicated spikes report their healed
+    * min, which reflects the environment's floor rather than its
+    * spikes — exactly the level the 2.5× band should be scaled by.) Used to normalize the post-sweep 2.5×
     * adjudication band: in a uniformly slow environment (low-core run,
     * shared-host degradation) EVERY query sits above 2.5× its 32-core
     * quiet-epoch committed median, and re-measuring all of them proves
@@ -258,13 +261,17 @@ object Bench {
           samples += re
         }
       }
-      // one more sample would be budget-charged at most this much
-      val nextCharge = committed.get(name)
+      // each further sample would be budget-charged at most this much;
+      // project for ALL the reps this grant would trigger (reps=3
+      // grants two more samples, not one — under-projecting by half
+      // defeats the pacing near the budget boundary)
+      val chargePer = committed.get(name)
         .fold(first.sec)(c => math.min(first.sec, math.max(c * 5, 0.5)))
+      val extraSamples = math.max(0, nSamples - samples.size)
       val n =
-        if (first.sec < fastCut || first.err.nonEmpty ||
+        if (first.sec < fastCut || first.err.nonEmpty || extraSamples == 0 ||
             !allowSecondSample(wallSpent, committedDone, committedTotal,
-              nextCharge, budgetSec))
+              chargePer * extraSamples, budgetSec))
           samples.size
         else math.max(samples.size, nSamples)
       while (samples.size < n) samples += sampleOnce(name, fn)
@@ -279,7 +286,6 @@ object Bench {
         Some(name -> statistic(samples))
       }
     }
-    val firstPassMap = firstPass.toMap
     // Post-sweep self-adjudication for the 2.5x-5x band (the round-8
     // lesson: a machine-contention spike frozen into the permanent
     // record with no way to tell). >5x outliers were already

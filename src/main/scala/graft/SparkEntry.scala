@@ -2897,7 +2897,12 @@ object SparkEntry {
     * seeds = the nSeeds smallest-id vectors, TWO-LEVEL (IVF-style)
     * argmax cosine with ties to the smaller id — mirrors
     * Similarity.assignCells' projection exactly (identically-shaped
-    * IEEE folds): coarse = the ⌈√nSeeds⌉ smallest-id seeds; each seed
+    * IEEE folds): coarse = the ⌈√(actual seed count)⌉ smallest-id
+    * seeds — derived relationally from sd, not from the nSeeds
+    * parameter, because the engine derives it from the COLLECTED seed
+    * count (`assignCellsImpl`: min(seeds.length, ⌈√seeds.length⌉))
+    * and the two must agree when the table has fewer than nSeeds rows
+    * (latent at the shipped SFs, all of which exceed nSeeds); each seed
     * groups to its argmax-cosine coarse seed EXCEPT coarse seeds,
     * which group to themselves (the non-empty-cell guarantee); each
     * vector takes its argmax coarse cell, then its argmax seed among
@@ -2907,21 +2912,23 @@ object SparkEntry {
     * in the same order, so the groupings agree bit-for-bit.
     */
   private def semanticCellsCte(nSeeds: Int): String = {
-    val nc = math.ceil(math.sqrt(nSeeds.toDouble)).toInt
     normCte +
       s""", sd AS (
          |  SELECT vec_id AS seed_id, embedding AS sv, nrm AS snrm,
          |         row_number() OVER (ORDER BY vec_id) AS srk
          |  FROM n ORDER BY vec_id LIMIT $nSeeds
+         |), ncc AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM sd
          |), cd AS (
-         |  SELECT seed_id AS cid, sv AS cv, snrm AS cnrm FROM sd WHERE srk <= $nc
+         |  SELECT seed_id AS cid, sv AS cv, snrm AS cnrm FROM sd
+         |  WHERE srk <= (SELECT nc FROM ncc)
          |), s2cr AS (
          |  SELECT s.seed_id, s.srk, c.cid,
          |         row_number() OVER (PARTITION BY s.seed_id
          |           ORDER BY ${safeCosSql(dotSql("s.sv", "c.cv"), "s.snrm * c.cnrm")} DESC, c.cid ASC) AS rk
          |  FROM sd s CROSS JOIN cd c
          |), s2c AS (
-         |  SELECT seed_id, CASE WHEN srk <= $nc THEN seed_id ELSE cid END AS grp
+         |  SELECT seed_id, CASE WHEN srk <= (SELECT nc FROM ncc) THEN seed_id ELSE cid END AS grp
          |  FROM s2cr WHERE rk = 1
          |), v2c AS (
          |  SELECT vec_id, cid FROM (

@@ -656,7 +656,12 @@ object Similarity {
       var i = 0
       while (i < nc) {
         val den = nv * coarseNorm(i)
-        val c = if (den > 0) dotD(v, coarse(i)._2) / den else -2.0
+        // length mismatch pinned to -2.0 like every other undefined
+        // case (the kernel's cosOf and the coalesced HOF twin agree) —
+        // and dotD must not be reached with ragged arrays at all
+        val c =
+          if (v.length != coarse(i)._2.length || !(den > 0)) -2.0
+          else dotD(v, coarse(i)._2) / den
         // strict > over ascending ids ≡ ORDER BY cos DESC, id ASC
         if (c > bestCos) { bestCos = c; bestId = coarse(i)._1 }
         i += 1
@@ -696,10 +701,17 @@ object Similarity {
       def seedStruct(sid: Long, sv: Array[Float]): Column =
         struct(lit(sid).as("seed_id"), typedLit(sv.toSeq).as("sv"),
           lit(normD(sv)).as("snrm"))
+      // negcos coalesced to 2.0 (cos −2.0): a NULL dot — reachable
+      // only through a ragged (length-mismatched) or null vector —
+      // must LOSE against every real candidate, as it does in the
+      // native kernel (cosOf → −2.0) and in the oracle (DuckDB sorts
+      // NULL cos0 last under DESC). Without the coalesce, Spark's
+      // struct order puts the NULL field FIRST and the bad seed WINS.
       def argmaxCell(candidates: Column): Column =
         array_min(transform(candidates, st =>
-          struct((lit(0d) - safeCosine(dot(col("__v"), st.getField("sv")),
-            col("__n") * st.getField("snrm"))).as("negcos"),
+          struct(coalesce(
+            lit(0d) - safeCosine(dot(col("__v"), st.getField("sv")),
+              col("__n") * st.getField("snrm")), lit(2.0)).as("negcos"),
             st.getField("seed_id").as("seed_id")))).getField("seed_id")
       val coarseArr = array(coarse.map { case (cid, cv) => seedStruct(cid, cv) }: _*)
       val groupMap = map(groups.flatMap { case (cid, ss) =>

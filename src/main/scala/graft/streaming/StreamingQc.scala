@@ -596,9 +596,10 @@ object StreamingQc {
     * re-enter i's window). Points at the head of the stream wait;
     * points before a shutdown are never finalized — the batch engine
     * remains the replay ground truth (the sentemFlags contract).
-    * State per series is the points within supportDays of the oldest
-    * unfinalized point plus the unfinalized tail — bounded by the
-    * support window times the cadence, never the series length.
+    * State per series is the points within supportDays of the HORIZON
+    * (the last finalized day — also what an admissible late event's
+    * own window can reach back to) plus the unfinalized tail — bounded
+    * by the support window times the cadence, never the series length.
     *
     * Late data: the last finalized timestamp is the operator's
     * horizon (carried in state — a support-sized gap can evict every
@@ -610,7 +611,11 @@ object StreamingQc {
     * (horizon, horizon + supportDays] enters only FUTURE fits, while
     * a batch replay would also include it in already-emitted ones
     * (append mode cannot retract) — with out-of-order input the batch
-    * engine remains the ground truth, the sentemFlags contract. The
+    * engine remains the ground truth, the sentemFlags contract. Those
+    * future fits themselves see the event's full finalized lookback:
+    * eviction is anchored at the horizon (not the oldest unfinalized
+    * point), so every finalized neighbor an admissible late event can
+    * reach is still in state. The
     * series time ORIGIN (day 0) is the series' first event, frozen at
     * first emission; with in-order arrival this is the batch
     * operator's min(ts) and every emitted fit is bit-identical to the
@@ -638,8 +643,19 @@ object StreamingQc {
           val horizon = prev.horizonUs
           val incoming = events.toSeq
             .filter(_.tsUs > horizon)
-            .map(e => (e.tsUs,
-              if (e.value == null) Double.NaN else e.value.doubleValue()))
+            .map { e =>
+              val v = if (e.value == null) Double.NaN else e.value.doubleValue()
+              // a genuine NaN VALUE (not null) is loud in the batch
+              // kernel (FastRound's ANSI cast raises on the NaN micro
+              // term); silently aliasing it to the internal NaN
+              // missing marker would make the stream emit plausible
+              // numbers where batch errors — raise the same way
+              if (e.value != null && v.isNaN)
+                throw new ArithmeticException(
+                  s"local2 NaN value at ($key, ${e.tsUs}): the batch " +
+                    "kernel raises on NaN micro terms")
+              (e.tsUs, v)
+            }
           val tail = (prev.done until prev.ts.length)
             .map(i => (prev.ts(i), prev.obs(i)))
           val merged = (tail ++ incoming).sortBy(_._1)
@@ -693,10 +709,21 @@ object StreamingQc {
                   if (yi == null) null else round6(yi.doubleValue() - yhat))
               } else LocalFitEvent(key, ts(i), yi, null, null)
             }
-            // evict lookback no unfinalized point can reach
-            val oldestD = if (emitUpto < n) day(emitUpto) else maxD
+            // evict lookback neither an unfinalized point NOR an
+            // admissible late event can reach. The anchor is the
+            // HORIZON (last finalized day), not the oldest unfinalized
+            // day: a late event is admitted whenever its day exceeds
+            // the horizon, and its support window reaches back
+            // supportDays from there — anchoring at the (possibly much
+            // later, post-gap) oldest unfinalized point evicted
+            // finalized neighbors that such an event's own future fit
+            // still needs (caught in the round-14 close-out review).
+            // horizonD ≤ oldest unfinalized day always, so this keeps
+            // a superset of the old retention, still bounded by the
+            // support window times the cadence.
             var keepFrom = 0
-            while (keepFrom < emitUpto && oldestD - day(keepFrom) > supportDays)
+            while (keepFrom < emitUpto &&
+                day(emitUpto - 1) - day(keepFrom) > supportDays)
               keepFrom += 1
             val newHorizon =
               if (emitUpto > 0) ts(emitUpto - 1) else prev.horizonUs

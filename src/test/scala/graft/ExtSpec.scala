@@ -504,6 +504,27 @@ class ExtSpec extends SparkTestBase {
     // zero-norm and null vectors land in the smallest coarse seed's
     // smallest fine cell, deterministically
     assert(nat(2L) == 0L && nat(5L) == 0L)
+    // ragged fixture: a LENGTH-MISMATCHED seed (array columns carry no
+    // fixed length) must LOSE against every real candidate on both
+    // forms — the native kernel pins its cosine to -2.0 and the HOF
+    // twin coalesces the NULL dot to the same -2.0; under the
+    // pre-coalesce HOF the NULL negcos struct field sorted FIRST and
+    // the ragged seed silently WON every assignment (caught in the
+    // round-14 close-out review)
+    val ragged = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.5f, 0.5f)), // ragged: 2 dims among 3-dim corpus
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val natR = Similarity.assignCells(ragged, "vec_id", "embedding", 3)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hofR = Similarity.assignCellsHof(ragged, "vec_id", "embedding", 3)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(natR == hofR, s"native/HOF divergence on ragged seed:\n$natR\nvs\n$hofR")
+    // the 3-dim vectors must never be assigned to the ragged seed 1
+    assert(natR(0L) != 1L && natR(2L) != 1L && natR(3L) != 1L)
   }
 
   test("ivf nearCells: native NearestCells kernel ≡ HOF twin") {

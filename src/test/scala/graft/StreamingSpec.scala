@@ -977,4 +977,86 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("streaming local2: eviction keeps the lookback an admissible late event's fit needs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // Round-14 close-out review regression: eviction used to anchor at
+    // the OLDEST UNFINALIZED day, so a late event admitted just above
+    // the horizon (day 19.5 here, horizon 19, oldest unfinalized 20)
+    // could have finalized neighbors its own support window still
+    // reaches (day 9.5: |19.5 − 9.5| = 10 = supportDays) already
+    // evicted — its fit then silently omitted them vs a batch replay.
+    // Anchoring at the horizon retains exactly what any admissible
+    // late event can reach.
+    def tsOfM(minutes: Long): Long = us(minutes)
+    def v(m: Long): Double = 4.0 + math.sin(m / 2000.0)
+    val mb1 = ((0 to 30).map(i => 1440L * i) :+ 13680L).sorted // days 0..30 + day 9.5
+    val late = 28080L                                          // day 19.5
+    val mb3 = (31 to 45).map(i => 1440L * i)
+    val all = (mb1 :+ late) ++ mb3
+    val batchFull = graft.wrtds.Wrtds.local2(
+        all.map(m => ("s1", new java.sql.Timestamp(tsOfM(m) / 1000),
+          java.lang.Double.valueOf(v(m)))).toDF("series", "ts", "value"),
+        SeriesSpec(Seq("series")), htDays = 3.0, supportDays = 10.0, minp = 2)
+      .select(unix_micros(col("ts")).as("tsUs"), col("l2_yhat"), col("l2_resid"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+      .toMap
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingQc.localFitStream(input.toDS(),
+        htDays = 3.0, supportDays = 10.0, minp = 2)
+      .writeStream.format("memory").queryName("localfitlate")
+      .outputMode("append").start()
+    try {
+      input.addData(mb1.map(m =>
+        SeriesEvent("s1", tsOfM(m), java.lang.Double.valueOf(v(m)))): _*)
+      q.processAllAvailable()
+      // maxDay 30 finalizes day < 20: days 0..19 plus 9.5 = 21 rows
+      assert(spark.table("localfitlate").count() == 21)
+      input.addData(SeriesEvent("s1", tsOfM(late), java.lang.Double.valueOf(v(late))))
+      q.processAllAvailable()
+      // 19.5 itself finalizes (30 − 19.5 > 10)
+      assert(spark.table("localfitlate").count() == 22)
+      input.addData(mb3.map(m =>
+        SeriesEvent("s1", tsOfM(m), java.lang.Double.valueOf(v(m)))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("localfitlate").collect()
+      assert(rows.length == 37, s"emitted ${rows.length}") // + days 20..34
+      // every row finalized at-or-after the late event's arrival sees
+      // the same window a full-series batch replay computes — bit-equal
+      val lateOn = rows.filter(_.getLong(1) >= tsOfM(late))
+      assert(lateOn.length == 16)
+      lateOn.foreach { r =>
+        val (by, brs) = batchFull(r.getLong(1))
+        assert(Option(r.get(3)) == by,
+          s"l2_yhat at ${r.getLong(1)}: ${r.get(3)} vs $by")
+        assert(Option(r.get(4)) == brs, s"l2_resid at ${r.getLong(1)}")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming local2: a genuine NaN value raises like the batch kernel") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // batch local2 raises on a NaN value (FastRound's ANSI cast on the
+    // NaN micro term); the stream must not silently alias it to the
+    // missing-value marker and emit plausible numbers where batch errors
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingQc.localFitStream(input.toDS(),
+        htDays = 3.0, supportDays = 10.0, minp = 2)
+      .writeStream.format("memory").queryName("localfitnan")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        SeriesEvent("s1", us(0), java.lang.Double.valueOf(1.0)),
+        SeriesEvent("s1", us(1440), java.lang.Double.valueOf(Double.NaN)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[ArithmeticException] &&
+        c.getMessage.contains("NaN value")), s"unexpected failure: $e")
+    } finally q.stop()
+  }
 }
